@@ -1,38 +1,472 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``dotnetvectorsearch_spark/``; each query cites the
+SURVEY.md §2 operator(s) it covers. Floating-point outputs are rounded to 6
+digits on BOTH sides; decimal-cast sums make aggregates order-independent
+and bit-identical across engines.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dotnetvectorsearch_spark.functions import text as T
+from dotnetvectorsearch_spark.functions import vector as V
+from dotnetvectorsearch_spark.operators import search as S
+from dotnetvectorsearch_spark.sources.io import (
+    embedding_from_json,
+    embedding_to_json,
+    load_table,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Thresholds tuned on the driver's synthetic embeddings (64-d, unit-norm,
+# 10 label clusters): cosine p90~0.17 / p99~0.30 vs a fixed query vector.
+SEARCH_THRESHOLD = 0.2
+NEARDUP_COSINE_THRESHOLD = 0.35
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference POST /api/search semantics): brute-force
+    cosine top-k over the corpus with broadcast query vector; plans as
+    BroadcastNestedLoopJoin + TakeOrderedAndProject."""
+    return _q_search_topk(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# Query implementations. Each takes (spark, sf_dir) and returns a DataFrame.
+# --------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0,
+               alias: str = "query_embedding") -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias(alias))
+
+
+def _q_search_topk(spark, sf_dir):
+    """Q1+Q2+Q3: brute-force cosine scan -> sort desc (id tiebreak) -> top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vec(spark, sf_dir)
+    return S.top_k_similar(emb, q, top_k=10, id_col="vec_id", round_digits=6)
+
+
+def _q_search_threshold(spark, sf_dir):
+    """Q7: similarity threshold filter (README-declared API surface)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vec(spark, sf_dir)
+    scored = S.score_similarity(S.attach_query_vector(emb, q), round_digits=6)
+    return (scored.filter(F.col("similarity") >= SEARCH_THRESHOLD)
+            .select("vec_id", "similarity"))
+
+
+def _q_pairwise_similarity(spark, sf_dir):
+    """Q5: pairwise cosine between two stored vectors."""
+    a = _query_vec(spark, sf_dir, 0, "vec_a")
+    b = _query_vec(spark, sf_dir, 1, "vec_b")
+    return S.pairwise_similarity(a.crossJoin(b), "vec_a", "vec_b",
+                                 round_digits=6).select("similarity")
+
+
+def _q_doc_listing(spark, sf_dir):
+    """Q6+S6: ordered full listing (ORDER BY id scan contract)."""
+    return S.ordered_listing(load_table(spark, sf_dir, "documents"),
+                             id_col="doc_id")
+
+
+def _q_listing_projected(spark, sf_dir):
+    """Q6 projection toggle: embedding column pruned out of the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ordered_listing(emb, id_col="vec_id", include_embeddings=False)
+
+
+def _q_doc_count(spark, sf_dir):
+    """Q4: total-count scalar."""
+    return S.corpus_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_prepare_text(spark, sf_dir):
+    """P1+P2: combined_text ('{a} : {b}') + asymmetric E5 task prefixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.combined_text("text", "source").alias("combined_text"),
+        T.with_task_prefix("text", "passage").alias("passage_text"),
+        T.with_task_prefix("text", "query").alias("query_text"),
+    )
+
+
+def _q_vector_norms(spark, sf_dir):
+    """P5+P6+P7: L2 norm, self dot product, norm-after-normalize."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = V.l2_normalize("embedding", keep_float=False)
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("norm"),
+        F.round(V.dot("embedding", "embedding"), 6).alias("self_dot"),
+        F.round(V.l2_norm(unit), 6).alias("unit_norm"),
+    )
+
+
+def _q_json_codec_roundtrip(spark, sf_dir):
+    """P3+P4: JSON TEXT vector codec (the reference's storage format)
+    round-trips losslessly: cosine(decode(encode(v)), v) == 1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = embedding_to_json(emb, "embedding", "embedding_json")
+    dec = embedding_from_json(enc, "embedding_json", "roundtrip")
+    return dec.select(
+        "vec_id",
+        F.round(V.cosine_similarity("roundtrip", "embedding"), 6)
+        .alias("roundtrip_cosine"),
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count("text").cast("long").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    """Text analysis: quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    """Text analysis: stopword-signal language ID with deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("pred_lang"))
+
+
+def _q_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup: md5 fingerprint of normalized text -> group -> keep-first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(T.fingerprint("text").alias("fp"))
+            .agg(F.min("doc_id").alias("first_doc_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """Relational agg at scale (TPC-H Q1 shape): map-side partial aggregation,
+    decimal-cast sums for order-independent exactness."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(18,6)")).cast("double")
+        .alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(18,8)")).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "count_order",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6)
+        .alias("avg_price"),
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """3-way join + agg + top-k (TPC-H Q3 shape). customer is the small side
+    -> broadcast hash join, no shuffle of lineitem on the customer key."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")).cast("double")
+    return (joined.groupBy("l_orderkey")
+            .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
+
+
+def _q_top_orders_window(spark, sf_dir):
+    """Window function: top-3 orders per customer by total price."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream table (batch view
+    of the Structured Streaming hourly rollup).
+
+    events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong), so the tumbling bucket is
+    integer floor-division — exact, and identical to DuckDB's
+    date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_epoch = F.expr("CAST(ts AS LONG) DIV 3600000000000") * 3600
+    return (ev.groupBy(hour_epoch.alias("hour_epoch"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "search_topk": _q_search_topk,
+    "search_threshold": _q_search_threshold,
+    "pairwise_similarity": _q_pairwise_similarity,
+    "doc_listing": _q_doc_listing,
+    "listing_projected": _q_listing_projected,
+    "doc_count": _q_doc_count,
+    "prepare_text": _q_prepare_text,
+    "vector_norms": _q_vector_norms,
+    "json_codec_roundtrip": _q_json_codec_roundtrip,
+    "token_stats": _q_token_stats,
+    "quality_scores": _q_quality_scores,
+    "lang_id": _q_lang_id,
+    "fingerprint_dedup": _q_fingerprint_dedup,
+    "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
+    "top_orders_window": _q_top_orders_window,
+    "events_hourly": _q_events_hourly,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL. Same column names, same rounding, decimal-cast sums.
+# --------------------------------------------------------------------------
+
+_LANG_RE = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|los|del|las|por|un)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans|pour|que|sur)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b",
+    "zh": r"[一-鿿]",
+}
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{_LANG_RE[lang]}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = ("list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+           "CAST({b} AS DOUBLE[]))")
+    qvec = ("(SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            "WHERE vec_id = 0)")
+    return {
+        "search_topk": f"""
+            WITH q AS {qvec}
+            SELECT e.vec_id,
+                   round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity
+            FROM embeddings e CROSS JOIN q
+            ORDER BY similarity DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "search_threshold": f"""
+            WITH q AS {qvec}
+            SELECT e.vec_id,
+                   round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity
+            FROM embeddings e CROSS JOIN q
+            WHERE round({cos.format(a='e.embedding', b='q.qe')}, 6)
+                  >= {SEARCH_THRESHOLD}
+        """,
+        "pairwise_similarity": f"""
+            SELECT round({cos.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS similarity
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) b
+        """,
+        "doc_listing": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "listing_projected": """
+            SELECT vec_id, label FROM embeddings ORDER BY vec_id
+        """,
+        "doc_count": """
+            SELECT count(*) AS total_documents FROM documents
+        """,
+        "prepare_text": """
+            SELECT doc_id,
+                   text || ' : ' || source AS combined_text,
+                   'passage: ' || text AS passage_text,
+                   'query: ' || text AS query_text
+            FROM documents
+        """,
+        "vector_norms": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+            SELECT vec_id,
+                   round(nrm, 6) AS norm,
+                   round(list_dot_product(e, e), 6) AS self_dot,
+                   round(CASE WHEN nrm > 1e-12 THEN
+                       sqrt(list_dot_product(list_transform(e, x -> x / nrm),
+                                             list_transform(e, x -> x / nrm)))
+                       ELSE nrm END, 6) AS unit_norm
+            FROM n
+        """,
+        "json_codec_roundtrip": f"""
+            SELECT vec_id,
+                   round({cos.format(a='embedding', b='embedding')}, 6)
+                   AS roundtrip_cosine
+            FROM embeddings
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+                   length(text) AS chars
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       len(string_split_regex(trim(text), '\\s+')) AS nt,
+                       len(regexp_extract_all(text, '[,.!?;:]')) AS np,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) AS ns
+                FROM documents
+            ), r AS (
+                SELECT doc_id, nc, nt,
+                       round(CASE WHEN nt > 0
+                             THEN (nc - nt + 1) / CAST(nt AS DOUBLE)
+                             ELSE 0 END, 6) AS mean_word_len,
+                       round(CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE)
+                             ELSE 0 END, 6) AS punct_ratio,
+                       round(CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE)
+                             ELSE 0 END, 6) AS stopword_ratio
+                FROM f
+            )
+            SELECT doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   mean_word_len, punct_ratio, stopword_ratio,
+                   round(((CASE WHEN nc >= 20 AND nc <= 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                        + least(stopword_ratio * 4.0, 1.0)
+                        + (1.0 - least(punct_ratio * 5.0, 1.0))) / 4.0, 6)
+                   AS quality
+            FROM r
+        """,
+        "lang_id": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       {_lang_score_sql('en')} AS s_en,
+                       {_lang_score_sql('es')} AS s_es,
+                       {_lang_score_sql('fr')} AS s_fr,
+                       {_lang_score_sql('de')} AS s_de,
+                       {_lang_score_sql('zh')} AS s_zh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr
+                          AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                     WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de
+                          AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                     WHEN s_de > 0 AND s_de >= s_zh THEN 'de'
+                     WHEN s_zh > 0 THEN 'zh'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM s
+        """,
+        "fingerprint_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS first_doc_id,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                         AS DOUBLE) / count(*), 6) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "top_orders_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,186 @@
+"""Text-prep and text-analysis expressions — all pure Catalyst built-ins.
+
+Reference-parity functions:
+- ``combined_text``: the exact ``"{question} : {answer}"`` concatenation
+  (separator is space-colon-space) from reference ``Prepare/Program.cs:55``.
+  The exact string matters for embedding parity.
+- ``with_task_prefix``: E5 asymmetric task prefixes — ``"passage: "`` at
+  index time (``Prepare/Program.cs:56``), ``"query: "`` at query time
+  (``WebAPI/Services/VectorSearchService.cs:183``; pairwise similarity uses
+  ``"query: "`` on BOTH sides, ``VectorSearchService.cs:103-104``).
+- ``non_blank``: the reference rejects null/whitespace text
+  (``VectorSearchService.cs:31-32,97-98,175-176``).
+
+Beyond-reference text analytics (LLM-training-data pipeline ops): token
+counting, quality scoring, language ID, document fingerprinting. Every one
+is a deterministic built-in-expression composition, so it is (a) JVM-side /
+codegen-friendly at 100 TB scale and (b) ANSI-SQL-oracle checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PASSAGE_PREFIX = "passage: "
+QUERY_PREFIX = "query: "
+
+# Word-level tokenizer pattern shared by token counting / shingling.
+WS_PATTERN = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
+# (the GPT-2-family pre-tokenization shape, minus unicode categories).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[,.!?;:]"
+
+# Tiny per-language stopword signals for the n-gram/stopword language-ID
+# heuristic. Deliberately small + regex-portable (same semantics in Spark's
+# Java regex and DuckDB's RE2).
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|los|del|las|por|un)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans|pour|que|sur)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b",
+    "zh": r"[一-鿿]",
+}
+# Deterministic priority order for argmax ties.
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------- reference
+def combined_text(question: Column | str, answer: Column | str) -> Column:
+    """`"{q} : {a}"` — reference Prepare/Program.cs:55 (P1)."""
+    return F.concat_ws(" : ", _c(question), _c(answer))
+
+
+def with_task_prefix(text: Column | str, kind: str = "query") -> Column:
+    """Prepend the E5 task prefix (P2). kind in {"query", "passage"}."""
+    prefix = {"query": QUERY_PREFIX, "passage": PASSAGE_PREFIX}[kind]
+    return F.concat(F.lit(prefix), _c(text))
+
+
+def non_blank(text: Column | str) -> Column:
+    """True where text is non-null and not whitespace-only (P10)."""
+    t = _c(text)
+    return t.isNotNull() & (F.length(F.trim(t)) > 0)
+
+
+# ------------------------------------------------------------ text analysis
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty/blank text counts 0)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WS_PATTERN))
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(PUNCT_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(text)), F.lit(LANG_STOPWORDS[lang]), F.lit(0))
+    )
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, punctuation/stopword
+    ratios, mean word length. Returns name -> Column (caller aliases)."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tokens = ws_token_count(t)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_word_len": F.round(
+            F.when(n_tokens > 0,
+                   (n_chars - n_tokens + 1).cast("double") / n_tokens
+                   ).otherwise(F.lit(0.0)), 6),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0,
+                   punct_count(t).cast("double") / n_chars
+                   ).otherwise(F.lit(0.0)), 6),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0,
+                   stopword_count(t, "en").cast("double") / n_tokens
+                   ).otherwise(F.lit(0.0)), 6),
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and sane
+    word lengths, penalizes punctuation soup and degenerate length."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_chars"] >= 20) & (f["n_chars"] <= 100000), 1.0).otherwise(0.0)
+    word_ok = F.when((f["mean_word_len"] >= 2.0) & (f["mean_word_len"] <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
+    return F.round((len_ok + word_ok + stop_ok + punct_ok) / 4.0, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over lowercased text."""
+    t = F.lower(_c(text))
+    return {
+        lang: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (LANG_ORDER priority);
+    'und' when no signal fires."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier LANG_ORDER entries win ties (>= replaces)
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        take = s >= best_score
+        # strict > against later langs, but priority wins on equal: process
+        # in reverse order with >= so the earliest lang ends up kept on ties.
+        best_lang = F.when(take & (s > 0), F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), WS_PATTERN, " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Portable (identical value in any engine with md5)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (empty array when the
+    document has fewer than n tokens)."""
+    toks = F.split(F.trim(_c(text)), WS_PATTERN)
+    k = F.size(toks) - (n - 1)
+    parts_of = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    sh = F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", *parts_of(i)))
+    return F.when(k >= 1, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles over the normalized text."""
+    t = normalized_text(text)
+    k = F.length(t) - (n - 1)
+    sh = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n))
+    return F.when(k >= 1, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )

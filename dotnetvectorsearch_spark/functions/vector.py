@@ -1,0 +1,117 @@
+"""Vector math as Spark SQL higher-order-function expressions.
+
+This is the engine's foundation: every function here compiles to Catalyst
+expressions (``aggregate`` / ``zip_with`` / ``transform``) that run JVM-side
+inside whole-stage codegen — no Python UDFs, no serialization boundary, and
+each is directly checkable against an ANSI-SQL oracle.
+
+Semantics mirror the reference exactly:
+- L2 norm / normalize: reference ``Core/Embeddings/E5MultilingualEmbeddings.cs:172-187``
+  — normalization is a PASS-THROUGH (returns the input unnormalized) when the
+  magnitude is <= 1e-12 (guard at :177).
+- dot product: reference ``WebAPI/Services/VectorSearchService.cs:228-233``.
+- cosine similarity: reference ``VectorSearchService.cs:219-242`` — returns
+  0.0 when either magnitude is exactly 0 (guard at :238-239); a dimension
+  mismatch is an error (check at :221-222), exposed here via
+  ``dims_match`` / ``assert_dims_match``.
+
+All accumulation is in double regardless of the input element type (the
+reference accumulates C# ``float`` ops into ``double`` locals as well).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference guard: vectors with magnitude <= 1e-12 pass through
+# un-normalized (E5MultilingualEmbeddings.cs:177).
+NORM_EPSILON = 1e-12
+
+
+def sq_sum(v: Column | str) -> Column:
+    """Sum of squares, accumulated in double."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    """Euclidean magnitude: sqrt(sum(x^2))."""
+    return F.sqrt(sq_sum(v))
+
+
+def l2_normalize(v: Column | str, keep_float: bool = True) -> Column:
+    """Divide each component by the magnitude; pass through when norm <= 1e-12.
+
+    ``keep_float=True`` casts components back to float to preserve an
+    ``array<float>`` column type end-to-end.
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    n = l2_norm(v)
+    if keep_float:
+        scaled = F.transform(v, lambda x: (x.cast("double") / n).cast("float"))
+    else:
+        scaled = F.transform(v, lambda x: x.cast("double") / n)
+    return F.when(n > F.lit(NORM_EPSILON), scaled).otherwise(v)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Element-wise multiply-accumulate in double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Full cosine formula dot/(|a|*|b|) with the reference's zero-guard.
+
+    Stored corpus vectors are pre-normalized (so cosine ~= dot), but the full
+    formula is implemented for parity with the reference, which always
+    recomputes both magnitudes (VectorSearchService.cs:228-241).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when(
+        (na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(dot(a, b) / (na * nb))
+
+
+def dims_match(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.size(a) == F.size(b)
+
+
+def assert_dims_match(a: Column | str, b: Column | str) -> Column:
+    """Raise at execution time on dimension mismatch (reference throws an
+    ArgumentException, VectorSearchService.cs:221-222)."""
+    return F.when(
+        dims_match(a, b), F.lit(True)
+    ).otherwise(F.raise_error(F.lit("Vectors must have the same dimensions")))
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the vector library to ``spark.sql`` callers as SQL temp functions
+    (Spark 3.5+/4.x ``CREATE TEMPORARY FUNCTION ... RETURN`` SQL macros)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vs_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>) "
+        "RETURNS DOUBLE RETURN aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vs_l2norm(v ARRAY<FLOAT>) "
+        "RETURNS DOUBLE RETURN sqrt(aggregate(v, CAST(0 AS DOUBLE), "
+        "(s, x) -> s + CAST(x AS DOUBLE) * x))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vs_cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>) "
+        "RETURNS DOUBLE RETURN CASE WHEN vs_l2norm(a) = 0 OR vs_l2norm(b) = 0 THEN 0 "
+        "ELSE vs_dot(a, b) / (vs_l2norm(a) * vs_l2norm(b)) END"
+    )

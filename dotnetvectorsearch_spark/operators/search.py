@@ -1,0 +1,111 @@
+"""Similarity search / ranking — the reference's query surface, Spark-first.
+
+Covers the reference operators (SURVEY.md §2.4):
+- Q1 brute-force cosine scan   (``WebAPI/Services/VectorSearchService.cs:186-193``)
+- Q2 sort by similarity desc   (``:194``; stable-tie parity via id asc)
+- Q3 top-k limit               (``:195``; topK default 5, validated 1-50,
+                                ``WebAPI/Models/ApiModels.cs:67-68``)
+- Q4 total-count scalar        (``:203``)
+- Q5 pairwise text/vector similarity (``:95-129``)
+- Q6 ordered full listing with embedding projection toggle (``:131-171``)
+- Q7 threshold filter — declared in the reference README (README.md:130-140)
+  but never implemented in its code; implemented here to honor the API.
+
+Physical plan notes (the scale story):
+- The query side is a 1-row DataFrame, always broadcast: Catalyst plans a
+  ``BroadcastNestedLoopJoin`` — no shuffle of the (huge) corpus.
+- ``orderBy(desc).limit(k)`` becomes ``TakeOrderedAndProject`` — each
+  partition keeps a k-heap (O(N log k)) and only k rows per partition reach
+  the driver-side merge. This strictly dominates the reference's global
+  sort (O(N log N) after a full re-scan + JSON re-parse per query).
+- The cosine expression is pure higher-order-function Catalyst code —
+  JVM-side, inside whole-stage codegen, no Python in the per-row path.
+- At ~1000 executors the corpus scan is embarrassingly parallel; the only
+  single point is the k*num_partitions-row final merge, which is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.functions.vector import cosine_similarity
+
+DEFAULT_TOP_K = 5   # reference ApiModels.cs:68
+MAX_TOP_K = 50      # reference ApiModels.cs:67
+
+
+def validate_top_k(top_k: int) -> int:
+    """Reference request validation: topK in [1, 50] (ApiModels.cs:67)."""
+    if not 1 <= top_k <= MAX_TOP_K:
+        raise ValueError(f"topK must be between 1 and {MAX_TOP_K}, got {top_k}")
+    return top_k
+
+
+def attach_query_vector(docs: DataFrame, query: DataFrame,
+                        doc_vec: str = "embedding",
+                        query_vec: str = "query_embedding") -> DataFrame:
+    """Cross-join a 1-row query frame onto the corpus via broadcast."""
+    return docs.crossJoin(F.broadcast(query))
+
+
+def score_similarity(df: DataFrame,
+                     doc_vec: str = "embedding",
+                     query_vec: str = "query_embedding",
+                     out: str = "similarity",
+                     round_digits: int | None = None) -> DataFrame:
+    sim: Column = cosine_similarity(doc_vec, query_vec)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return df.withColumn(out, sim)
+
+
+def top_k_similar(docs: DataFrame, query: DataFrame, top_k: int = DEFAULT_TOP_K,
+                  id_col: str = "id",
+                  doc_vec: str = "embedding",
+                  query_vec: str = "query_embedding",
+                  threshold: float | None = None,
+                  include_embeddings: bool = False,
+                  round_digits: int | None = None) -> DataFrame:
+    """Flagship search (reference POST /api/search semantics).
+
+    Tie-break: similarity desc, then id asc — reproducing the reference's
+    LINQ stable sort over an ORDER BY id scan (VectorSearchService.cs:142,194).
+    """
+    validate_top_k(top_k)
+    scored = score_similarity(
+        attach_query_vector(docs, query), doc_vec, query_vec,
+        round_digits=round_digits,
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("similarity") >= F.lit(threshold))
+    scored = scored.drop(query_vec)
+    if not include_embeddings:
+        scored = scored.drop(doc_vec)
+    return scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(top_k)
+
+
+def pairwise_similarity(df: DataFrame, vec_a: str, vec_b: str,
+                        out: str = "similarity",
+                        round_digits: int | None = None) -> DataFrame:
+    """Pairwise cosine (reference POST /api/similarity, both sides embedded
+    with the symmetric "query: " prefix upstream)."""
+    sim = cosine_similarity(vec_a, vec_b)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return df.withColumn(out, sim)
+
+
+def ordered_listing(docs: DataFrame, id_col: str = "id",
+                    include_embeddings: bool = True,
+                    embedding_col: str = "embedding") -> DataFrame:
+    """Full corpus listing ORDER BY id with the reference's manual
+    embedding-projection toggle — in Spark the drop() lets Catalyst prune
+    the (fat) vector column out of the Parquet scan entirely."""
+    out = docs if include_embeddings else docs.drop(embedding_col)
+    return out.orderBy(F.asc(id_col))
+
+
+def corpus_count(docs: DataFrame) -> DataFrame:
+    """Total-count scalar as a 1-row frame (reference TotalDocuments)."""
+    return docs.agg(F.count(F.lit(1)).alias("total_documents"))

@@ -1,0 +1,83 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S7).
+
+The reference reads a quoted CSV with a hand-rolled parser
+(``Prepare/Program.cs:135-160``), silently drops rows with fewer than 3
+fields (``:46``), delete-and-recreates its SQLite store on every run
+(``:83-87``), and serves scans as ``SELECT ... ORDER BY id``
+(``WebAPI/Services/VectorSearchService.cs:142``).
+
+Spark-first mapping: the CSV datasource's univocity parser subsumes S2
+(including escaped quotes the reference mishandles); DROPMALFORMED
+reproduces the silent-drop policy; ``mode("overwrite")`` reproduces
+delete-and-recreate; Parquet replaces the row-store (columnar scan +
+min/max stats + column pruning — the 384-float vector column is skipped
+entirely when a query doesn't need it).
+
+Scale notes: writers take an explicit partition count / partition columns so
+100 TB corpora land as sanely-sized files; readers never infer schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructType
+
+from dotnetvectorsearch_spark.schemas import RAW_CSV_SCHEMA
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def read_documents_csv(spark: SparkSession, path: str,
+                       schema: StructType = RAW_CSV_SCHEMA) -> DataFrame:
+    """S1-S4: header skip, quoted fields, malformed-row drop, id cast."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .filter(F.col("id").isNotNull() & F.col("question").isNotNull()
+                & F.col("answer").isNotNull())
+    )
+
+
+def write_corpus(df: DataFrame, path: str, mode: str = "overwrite",
+                 partition_by: list[str] | None = None,
+                 target_partitions: int | None = None) -> None:
+    """S5: corpus sink. overwrite == the reference's delete-and-recreate."""
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S6: corpus scan. Ordering is applied by callers that need the
+    listing contract (ORDER BY id) — keeping the scan order-free lets
+    Catalyst drop the sort when it is not required."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated test table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def embedding_to_json(df: DataFrame, col: str = "embedding",
+                      out: str = "embedding_json") -> DataFrame:
+    """P3 compatibility codec: the reference stores vectors as JSON TEXT
+    (Prepare/Program.cs:126). Native storage stays array<float>."""
+    return df.withColumn(out, F.to_json(F.col(col)))
+
+
+def embedding_from_json(df: DataFrame, col: str = "embedding_json",
+                        out: str = "embedding") -> DataFrame:
+    """P4: JSON TEXT -> array<float>, null -> empty array (the reference's
+    ``?? Array.Empty<float>()`` at VectorSearchService.cs:148-149)."""
+    parsed = F.from_json(F.col(col), ArrayType(FloatType()))
+    return df.withColumn(out, F.coalesce(parsed, F.array().cast("array<float>")))

@@ -1,0 +1,93 @@
+"""Prepare-pipeline + IO + embedder tests (reference §3.2 parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
+from dotnetvectorsearch_spark.pipeline.prepare import (
+    prepare_documents,
+    run_prepare,
+)
+from dotnetvectorsearch_spark.sources.io import (
+    embedding_from_json,
+    embedding_to_json,
+    read_documents_csv,
+)
+
+CSV = """id,question,answer
+1,"How do I cancel my hotel booking?","Log into your account."
+2,"What is the check-in time?","Check-in is at 3 PM, usually."
+badrow
+3,"Can I get a refund, please?","Yes, within 24 hours."
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "dataset.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_csv_read_drops_malformed(spark, csv_path):
+    df = read_documents_csv(spark, csv_path)
+    rows = df.orderBy("id").collect()
+    # 'badrow' silently dropped — reference Prepare/Program.cs:46 semantics
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[2].question == "Can I get a refund, please?"
+
+
+def test_prepare_documents_schema_and_content(spark, csv_path):
+    raw = read_documents_csv(spark, csv_path)
+    docs = prepare_documents(raw, DeterministicEmbedder(dim=16))
+    rows = docs.orderBy("id").collect()
+    assert docs.columns == ["id", "question", "answer", "combined_text",
+                            "embedding", "embedding_dimensions", "created_at"]
+    assert rows[0].combined_text == \
+        "How do I cancel my hotel booking? : Log into your account."
+    assert rows[0].embedding_dimensions == 16
+    n = math.sqrt(sum(x * x for x in rows[0].embedding))
+    assert n == pytest.approx(1.0, abs=1e-6)
+
+
+def test_run_prepare_end_to_end(spark, csv_path, tmp_path):
+    out = str(tmp_path / "corpus")
+    run_prepare(spark, csv_path, out, DeterministicEmbedder(dim=16))
+    docs = spark.read.parquet(out)
+    assert docs.count() == 3
+    # overwrite == delete-and-recreate
+    run_prepare(spark, csv_path, out, DeterministicEmbedder(dim=16))
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_deterministic_embedder_is_deterministic(spark):
+    df = spark.createDataFrame([Row(t="hello"), Row(t="hello"), Row(t="world")])
+    e = DeterministicEmbedder(dim=32)
+    out = df.withColumn("v", e.embed_column("t")).collect()
+    assert list(out[0].v) == list(out[1].v)
+    assert list(out[0].v) != list(out[2].v)
+
+
+def test_embedder_prefix_sensitivity(spark):
+    """Asymmetric E5 prefixes must change the vector."""
+    df = spark.createDataFrame([Row(t="hello")])
+    e = DeterministicEmbedder(dim=32)
+    r = df.select(e.embed_column("t", kind="query").alias("q"),
+                  e.embed_column("t", kind="passage").alias("p")).collect()[0]
+    assert list(r.q) != list(r.p)
+
+
+def test_json_codec_roundtrip(spark):
+    df = spark.createDataFrame([Row(v=[0.1, -2.5, 3.25])], "v array<float>")
+    enc = embedding_to_json(df, "v", "j")
+    dec = embedding_from_json(enc, "j", "v2")
+    r = dec.collect()[0]
+    assert list(r.v2) == pytest.approx(list(r.v))
+    # null JSON -> empty array (reference ?? Array.Empty<float>())
+    nul = spark.createDataFrame([Row(j=None)], "j string")
+    assert list(embedding_from_json(nul, "j", "v").collect()[0].v) == []

@@ -1,0 +1,78 @@
+"""Search-operator tests: top-k contract, thresholding, tie-break, plans.
+
+Also asserts the *physical plan* properties that make the operators scale
+(broadcast join, TakeOrderedAndProject, column pruning) — the plan IS the
+product at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.operators import search as S
+from dotnetvectorsearch_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, sf_dir):
+    return (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("query_embedding")))
+
+
+def test_topk_self_match_first(spark, emb, qvec):
+    rows = S.top_k_similar(emb, qvec, top_k=5, id_col="vec_id").collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0
+    assert rows[0].similarity == pytest.approx(1.0, abs=1e-6)
+    sims = [r.similarity for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_topk_subset_of_topk_plus_one(spark, emb, qvec):
+    k5 = {r.vec_id for r in S.top_k_similar(emb, qvec, 5, "vec_id").collect()}
+    k6 = {r.vec_id for r in S.top_k_similar(emb, qvec, 6, "vec_id").collect()}
+    assert k5 <= k6
+
+
+def test_threshold_subset_of_unfiltered(spark, emb, qvec):
+    thr = S.top_k_similar(emb, qvec, 10, "vec_id", threshold=0.2).collect()
+    assert all(r.similarity >= 0.2 for r in thr)
+    unfiltered = {r.vec_id for r in S.top_k_similar(emb, qvec, 10, "vec_id").collect()}
+    assert {r.vec_id for r in thr} <= unfiltered
+
+
+def test_topk_validation_bounds(spark, emb, qvec):
+    with pytest.raises(ValueError):
+        S.validate_top_k(0)
+    with pytest.raises(ValueError):
+        S.validate_top_k(51)
+    assert S.validate_top_k(50) == 50
+
+
+def test_topk_plan_is_broadcast_take_ordered(spark, emb, qvec):
+    plan = S.top_k_similar(emb, qvec, 5, "vec_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_listing_projection_prunes_scan(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.ordered_listing(emb, id_col="vec_id", include_embeddings=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in df.columns
+    # the fat vector column must not be read from parquet at all
+    assert "ReadSchema" in plan and "embedding" not in \
+        plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_corpus_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert S.corpus_count(docs).collect()[0].total_documents == docs.count()

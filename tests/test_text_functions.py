@@ -1,0 +1,86 @@
+"""Text-function tests: reference-quirk regressions + analysis ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.functions import text as T
+
+
+def _one(df):
+    return df.collect()[0][0]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        [Row(q="How do I cancel?", a="Call the desk.")])
+
+
+def test_combined_text_exact_separator(spark, tdf):
+    """Reference Prepare/Program.cs:55 — separator is ' : ' exactly."""
+    assert _one(tdf.select(T.combined_text("q", "a"))) == \
+        "How do I cancel? : Call the desk."
+
+
+def test_task_prefixes(spark, tdf):
+    assert _one(tdf.select(T.with_task_prefix("q", "passage"))) == \
+        "passage: How do I cancel?"
+    assert _one(tdf.select(T.with_task_prefix("q", "query"))) == \
+        "query: How do I cancel?"
+
+
+def test_non_blank(spark):
+    df = spark.createDataFrame(
+        [Row(t="x"), Row(t="   "), Row(t=None)], "t string")
+    assert df.filter(T.non_blank("t")).count() == 1
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(t="hello world, 42 times!")])
+    assert _one(df.select(T.ws_token_count("t"))) == 4
+    # hello | world | , | 42 | times | !
+    assert _one(df.select(T.bpe_ish_token_count("t"))) == 6
+    blank = spark.createDataFrame([Row(t="  ")])
+    assert _one(blank.select(T.ws_token_count("t"))) == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([
+        Row(t="the cat and the dog of the house"),
+        Row(t="el perro y la casa de los gatos"),
+        Row(t="le chat est dans la maison pour les chiens"),
+        Row(t="der hund ist nicht das problem mit der katze"),
+        Row(t="你好世界"),
+        Row(t="zzz qqq xxx"),
+    ])
+    out = [r[0] for r in df.select(T.lang_id("t")).collect()]
+    assert out == ["en", "es", "fr", "de", "zh", "und"]
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame([Row(a="Hello   World", b="hello world")])
+    r = df.select(T.fingerprint("a").alias("fa"),
+                  T.fingerprint("b").alias("fb")).collect()[0]
+    assert r.fa == r.fb
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    assert _one(df.select(T.word_shingles("t", 3))) == ["a b c", "b c d"]
+    short = spark.createDataFrame([Row(t="a b")])
+    assert _one(short.select(T.word_shingles("t", 3))) == []
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([Row(t="abcdef")])
+    assert _one(df.select(T.char_shingles("t", 5))) == ["abcde", "bcdef"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(T.quality_score("text").alias("q")) \
+        .agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0

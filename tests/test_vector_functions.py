@@ -1,0 +1,99 @@
+"""Unit + property tests for the vector expression library.
+
+Covers the reference-parity edge cases (SURVEY.md §5.3-5.4): the 1e-12
+normalize pass-through, the cosine zero-guard, bounds/symmetry properties,
+and dimension-mismatch detection.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.functions import vector as V
+
+
+def _one(df):
+    return df.collect()[0][0]
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [
+        Row(a=[3.0, 4.0], b=[4.0, 3.0]),
+    ]
+    return spark.createDataFrame(rows, "a array<float>, b array<float>")
+
+
+def test_l2_norm(spark, vec_df):
+    assert _one(vec_df.select(V.l2_norm("a"))) == pytest.approx(5.0)
+
+
+def test_dot(spark, vec_df):
+    assert _one(vec_df.select(V.dot("a", "b"))) == pytest.approx(24.0)
+
+
+def test_cosine(spark, vec_df):
+    assert _one(vec_df.select(V.cosine_similarity("a", "b"))) == pytest.approx(
+        24.0 / 25.0)
+
+
+def test_cosine_self_is_one(spark, vec_df):
+    assert _one(vec_df.select(V.cosine_similarity("a", "a"))) == pytest.approx(1.0)
+
+
+def test_cosine_symmetry(spark, vec_df):
+    ab = _one(vec_df.select(V.cosine_similarity("a", "b")))
+    ba = _one(vec_df.select(V.cosine_similarity("b", "a")))
+    assert ab == ba
+
+
+def test_cosine_zero_guard(spark):
+    """Reference VectorSearchService.cs:238-239 — zero magnitude -> 0.0."""
+    df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 0.0])],
+                               "a array<float>, b array<float>")
+    assert _one(df.select(V.cosine_similarity("a", "b"))) == 0.0
+
+
+def test_normalize_unit_norm(spark, vec_df):
+    out = _one(vec_df.select(V.l2_normalize("a")))
+    assert math.isclose(sum(x * x for x in out) ** 0.5, 1.0, rel_tol=1e-6)
+    assert out[0] == pytest.approx(0.6)
+
+
+def test_normalize_epsilon_passthrough(spark):
+    """Reference E5MultilingualEmbeddings.cs:177 — norm <= 1e-12 passes the
+    vector through UNnormalized."""
+    tiny = [1e-20, 0.0]
+    df = spark.createDataFrame([Row(a=tiny)], "a array<float>")
+    out = _one(df.select(V.l2_normalize("a")))
+    assert list(out) == pytest.approx(tiny)
+
+
+def test_normalize_idempotent(spark, vec_df):
+    once = vec_df.select(V.l2_normalize("a").alias("n"))
+    twice = once.select(V.l2_normalize("n"))
+    assert list(_one(twice)) == pytest.approx(list(_one(once)), rel=1e-6)
+
+
+def test_dims_match_guard(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0], b=[1.0])],
+                               "a array<float>, b array<float>")
+    assert _one(df.select(V.dims_match("a", "b"))) is False
+    with pytest.raises(Exception, match="same dimensions"):
+        df.select(V.assert_dims_match("a", "b")).collect()
+
+
+def test_sql_macros(spark):
+    V.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT vs_dot(array(3.0F, 4.0F), array(4.0F, 3.0F)) AS d, "
+        "vs_l2norm(array(3.0F, 4.0F)) AS n, "
+        "vs_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c"
+    ).collect()[0]
+    assert row.d == pytest.approx(24.0)
+    assert row.n == pytest.approx(5.0)
+    assert row.c == pytest.approx(1.0)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by their
+stringified tuple). Run:  python tools/check_oracle.py [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from dotnetvectorsearch_spark.session import get_spark
+from dotnetvectorsearch_spark.sources.io import TPCH_TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize(df) -> tuple[int, list[str], int]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(_norm_val(v) for v in tup))
+    rows.sort()
+    return len(rows), cols, hash(tuple(rows))
+
+
+def _norm_val(v):
+    import datetime
+    import numpy as np
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
+def main(names: list[str]) -> int:
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    todo = names or list(qs)
+    failures = 0
+    for name in todo:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {spark_t:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        sn, sc, sh = normalize(sdf)
+        on, oc, oh = normalize(odf)
+        status = "OK  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+            print(f"{status} {name}: rows {sn} vs {on}, cols {sc} vs {oc}, "
+                  f"hash {'==' if sh == oh else '!='}  ({spark_t:.1f}s)")
+            if sn == on and sc == oc:
+                _diff(sdf, odf, name)
+        else:
+            print(f"{status} {name}: {sn} rows ({spark_t:.1f}s)")
+    spark.stop()
+    return failures
+
+
+def _diff(sdf, odf, name, max_show: int = 5):
+    cols = sorted(sdf.columns)
+    a = {tuple(_norm_val(v) for v in t)
+         for t in sdf[cols].itertuples(index=False, name=None)}
+    b = {tuple(_norm_val(v) for v in t)
+         for t in odf[cols].itertuples(index=False, name=None)}
+    only_spark = list(a - b)[:max_show]
+    only_duck = list(b - a)[:max_show]
+    for r in only_spark:
+        print(f"    spark-only: {r}")
+    for r in only_duck:
+        print(f"    duck-only:  {r}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
