@@ -243,6 +243,144 @@ def _q_events_hourly(spark, sf_dir):
                  .alias("sum_value")))
 
 
+def _q_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: exact word-3-gram Jaccard via shingle inverted
+    index (explode -> equi-join on shingle -> count arithmetic)."""
+    from dotnetvectorsearch_spark.operators.dedup import jaccard_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.1)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Near-dup detection: cosine >= tau within a blocking key (label);
+    the blocked-pairs shape that survives at scale."""
+    from dotnetvectorsearch_spark.operators.dedup import embedding_neardup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                   block_col="label",
+                                   threshold=NEARDUP_COSINE_THRESHOLD)
+
+
+def _q_dedup_rows(spark, sf_dir):
+    """Exact dedup keep-first: surviving doc ids after fingerprint dedup."""
+    from dotnetvectorsearch_spark.operators.dedup import exact_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def _q_sessionize(spark, sf_dir):
+    """Stateful sequence op: 30-minute-gap sessionization per user
+    (batch twin of the streaming applyInPandasWithState sessionizer)."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(ts AS LONG) DIV 1000000000")
+    w = Window.partitionBy("user_id").orderBy("sec")
+    prev = F.lag("sec").over(w)
+    with_flag = (ev.select("user_id", sec.alias("sec"))
+                 .withColumn("is_new",
+                             F.when(prev.isNull() | (F.col("sec") - prev > 1800),
+                                    1).otherwise(0)))
+    return (with_flag.groupBy("user_id")
+            .agg(F.sum("is_new").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _q_customers_no_orders(spark, sf_dir):
+    """Anti join: customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """5-way join + agg (TPC-H Q5 shape): dimension chain broadcast,
+    lineitem never shuffled on a dimension key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    joined = (li
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .filter(cust.c_nationkey == supp.s_nationkey)
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")).cast("double")
+    return joined.groupBy("n_name").agg(rev.alias("revenue"))
+
+
+def _q_events_distinct_users(spark, sf_dir):
+    """Distinct aggregation: exact distinct users + event count per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _q_distinct_brands(spark, sf_dir):
+    """Set op: DISTINCT projection."""
+    return load_table(spark, sf_dir, "part").select("p_brand").distinct()
+
+
+# ---- rows-only queries (non-SQL-expressible: hash-seeded LSH, kmeans ANN,
+# ---- python-embedder) — driver records a weaker rows-only check.
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash(64)+LSH(16x4) candidate pairs verified by exact Jaccard."""
+    from dotnetvectorsearch_spark.operators.dedup import minhash_dedup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=64,
+                               bands=16, threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: 4x16-bit banding, hamming <= 3."""
+    from dotnetvectorsearch_spark.operators.dedup import simhash_candidate_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _collect_query_vec(spark, sf_dir, vec_id=0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).collect()[0].embedding
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: kmeans cells + nprobe partition-pruned search."""
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    idx = IVFIndex(n_cells=16, nprobe=4).fit(emb)
+    return idx.search(idx.transform(emb), qv, k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN: sign buckets + multiprobe search."""
+    from dotnetvectorsearch_spark.operators.ann import HyperplaneLSH
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    lsh = HyperplaneLSH(num_planes=8).fit(dim=len(qv))
+    return lsh.search(lsh.transform(emb), qv, k=10, multiprobe_bits=2)
+
+
+def _q_embed_documents(spark, sf_dir):
+    """Prepare-pipeline embedding stage with the deterministic backend:
+    passage-prefixed text -> Arrow-batched UDF -> unit vectors."""
+    from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
+    docs = load_table(spark, sf_dir, "documents")
+    e = DeterministicEmbedder(dim=64)
+    out = docs.withColumn("embedding", e.embed_column("text", kind="passage"))
+    return out.select("doc_id",
+                      F.round(V.l2_norm("embedding"), 6).alias("norm"),
+                      F.size("embedding").alias("dim"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_threshold": _q_search_threshold,
@@ -261,6 +399,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": _q_tpch_q3,
     "top_orders_window": _q_top_orders_window,
     "events_hourly": _q_events_hourly,
+    "jaccard_pairs": _q_jaccard_pairs,
+    "embedding_neardup": _q_embedding_neardup,
+    "dedup_rows": _q_dedup_rows,
+    "sessionize": _q_sessionize,
+    "customers_no_orders": _q_customers_no_orders,
+    "tpch_q5": _q_tpch_q5,
+    "events_distinct_users": _q_events_distinct_users,
+    "distinct_brands": _q_distinct_brands,
+    # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
+    "minhash_pairs": _q_minhash_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "embed_documents": _q_embed_documents,
 }
 
 
@@ -468,5 +620,85 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT ia AS id_a, ib AS id_b,
+                   round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE),
+                         6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = ia
+            JOIN sizes sb ON sb.doc_id = ib
+            WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE),
+                        6) >= 0.1
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({cos.format(a='a.embedding', b='b.embedding')}, 6)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6)
+                  >= {NEARDUP_COSINE_THRESHOLD}
+        """,
+        "dedup_rows": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events
+            ), l AS (
+                SELECT user_id, sec,
+                       lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM l GROUP BY user_id
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "distinct_brands": """
+            SELECT DISTINCT p_brand FROM part
         """,
     }

@@ -29,8 +29,14 @@ BENCH_QUERIES = [
     "fingerprint_dedup",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "top_orders_window",
     "events_hourly",
+    "sessionize",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "embedding_neardup",
+    "ann_ivf_topk",
 ]
 
 

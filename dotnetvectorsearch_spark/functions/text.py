@@ -164,23 +164,37 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def _sliding_concat(arr: Column, n: int, sep: str) -> Column:
+    """n-gram shingles of an array via zip_with over shifted slices.
+
+    Deliberately avoids referencing the source expression inside a
+    ``transform`` lambda: Spark's higher-order functions re-evaluate
+    lambda-captured child expressions PER ELEMENT (they are interpreted,
+    not codegen'd), which turns an O(len) shingle pass into O(len^2) —
+    measured 20x slower on real documents. Here each shifted slice
+    evaluates the source once per row; trailing positions null out via
+    ``concat`` (null-propagating, unlike concat_ws) and are filtered."""
+    def concat_pair(x, y):
+        return F.concat(x, F.lit(sep), y)
+
+    sh = arr
+    for i in range(1, n):
+        shifted = F.slice(arr, i + 1, F.greatest(F.size(arr), F.lit(1)))
+        sh = F.zip_with(sh, shifted, concat_pair)
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (empty array when the
     document has fewer than n tokens)."""
     toks = F.split(F.trim(_c(text)), WS_PATTERN)
-    k = F.size(toks) - (n - 1)
-    parts_of = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    sh = F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", *parts_of(i)))
-    return F.when(k >= 1, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    if n == 1:
+        return F.array_distinct(toks)
+    return _sliding_concat(toks, n, " ")
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Distinct character n-gram shingles over the normalized text."""
-    t = normalized_text(text)
-    k = F.length(t) - (n - 1)
-    sh = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n))
-    return F.when(k >= 1, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    chars = F.filter(F.split(normalized_text(text), ""),
+                     lambda c: c != F.lit(""))
+    return _sliding_concat(chars, n, "")

@@ -1,0 +1,112 @@
+"""Multimodal column operators: image/audio/video as opaque binary + typed
+metadata (beyond-reference, LLM-training-data-pipeline surface).
+
+Design: media rows are (asset_id, modality, mime_type, payload binary,
+meta map<string,string>) — see ``schemas.MEDIA_SCHEMA``. All compute runs
+as Arrow-batched ``mapInPandas`` so payload bytes stream through in
+columnar batches without row-at-a-time Python overhead; partitioning is by
+asset_id hash so large fan-out stages (frame sampling) scale horizontally.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT installed in this
+container, so the decode kernel is stubbed: ``decode_stub='fake'``
+produces deterministic fake features (so the Spark plumbing — schema,
+batching, partition shape — is fully testable), ``decode_stub='raise'``
+raises NotImplementedError marking the integration point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = ("asset_id long, modality string, width int, height int, "
+                  "n_frames int, feature array<float>")
+
+
+def _fake_decode(payload: bytes, modality: str, feat_dim: int):
+    """Deterministic fake decode: byte stats stand in for codec output."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    rng = np.random.RandomState(int(buf.sum()) % (2 ** 31))
+    feat = rng.standard_normal(feat_dim).astype(np.float32)
+    n = float(np.linalg.norm(feat))
+    feat = feat / n if n > 1e-12 else feat
+    width = int(buf[:4].sum()) % 1920 + 1
+    height = int(buf[4:8].sum()) % 1080 + 1
+    n_frames = 1 if modality == "image" else int(len(buf)) % 300 + 1
+    return width, height, n_frames, feat
+
+
+def extract_features(media: DataFrame, feat_dim: int = 16,
+                     decode_stub: str = "fake") -> DataFrame:
+    """Decode + feature-extract media payloads via mapInPandas.
+
+    At scale this is the pattern for any per-asset kernel (resize, frame
+    sample, fingerprint): narrow transformation, Arrow batches, payload
+    column pruned away in the output so the (huge) bytes don't flow
+    downstream.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "real media codecs (PIL/ffmpeg) are not available in this "
+                "environment; integration point for production decode")
+        for pdf in batches:
+            rows = []
+            for asset_id, modality, payload in zip(
+                    pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                w, h, nf, feat = _fake_decode(payload, modality, feat_dim)
+                rows.append((asset_id, modality, w, h, nf, feat))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "modality", "width", "height", "n_frames",
+                "feature"])
+
+    return media.select("asset_id", "modality", "payload") \
+        .mapInPandas(process, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 30,
+                  decode_stub: str = "fake") -> DataFrame:
+    """Frame-sampling fan-out: one output row per sampled frame (video).
+
+    Same stub policy as extract_features; demonstrates the 1->N mapInPandas
+    fan-out shape (explode happens inside the Arrow batch, not via
+    driver-side loops).
+    """
+    schema = "asset_id long, frame_idx int, frame_feature array<float>"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_stub == "raise":
+            raise NotImplementedError("real video decode unavailable")
+        for pdf in batches:
+            rows = []
+            for asset_id, modality, payload in zip(
+                    pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if modality != "video":
+                    continue
+                _, _, n_frames, _ = _fake_decode(payload, modality, 4)
+                for idx in range(0, n_frames, every_nth):
+                    _, _, _, feat = _fake_decode(
+                        (payload or b"") + idx.to_bytes(4, "little"),
+                        modality, 8)
+                    rows.append((asset_id, idx, feat))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_feature"])
+
+    return media.select("asset_id", "modality", "payload") \
+        .mapInPandas(process, schema)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-Catalyst metadata analytics over binary payloads: sizes per
+    modality/mime — no decode, no Python."""
+    return (media.groupBy("modality", "mime_type")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sum(F.length("payload")).alias("total_bytes"),
+                 F.max(F.length("payload")).alias("max_bytes")))

@@ -1,0 +1,322 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed so the shuffle structure survives a 100x
+scale-up (beyond-reference; the reference corpus dedup story is
+BASELINE.json's north star, not reference code):
+
+- **Exact** (`exact_dedup`): md5-fingerprint -> groupBy -> keep-first. One
+  hash-partition shuffle on a short key; map-side partial aggregation.
+- **MinHash + LSH** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_dedup_pairs`): shingle -> K minhashes (xxhash64 under K salts,
+  pure Catalyst expressions) -> band -> bucket-join. Only docs sharing a
+  band bucket are ever paired, so the candidate join is an equi-join on
+  (band, bucket) — shuffle is proportional to corpus size, not corpus².
+  Mega-buckets (degenerate/boilerplate shingles) are dropped by a bucket
+  cap, the standard skew guard for web-scale dedup.
+- **SimHash** (`simhash64`, `simhash_candidate_pairs`): 64-bit signature,
+  banded into 4x16-bit chunks for candidate generation (docs within
+  hamming distance k share >= 1 chunk for k <= 3), verified with
+  bit_count(xor).
+- **Exact n-gram Jaccard** (`jaccard_pairs`): explode shingles ->
+  equi-join on shingle -> count/union arithmetic. The fully-SQL-expressible
+  oracle path for verifying the approximate families.
+- **Embedding near-dup** (`embedding_neardup_pairs`): cosine over a
+  blocking key (label / LSH bucket / IVF cell) — never the full cross
+  product.
+
+Everything except nothing is JVM-side: no Python UDFs anywhere in this
+module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.functions.text import fingerprint, word_shingles
+from dotnetvectorsearch_spark.functions.vector import cosine_similarity
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism when the
+    input has fewer partitions. Small corpora often arrive as a single
+    file/partition; the shingle/hash stages below are CPU-bound per row,
+    so without this they serialize onto one task. At real scale inputs
+    already have enough splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the first (lowest-id) row per normalized-text fingerprint.
+
+    Scale: one shuffle on the 32-char fingerprint; partial agg map-side.
+    """
+    fp = fingerprint(text_col).alias("fp")
+    keep = (df.select(fp, F.col(id_col))
+            .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+# --------------------------------------------------------------- minhash
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       out: str = "minhash") -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(salt_k || s).
+
+    Shape: explode(shingles) -> K hash columns -> groupBy(id).agg(K mins)
+    -> array. All codegen'd scalar expressions with map-side partial
+    aggregation, so each shingle is hashed exactly K times and the only
+    shuffle carries K longs per doc. (A column-expression formulation —
+    array_min(transform(...)) x K — re-evaluates the shingle array per
+    hash because Catalyst collapses projections; measured ~10x slower.)
+
+    Docs with fewer than shingle_n tokens get an all-MAX_LONG signature
+    (no shingles -> no LSH candidates), preserved via left join.
+    """
+    df = _spread(df, id_col)
+    ids = df.select(id_col)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__s"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("__s"))))
+        .alias(f"__mh_{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = (exploded.groupBy(id_col).agg(*mins)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"__mh_{k}")
+                              for k in range(num_hashes)]).alias(out)))
+    empty_sig = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"),
+                               num_hashes)
+    return (ids.join(sigs, id_col, "left")
+            .withColumn(out, F.coalesce(F.col(out), empty_sig)))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        sig_col: str = "minhash",
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket_size: int = 200) -> DataFrame:
+    """Candidate pairs from LSH banding: docs sharing any band bucket.
+
+    Shuffle structure: explode to bands (narrow) -> self-equi-join on
+    (band, bucket). `max_bucket_size` drops degenerate buckets (empty docs,
+    boilerplate) that would otherwise produce O(bucket²) pairs — the skew
+    guard that keeps this plan alive at 10^9 docs.
+    """
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
+                 .alias("bucket"))
+        for b in range(bands)
+    ]
+    exploded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+                .select(id_col, F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
+    if max_bucket_size:
+        counts = (exploded.groupBy("band", "bucket")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .filter(F.col("__n") <= max_bucket_size)
+                  .drop("__n"))
+        exploded = exploded.join(counts, ["band", "bucket"], "leftsemi")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (broadcast-free:
+    two equi-joins on the id key to attach each side's shingle set)."""
+    docs = _spread(docs, id_col)
+    sh = docs.select(F.col(id_col),
+                     word_shingles(text_col, shingle_n).alias("sh"))
+    out = (pairs
+           .join(sh.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col(id_col).alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (out.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 64,
+                        shingle_n: int = 3, bands: int = 16,
+                        threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: sign -> band -> candidates ->
+    exact-Jaccard verify."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands,
+                                num_hashes // bands)
+    return verify_jaccard(cands, docs, id_col, text_col, shingle_n, threshold)
+
+
+# --------------------------------------------------------------- simhash
+
+
+def _bit_mask(b: int) -> int:
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", shingle_n: int = 1,
+                       out: str = "sig") -> DataFrame:
+    """64-bit SimHash per doc: for each bit b, sum +/-1 over token hashes
+    by bit value; bit set where the sum is positive.
+
+    Shape: explode(tokens) -> xxhash64 -> groupBy(id).agg(64 conditional
+    sums) -> recombine bits. Codegen'd sums with map-side combine; the
+    shuffle carries 64 ints per doc. Docs with no tokens get signature 0.
+    """
+    df = _spread(df, id_col)
+    ids = df.select(id_col)
+    sh = (word_shingles(text_col, shingle_n) if shingle_n > 1
+          else F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashed = (df.select(F.col(id_col), F.explode(sh).alias("__t"))
+              .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+    sums = [
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1)
+              .otherwise(-1)).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    grouped = hashed.groupBy(id_col).agg(*sums)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"__b{b}") > 0,
+                           F.lit(_bit_mask(b)).cast("long")).otherwise(0)
+    sigs = grouped.select(F.col(id_col), sig.alias(out))
+    return (ids.join(sigs, id_col, "left")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long"))))
+
+
+def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3,
+                            max_bucket_size: int = 1000) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
+    chunks (pigeonhole: hamming<=3 => >=1 identical chunk), candidate-join
+    on (chunk_idx, chunk_value), verify with bit_count(xor) <= k."""
+    sigs = simhash_signatures(docs, text_col, id_col, out="sig")
+    chunk_cols = [
+        F.struct(F.lit(i).alias("ci"),
+                 F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("cv"))
+        for i in range(4)
+    ]
+    exploded = (sigs.select(id_col, "sig",
+                            F.explode(F.array(*chunk_cols)).alias("c"))
+                .select(id_col, "sig", F.col("c.ci").alias("ci"),
+                        F.col("c.cv").alias("cv")))
+    if max_bucket_size:
+        counts = (exploded.groupBy("ci", "cv")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .filter(F.col("__n") <= max_bucket_size).drop("__n"))
+        exploded = exploded.join(counts, ["ci", "cv"], "leftsemi")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                    & (F.col("a.cv") == F.col("b.cv"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"),
+                     F.col("b.sig").alias("sig_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ----------------------------------------------------- exact n-gram jaccard
+
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  threshold: float = 0.2,
+                  block_cols: list[str] | None = None) -> DataFrame:
+    """Exact n-gram-Jaccard similar pairs via shingle inverted index.
+
+    explode(distinct shingles) -> equi-join on shingle value -> count
+    shared shingles per pair -> union arithmetic. With `block_cols`, pairs
+    are additionally restricted to equal blocking keys (e.g. lang), the
+    classic way to keep the inverted-index join skew-bounded.
+    """
+    docs = _spread(docs, id_col)
+    base = docs.select(F.col(id_col),
+                       *(block_cols or []),
+                       word_shingles(text_col, shingle_n).alias("sh"))
+    sizes = base.select(id_col, F.size("sh").alias("n_sh"))
+    inv = base.select(id_col, *(block_cols or []),
+                      F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & \
+           (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in (block_cols or []):
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (a.join(b, cond)
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    jac = F.when(union > 0,
+                 F.col("n_inter").cast("double") / union).otherwise(F.lit(0.0))
+    return (out.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------ embedding near-dup
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            block_col: str | None = None,
+                            threshold: float = 0.9) -> DataFrame:
+    """Cosine near-duplicate pairs within a blocking key.
+
+    The blocking key (cluster label, LSH bucket, IVF cell — see
+    operators.ann for producers) turns the quadratic all-pairs cosine into
+    per-block quadratic, which is the only shape that survives at scale.
+    With block_col=None this is the small-corpus exact fallback.
+    """
+    emb = _spread(emb, id_col)
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = emb.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    sim = F.round(cosine_similarity(F.col(f"a.{vec_col}"),
+                                    F.col(f"b.{vec_col}")), 6)
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,140 @@
+"""Structured Streaming extensions (beyond-reference; the reference is
+strictly batch + request/response, SURVEY.md §2.5).
+
+Two pipelines:
+
+- **Incremental corpus ingest** (`stream_prepare`): the §3.2 prepare
+  pipeline wrapped in a file-source stream — new CSV/JSON drops under a
+  directory are embedded and appended to the Parquet corpus exactly once
+  (checkpointed). This is `run_prepare` in `foreachBatch` form, so batch
+  and streaming share one code path.
+- **Event rollups** (`stream_hourly_rollup`, `stream_sessionize`):
+  watermarked tumbling-window aggregation and applyInPandasWithState
+  session windows over an event stream — the streaming twins of the batch
+  `events_hourly` / `sessionize` queries, sharing their semantics.
+
+Scale notes: file-source streams list incrementally (maxFilesPerTrigger
+bounds batch size); the hourly rollup keeps state only within the
+watermark horizon; sessionization state is per-key and evicted on timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from dotnetvectorsearch_spark.embeddings.base import EmbeddingBackend
+from dotnetvectorsearch_spark.pipeline.prepare import prepare_documents
+from dotnetvectorsearch_spark.schemas import RAW_CSV_SCHEMA
+
+
+def stream_prepare(spark: SparkSession, input_dir: str, out_path: str,
+                   checkpoint: str, embedder: EmbeddingBackend,
+                   max_files_per_trigger: int = 100):
+    """Incremental prepare: watch input_dir for CSV drops, embed, append.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    raw = (spark.readStream.schema(RAW_CSV_SCHEMA)
+           .option("header", True)
+           .option("mode", "DROPMALFORMED")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .csv(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = prepare_documents(batch_df, embedder)
+        docs.write.mode("append").parquet(out_path)
+
+    return (raw.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour rollup. Works on a streaming OR batch
+    frame with (ts timestamp, event_type string, value double)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_sec", LongType()),
+    StructField("last_sec", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Stateful session builder: 30-min inactivity gap closes a session."""
+    import pandas as pd
+
+    gap = 1800
+    if state.hasTimedOut:
+        (start, last, n) = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "session_start": pd.Timestamp(start, unit="s"),
+            "session_end": pd.Timestamp(last, unit="s"),
+            "n_events": n,
+        }])
+        return
+    secs: list[int] = []
+    for pdf in pdfs:
+        secs.extend((pdf["ts"].astype("int64") // 1_000_000_000).tolist())
+    secs.sort()
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = secs[0], secs[0], 0
+    closed = []
+    for s in secs:
+        if s - last > gap:
+            closed.append((start, last, n))
+            start, n = s, 0
+        last = s
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(gap * 1000)
+    if closed:
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "session_start": pd.Timestamp(a, unit="s"),
+            "session_end": pd.Timestamp(b, unit="s"),
+            "n_events": c,
+        } for (a, b, c) in closed])
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows via
+    applyInPandasWithState (30-min gap, processing-time timeout eviction).
+
+    `events` must be a streaming frame with (user_id long, ts timestamp).
+    """
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn,
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            ))

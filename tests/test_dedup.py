@@ -1,0 +1,89 @@
+"""Dedup-operator tests: exact, MinHash-LSH, SimHash, Jaccard, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.operators import dedup as D
+from dotnetvectorsearch_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely different words describing some other topic entirely ok"
+    return spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                      # exact dup of 1
+        Row(doc_id=3, text="  " + base.upper() + " "),  # normalized dup of 1
+        Row(doc_id=4, text=near),                      # near dup of 1
+        Row(doc_id=5, text=far),
+    ])
+
+
+def test_exact_dedup_keeps_first(spark, dup_docs):
+    kept = sorted(r.doc_id for r in D.exact_dedup(dup_docs).collect())
+    # 2 and 3 collapse into 1 (case/whitespace-normalized fingerprint)
+    assert kept == [1, 4, 5]
+
+
+def test_jaccard_pairs_finds_near_dup(spark, dup_docs):
+    pairs = D.jaccard_pairs(dup_docs, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got      # identical
+    assert (1, 4) in got      # near dup
+    assert not any(5 in p for p in got)
+    exact = [r for r in pairs if (r.id_a, r.id_b) == (1, 2)]
+    assert exact[0].jaccard == 1.0
+
+
+def test_minhash_dedup_pairs(spark, dup_docs):
+    # 16 bands x 2 rows: P(candidate) ~= 1-(1-J^2)^16 ~= 0.996 at J=0.54
+    pairs = D.minhash_dedup_pairs(dup_docs, num_hashes=32, bands=16,
+                                  threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 4) in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_signature_shape_and_determinism(spark, dup_docs):
+    sigs = D.minhash_signatures(dup_docs, num_hashes=16).collect()
+    by_id = {r.doc_id: list(r.minhash) for r in sigs}
+    assert len(by_id[1]) == 16
+    assert by_id[1] == by_id[2]          # identical text -> identical sig
+    overlap_near = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    overlap_far = sum(a == b for a, b in zip(by_id[1], by_id[5]))
+    assert overlap_near > overlap_far    # sig agreement tracks jaccard
+
+
+def test_simhash_near_dup(spark, dup_docs):
+    pairs = D.simhash_candidate_pairs(dup_docs, max_hamming=8).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0              # identical text -> identical sig
+    assert (1, 4) in got
+    assert not any(5 in p for p in got)
+
+
+def test_embedding_neardup_blocked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(emb, block_col="label", threshold=0.3)
+    rows = pairs.collect()
+    assert all(r.cosine >= 0.3 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_lsh_bucket_cap_drops_megabuckets(spark):
+    # 30 identical docs -> one bucket of 30; cap 10 must drop all pairs
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same same same same text here") for i in range(30)])
+    sigs = D.minhash_signatures(docs, num_hashes=16)
+    capped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                   max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                     max_bucket_size=0)
+    assert uncapped.count() == 30 * 29 // 2

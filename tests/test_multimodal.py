@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: schema, batching, fan-out, stub policy."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from dotnetvectorsearch_spark.multimodal.binary_ops import (
+    extract_features,
+    media_stats,
+    sample_frames,
+)
+from dotnetvectorsearch_spark.schemas import MEDIA_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(asset_id=1, modality="image", mime_type="image/png",
+            payload=b"\x89PNG fake bytes 1", meta={"w": "64"}),
+        Row(asset_id=2, modality="image", mime_type="image/png",
+            payload=b"\x89PNG fake bytes 22", meta={}),
+        Row(asset_id=3, modality="video", mime_type="video/mp4",
+            payload=b"\x00\x00ftypmp4 fake" * 20, meta={}),
+        Row(asset_id=4, modality="audio", mime_type="audio/wav",
+            payload=b"RIFF fake wav", meta=None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_determinism(spark, media):
+    out = extract_features(media, feat_dim=16)
+    rows = {r.asset_id: r for r in out.collect()}
+    assert set(out.columns) == {"asset_id", "modality", "width", "height",
+                                "n_frames", "feature"}
+    assert len(rows) == 4
+    assert len(rows[1].feature) == 16
+    n = math.sqrt(sum(x * x for x in rows[1].feature))
+    assert n == pytest.approx(1.0, abs=1e-5)
+    again = {r.asset_id: r for r in extract_features(media, 16).collect()}
+    assert list(again[1].feature) == list(rows[1].feature)
+    assert rows[1].n_frames == 1          # image -> single frame
+
+
+def test_sample_frames_video_only_fanout(spark, media):
+    frames = sample_frames(media, every_nth=30).collect()
+    assert frames, "video should produce at least one sampled frame"
+    assert {r.asset_id for r in frames} == {3}
+    idxs = [r.frame_idx for r in frames]
+    assert idxs == sorted(idxs)
+    assert all(i % 30 == 0 for i in idxs)
+
+
+def test_stub_raise_marks_integration_point(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, decode_stub="raise").collect()
+
+
+def test_media_stats_no_python(spark, media):
+    stats = {(r.modality, r.mime_type): r.n_assets
+             for r in media_stats(media).collect()}
+    assert stats[("image", "image/png")] == 2
+    plan = media_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()

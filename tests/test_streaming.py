@@ -1,0 +1,111 @@
+"""Streaming tests: incremental prepare ingest, watermarked rollup,
+stateful sessionization — all run with real micro-batches on temp dirs."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
+from dotnetvectorsearch_spark.streaming.ingest import (
+    hourly_rollup,
+    stream_prepare,
+    stream_sessionize,
+)
+
+CSV1 = 'id,question,answer\n1,"q one","a one"\n2,"q two","a two"\n'
+CSV2 = 'id,question,answer\n3,"q three","a three"\n'
+
+
+def _wait(predicate, timeout=60, step=0.5):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_stream_prepare_incremental(spark, tmp_path):
+    ind = tmp_path / "in"
+    ind.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    (ind / "a.csv").write_text(CSV1)
+    q = stream_prepare(spark, str(ind), out, ckpt,
+                       DeterministicEmbedder(dim=8))
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 2)
+        # second drop processed exactly once, appended
+        (ind / "b.csv").write_text(CSV2)
+        assert _wait(lambda: _count_parquet(spark, out) == 3)
+    finally:
+        q.stop()
+    docs = spark.read.parquet(out)
+    assert set(docs.columns) == {"id", "question", "answer", "combined_text",
+                                 "embedding", "embedding_dimensions",
+                                 "created_at"}
+
+
+def _count_parquet(spark, path) -> int:
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:  # noqa: BLE001 - sink not created yet
+        return -1
+
+
+def test_hourly_rollup_streaming(spark, tmp_path):
+    rows = [
+        Row(ts="2024-01-01 10:05:00", event_type="click", value=1.0),
+        Row(ts="2024-01-01 10:55:00", event_type="click", value=2.0),
+        Row(ts="2024-01-01 11:05:00", event_type="view", value=3.0),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")).write.mode("overwrite") \
+        .parquet(str(src / "batch1"))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .parquet(str(src / "*")))
+    q = (hourly_rollup(stream).writeStream.format("memory")
+         .queryName("rollup_test").outputMode("complete").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM rollup_test").count() >= 2)
+        got = {(r.hour_start.hour, r.event_type): (r.n_events, r.sum_value)
+               for r in spark.sql("SELECT * FROM rollup_test").collect()}
+        assert got[(10, "click")] == (2, 3.0)
+        assert got[(11, "view")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
+def test_stream_sessionize(spark, tmp_path):
+    # two sessions for user 1 (gap > 30 min), one for user 2
+    rows = [
+        Row(user_id=1, ts="2024-01-01 10:00:00"),
+        Row(user_id=1, ts="2024-01-01 10:10:00"),
+        Row(user_id=1, ts="2024-01-01 12:00:00"),
+        Row(user_id=2, ts="2024-01-01 09:00:00"),
+    ]
+    src = tmp_path / "sess"
+    src.mkdir()
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")).write.mode("overwrite") \
+        .parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(src / "*")))
+    q = (stream_sessionize(stream).writeStream.format("memory")
+         .queryName("sess_test").outputMode("append").start())
+    try:
+        # the first (closed) session of user 1 is emitted once batch 1 lands
+        assert _wait(lambda: spark.sql("SELECT * FROM sess_test").count() >= 1)
+        rows_out = spark.sql("SELECT * FROM sess_test").collect()
+        first = [r for r in rows_out if r.user_id == 1]
+        assert first and first[0].n_events == 2
+    finally:
+        q.stop()
