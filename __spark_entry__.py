@@ -328,6 +328,124 @@ def _q_distinct_brands(spark, sf_dir):
     return load_table(spark, sf_dir, "part").select("p_brand").distinct()
 
 
+def _q_topk_batch(spark, sf_dir):
+    """Batch similarity join: top-5 docs for each of 5 query vectors in one
+    plan — broadcast queries, zero corpus shuffle, Arrow-local top-k before
+    the per-query rank window."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qvec")))
+    return S.topk_per_query(emb, qs, k=5, round_digits=6)
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (nation -> order status) over a
+    broadcast dimension chain; subtotal rows keyed 'ALL'."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (orders
+              .join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey))
+    return (joined.rollup("n_name", "o_orderstatus")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                    F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("o_orderstatus"),
+                    "revenue", "n_orders"))
+
+
+def _q_cube_orders(spark, sf_dir):
+    """CUBE aggregation over order status x priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("o_orderstatus"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("o_orderpriority"),
+                    "total", "n_orders"))
+
+
+def _q_repeat_customers(spark, sf_dir):
+    """Set op INTERSECT: customers ordering in both 1995 and 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (orders.filter(F.year("o_orderdate") == 1995)
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    y96 = (orders.filter(F.year("o_orderdate") == 1996)
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    return y95.intersect(y96)
+
+
+def _q_churned_customers(spark, sf_dir):
+    """Set op EXCEPT: 1995 customers who placed nothing in 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (orders.filter(F.year("o_orderdate") == 1995)
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    y96 = (orders.filter(F.year("o_orderdate") == 1996)
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    return y95.exceptAll(y96)
+
+
+def _q_asof_click_purchase(spark, sf_dir):
+    """As-of attribution: for each purchase, the most recent click at or
+    before it by the same user — single-shuffle running-max window, not a
+    range join."""
+    from dotnetvectorsearch_spark.operators.temporal import (
+        prior_event_attribution,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type",
+                     F.expr("CAST(ts AS LONG) DIV 1000000000").alias("sec"))
+    out = prior_event_attribution(base, "user_id", "sec",
+                                  target_type="purchase",
+                                  source_type="click",
+                                  out_prefix="last_click")
+    return out.select(
+        "event_id", "user_id",
+        F.col("sec").alias("purchase_sec"),
+        F.coalesce("last_click_ts", F.lit(-1)).alias("last_click_sec"))
+
+
+def _q_props_json_stats(spark, sf_dir):
+    """JSON extraction on the events props column + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (char-5-gram md5, window 8):
+    position-robust substring fingerprints per document."""
+    from dotnetvectorsearch_spark.operators.dedup import winnow_fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, w=8)
+
+
+def _q_media_stats(spark, sf_dir):
+    """Multimodal binary-column analytics: byte stats per modality/mime over
+    opaque payloads — pure Catalyst, no decode."""
+    from dotnetvectorsearch_spark.multimodal.binary_ops import (
+        media_from_documents,
+        media_stats,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return media_stats(media_from_documents(docs))
+
+
 # ---- rows-only queries (non-SQL-expressible: hash-seeded LSH, kmeans ANN,
 # ---- python-embedder) — driver records a weaker rows-only check.
 
@@ -369,6 +487,34 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh.search(lsh.transform(emb), qv, k=10, multiprobe_bits=2)
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing via mapInPandas (stubbed
+    deterministic decode; payload pruned from the output)."""
+    from dotnetvectorsearch_spark.multimodal.binary_ops import (
+        extract_features,
+        media_from_documents,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(docs), feat_dim=16)
+    return feats.select("asset_id", "modality", "width", "height", "n_frames",
+                        F.round(V.l2_norm("feature"), 6).alias("feat_norm"))
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup with hyperplane-LSH blocking instead of a label
+    column — the fully-unsupervised scale path."""
+    from dotnetvectorsearch_spark.operators.ann import HyperplaneLSH
+    from dotnetvectorsearch_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    bucketed = HyperplaneLSH(num_planes=6).fit(dim).transform(emb)
+    return embedding_neardup_pairs(bucketed, "vec_id", "embedding",
+                                   block_col="bucket",
+                                   threshold=NEARDUP_COSINE_THRESHOLD)
+
+
 def _q_embed_documents(spark, sf_dir):
     """Prepare-pipeline embedding stage with the deterministic backend:
     passage-prefixed text -> Arrow-batched UDF -> unit vectors."""
@@ -407,12 +553,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": _q_tpch_q5,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
+    "topk_batch": _q_topk_batch,
+    "rollup_revenue": _q_rollup_revenue,
+    "cube_orders": _q_cube_orders,
+    "repeat_customers": _q_repeat_customers,
+    "churned_customers": _q_churned_customers,
+    "asof_click_purchase": _q_asof_click_purchase,
+    "props_json_stats": _q_props_json_stats,
+    "winnow_fingerprints": _q_winnow_fingerprints,
+    "media_stats": _q_media_stats,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "embed_documents": _q_embed_documents,
+    "media_features": _q_media_features,
+    "embedding_neardup_lsh": _q_embedding_neardup_lsh,
 }
 
 
@@ -700,5 +857,109 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_brands": """
             SELECT DISTINCT p_brand FROM part
+        """,
+        "topk_batch": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.qid, e.vec_id,
+                         round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                             AS similarity
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT qid, vec_id, similarity,
+                         row_number() OVER (PARTITION BY qid
+                             ORDER BY similarity DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT qid, vec_id, similarity, rank FROM r WHERE rank <= 5
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(n_name, 'ALL') AS n_name,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, o_orderstatus)
+        """,
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "repeat_customers": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1996
+        """,
+        "churned_customers": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1996
+        """,
+        "asof_click_purchase": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_ms(ts) // 1000 AS sec
+                FROM events
+            ), w AS (
+                SELECT event_id, user_id, event_type, sec,
+                       max(CASE WHEN event_type = 'click' THEN sec END)
+                           OVER (PARTITION BY user_id ORDER BY sec
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS lc
+                FROM e
+            )
+            SELECT event_id, user_id, sec AS purchase_sec,
+                   coalesce(lc, -1) AS last_click_sec
+            FROM w WHERE event_type = 'purchase'
+        """,
+        "props_json_stats": """
+            SELECT event_type,
+                   count(*) AS n,
+                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "winnow_fingerprints": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       md5(substring(t, CAST(i AS INT), 5)) AS h
+                FROM n, UNNEST(range(1, length(t) - 3)) AS r(i)
+            ), w AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 7 FOLLOWING) AS fp
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM w
+        """,
+        "media_stats": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime_type,
+                   count(*) AS n_assets,
+                   SUM(octet_length(encode(text))) AS total_bytes,
+                   MAX(octet_length(encode(text))) AS max_bytes
+            FROM documents
+            GROUP BY 1, 2
         """,
     }

@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "embedding_neardup",
     "ann_ivf_topk",
+    "topk_batch",
+    "rollup_revenue",
+    "asof_click_purchase",
+    "winnow_fingerprints",
+    "media_stats",
 ]
 
 

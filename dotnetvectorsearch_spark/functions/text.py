@@ -164,7 +164,8 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
-def _sliding_concat(arr: Column, n: int, sep: str) -> Column:
+def _sliding_concat(arr: Column, n: int, sep: str,
+                    distinct: bool = True) -> Column:
     """n-gram shingles of an array via zip_with over shifted slices.
 
     Deliberately avoids referencing the source expression inside a
@@ -181,7 +182,8 @@ def _sliding_concat(arr: Column, n: int, sep: str) -> Column:
     for i in range(1, n):
         shifted = F.slice(arr, i + 1, F.greatest(F.size(arr), F.lit(1)))
         sh = F.zip_with(sh, shifted, concat_pair)
-    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+    out = F.filter(sh, lambda x: x.isNotNull())
+    return F.array_distinct(out) if distinct else out
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -198,3 +200,12 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     chars = F.filter(F.split(normalized_text(text), ""),
                      lambda c: c != F.lit(""))
     return _sliding_concat(chars, n, "")
+
+
+def ordered_char_kgrams(text: Column | str, k: int = 5) -> Column:
+    """ORDERED, non-distinct char k-grams of the normalized text — the
+    rolling-window input for winnowing fingerprints (position i holds the
+    k-gram starting at character i)."""
+    chars = F.filter(F.split(normalized_text(text), ""),
+                     lambda c: c != F.lit(""))
+    return _sliding_concat(chars, k, "", distinct=False)

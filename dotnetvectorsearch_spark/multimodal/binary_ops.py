@@ -103,6 +103,26 @@ def sample_frames(media: DataFrame, every_nth: int = 30,
         .mapInPandas(process, schema)
 
 
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic synthetic media table from the documents fixture:
+    payload = UTF-8 bytes of the text, modality/mime assigned by id hash.
+    Lets the binary-column plumbing be exercised (and oracle-checked on
+    byte lengths) without real media files in the container."""
+    modality = (F.when(F.col(id_col) % 3 == 0, "image")
+                .when(F.col(id_col) % 3 == 1, "audio")
+                .otherwise("video"))
+    mime = (F.when(F.col(id_col) % 3 == 0, "image/png")
+            .when(F.col(id_col) % 3 == 1, "audio/wav")
+            .otherwise("video/mp4"))
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        modality.alias("modality"),
+        mime.alias("mime_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"))
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata analytics over binary payloads: sizes per
     modality/mime — no decode, no Python."""

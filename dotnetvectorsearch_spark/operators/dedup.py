@@ -32,8 +32,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from dotnetvectorsearch_spark.functions.text import fingerprint, word_shingles
+from dotnetvectorsearch_spark.functions.text import (
+    fingerprint,
+    ordered_char_kgrams,
+    word_shingles,
+)
 from dotnetvectorsearch_spark.functions.vector import cosine_similarity
 
 
@@ -61,6 +66,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     keep = (df.select(fp, F.col(id_col))
             .groupBy("fp").agg(F.min(id_col).alias(id_col)))
     return df.join(keep, on=id_col, how="leftsemi")
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        w: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash selection scheme of
+    Schleimer et al., SIGMOD'03): hash every ordered char k-gram of the
+    normalized text, then keep the minimum hash of each w-long window of
+    consecutive k-grams; the distinct selected hashes are the document's
+    fingerprint set. Guarantees any shared substring of length >= k+w-1
+    yields a shared fingerprint — position-robust, unlike whole-doc md5.
+
+    Shape: posexplode(k-grams) -> md5 -> sliding-window min (one shuffle on
+    id, then a sorted window pass) -> distinct. md5-string min is the
+    portable rolling hash: identical lexicographic order in any engine.
+    """
+    docs = _spread(docs, id_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ordered_char_kgrams(text_col, k)).alias("pos", "g"))
+    hashed = grams.select(F.col(id_col), F.col("pos"),
+                          F.md5("g").alias("h"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (hashed.select(F.col(id_col), F.min("h").over(win).alias("fp"))
+            .distinct())
 
 
 # --------------------------------------------------------------- minhash

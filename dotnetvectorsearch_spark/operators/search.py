@@ -85,6 +85,50 @@ def top_k_similar(docs: DataFrame, query: DataFrame, top_k: int = DEFAULT_TOP_K,
     return scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(top_k)
 
 
+def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
+                   doc_id: str = "vec_id", query_id: str = "qid",
+                   doc_vec: str = "embedding", query_vec: str = "qvec",
+                   round_digits: int | None = None,
+                   local_prefilter: bool = True) -> DataFrame:
+    """Batch similarity join: the k most similar docs for EVERY query row.
+
+    Plan: broadcast the (small) query set -> BroadcastNestedLoopJoin scores
+    N*Q rows with zero corpus shuffle -> rank per query.
+
+    The naive rank is a row_number window over qid, which shuffles all N*Q
+    scored rows on Q keys — a guaranteed skew bomb at scale (Q is small).
+    ``local_prefilter`` inserts an Arrow-batched per-batch top-k before the
+    window, so the exchange carries ~(batches * Q * k) rows instead of N*Q.
+    Correct because ranking is a total order (similarity desc, doc id asc):
+    every global top-k row is in its batch's local top-k.
+    """
+    from pyspark.sql.window import Window
+
+    validate_top_k(k)
+    sim = cosine_similarity(doc_vec, query_vec)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (docs.select(doc_id, doc_vec)
+              .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+              .select(F.col(query_id), F.col(doc_id), sim.alias("similarity")))
+    if local_prefilter:
+        import pandas as pd
+
+        def local_topk(batches):
+            for pdf in batches:
+                yield (pdf.sort_values(["similarity", doc_id],
+                                       ascending=[False, True])
+                       .groupby(query_id, sort=False).head(k))
+
+        scored = scored.mapInPandas(
+            local_topk,
+            f"{query_id} long, {doc_id} long, similarity double")
+    w = (Window.partitionBy(query_id)
+         .orderBy(F.desc("similarity"), F.asc(doc_id)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def pairwise_similarity(df: DataFrame, vec_a: str, vec_b: str,
                         out: str = "similarity",
                         round_digits: int | None = None) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Temporal / ordered-sequence operators (beyond-reference; the reference
+is request/response only, SURVEY.md §2.5). The shapes a training-data or
+event pipeline needs: as-of joins and prior-event attribution, built so the
+only shuffle is the hash exchange on the join key.
+
+An as-of join in Spark is NOT a range join (which explodes to O(N*M)
+candidates before filtering): both sides are unioned, sorted once per key,
+and resolved with a last-non-null window — one shuffle, one sort, linear
+scan. This is the standard distributed merge_asof formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` for the same key (backward as-of, inclusive).
+
+    Implementation: tag and union both sides, sort per key by
+    (ts, side[right first]), and carry the last non-null right payload
+    forward with ``last(..., ignorenulls=True)``. Ties on ts resolve
+    right-before-left, and among right rows at the same ts the one latest
+    in (ts, tiebreak) order wins — deterministic.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(F.col(right_ts).alias("__ts"),
+                       *[F.col(c) for c in right_cols])
+    r = right.select(F.col(on), F.col(right_ts).alias("__t"),
+                     F.lit(0).alias("__side"), payload.alias("__p"))
+    left_payload = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(F.col(on), F.col(left_ts).alias("__t"),
+                    F.lit(1).alias("__side"),
+                    F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+                    left_payload.alias("__l"))
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    both = r.unionByName(l)
+    w = (Window.partitionBy(on).orderBy(F.asc("__t"), F.asc("__side"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    resolved = (both.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+                .filter(F.col("__side") == 1))
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__m.__ts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return resolved.select(*out_cols)
+
+
+def prior_event_attribution(events: DataFrame, key: str, ts: Column | str,
+                            event_type_col: str = "event_type",
+                            target_type: str = "purchase",
+                            source_type: str = "click",
+                            out_prefix: str = "last_source") -> DataFrame:
+    """For each `target_type` event, the timestamp of the most recent
+    `source_type` event by the same key at-or-before it (funnel/attribution
+    as-of within one stream). Single-table special case of `asof_join` that
+    needs no union: a conditional running max over a value-range window.
+
+    `ts` must be numeric (e.g. epoch seconds); RANGE frames give the
+    inclusive at-or-before semantics deterministically under ties.
+    """
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    base = events.withColumn("__ts", tcol)
+    w = (Window.partitionBy(key).orderBy("__ts")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    src_ts = F.max(F.when(F.col(event_type_col) == source_type,
+                          F.col("__ts"))).over(w)
+    return (base.withColumn(f"{out_prefix}_ts", src_ts)
+            .filter(F.col(event_type_col) == target_type))

@@ -87,3 +87,33 @@ def test_lsh_bucket_cap_drops_megabuckets(spark):
     uncapped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
                                      max_bucket_size=0)
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    # Docs sharing a long substring must share >= 1 winnow fingerprint
+    # (guarantee: any shared run of length >= k+w-1 = 12 chars).
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"PREFIX AAA {shared}"),
+        Row(doc_id=2, text=f"{shared} SUFFIX ZZZ BBB"),
+        Row(doc_id=3, text="completely different content with zero overlap"),
+    ])
+    fps = D.winnow_fingerprints(docs, k=5, w=8).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared substring -> shared fp
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_fingerprints_position_invariant(spark):
+    # Whole-doc md5 breaks on any edit; winnowing keeps interior fps.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="X " + base),
+    ])
+    fps = D.winnow_fingerprints(docs, k=5, w=8).collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert len(a & b) / len(a | b) > 0.5
