@@ -95,11 +95,20 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 # --------------------------------------------------------------- minhash
 
+_GOLDEN64 = 0x9E3779B97F4A7C15
+
+
+def _salt(k: int) -> int:
+    """Per-hash-function 64-bit salt as a SIGNED long literal."""
+    s = ((k + 1) * _GOLDEN64) & 0xFFFFFFFFFFFFFFFF
+    return s - (1 << 64) if s >= (1 << 63) else s
+
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_n: int = 3,
-                       out: str = "minhash") -> DataFrame:
+                       out: str = "minhash",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(salt_k || s).
 
     Shape: explode(shingles) -> K hash columns -> groupBy(id).agg(K mins)
@@ -111,14 +120,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     Docs with fewer than shingle_n tokens get an all-MAX_LONG signature
     (no shingles -> no LSH candidates), preserved via left join.
+
+    ``shingles`` (a frame of (id_col, "sh" array<string>)) lets callers
+    reuse an already-computed — typically persisted — shingle set.
     """
-    df = _spread(df, id_col)
-    ids = df.select(id_col)
-    exploded = df.select(
+    if shingles is None:
+        df = _spread(df, id_col)
+        shingles = df.select(F.col(id_col),
+                             word_shingles(text_col, shingle_n).alias("sh"))
+    ids = shingles.select(id_col)
+    # Hash the shingle STRING once; derive the K hash functions by
+    # re-hashing the resulting 8-byte value xor a per-k salt (O(1) each).
+    # The naive form — xxhash64("mh{k}:" || s) — walks the string K times
+    # and allocates K concat buffers per shingle; this is ~K x cheaper and
+    # an equally valid independent-permutation family. Salts are xor-ed
+    # (never multiplied/added) so ANSI overflow semantics can't bite.
+    exploded = shingles.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("__s"))
+        F.explode(F.col("sh")).alias("__s"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("__s"))))
+        F.min(F.xxhash64(F.col("__h").bitwiseXOR(F.lit(_salt(k)))))
         .alias(f"__mh_{k}")
         for k in range(num_hashes)
     ]
@@ -152,6 +174,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     exploded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                 .select(id_col, F.col("bb.band").alias("band"),
                         F.col("bb.bucket").alias("bucket")))
+    # Self-joined plans re-execute both sides; persist the (skinny) banded
+    # rows so the signature computation upstream runs once, not 2-3 times.
+    # At real scale this materialization is the signature table you would
+    # checkpoint to storage anyway.
+    exploded = exploded.persist()
     if max_bucket_size:
         counts = (exploded.groupBy("band", "bucket")
                   .agg(F.count(F.lit(1)).alias("__n"))
@@ -170,12 +197,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
-                   shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                   shingle_n: int = 3, threshold: float = 0.5,
+                   shingles: DataFrame | None = None) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (broadcast-free:
     two equi-joins on the id key to attach each side's shingle set)."""
-    docs = _spread(docs, id_col)
-    sh = docs.select(F.col(id_col),
-                     word_shingles(text_col, shingle_n).alias("sh"))
+    if shingles is None:
+        docs = _spread(docs, id_col)
+        shingles = docs.select(F.col(id_col),
+                               word_shingles(text_col, shingle_n).alias("sh"))
+        # Joined twice (id_a side, id_b side): persist so shingling runs once.
+        shingles = shingles.persist()
+    sh = shingles
     out = (pairs
            .join(sh.select(F.col(id_col).alias("id_a"),
                            F.col("sh").alias("sh_a")), "id_a")
@@ -194,11 +226,18 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
                         shingle_n: int = 3, bands: int = 16,
                         threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign -> band -> candidates ->
-    exact-Jaccard verify."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    exact-Jaccard verify. The shingle set is computed once, persisted, and
+    shared by the signature and verification stages."""
+    sh = (_spread(docs, id_col)
+          .select(F.col(id_col),
+                  word_shingles(text_col, shingle_n).alias("sh"))
+          .persist())
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
+                              shingles=sh)
     cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands,
                                 num_hashes // bands)
-    return verify_jaccard(cands, docs, id_col, text_col, shingle_n, threshold)
+    return verify_jaccard(cands, docs, id_col, text_col, shingle_n, threshold,
+                          shingles=sh)
 
 
 # --------------------------------------------------------------- simhash
@@ -257,6 +296,7 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                             F.explode(F.array(*chunk_cols)).alias("c"))
                 .select(id_col, "sig", F.col("c.ci").alias("ci"),
                         F.col("c.cv").alias("cv")))
+    exploded = exploded.persist()  # self-joined below; compute sigs once
     if max_bucket_size:
         counts = (exploded.groupBy("ci", "cv")
                   .agg(F.count(F.lit(1)).alias("__n"))
@@ -295,6 +335,9 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     base = docs.select(F.col(id_col),
                        *(block_cols or []),
                        word_shingles(text_col, shingle_n).alias("sh"))
+    # base feeds sizes once and the self-joined inverted index twice;
+    # persist so shingling runs once instead of three times.
+    base = base.persist()
     sizes = base.select(id_col, F.size("sh").alias("n_sh"))
     inv = base.select(id_col, *(block_cols or []),
                       F.explode("sh").alias("s"))
@@ -334,17 +377,26 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     per-block quadratic, which is the only shape that survives at scale.
     With block_col=None this is the small-corpus exact fallback.
     """
+    from dotnetvectorsearch_spark.functions.vector import dot, l2_norm
+
     emb = _spread(emb, id_col)
-    cols = [F.col(id_col), F.col(vec_col)]
+    cols = [F.col(id_col), F.col(vec_col),
+            l2_norm(vec_col).alias("__norm")]
     if block_col:
         cols.append(F.col(block_col))
+    # Norms are computed once per ROW here, not once per PAIR after the
+    # join — each vector participates in O(block) pairs, so this removes
+    # two of the three array reductions from the quadratic stage.
     base = emb.select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    sim = F.round(cosine_similarity(F.col(f"a.{vec_col}"),
-                                    F.col(f"b.{vec_col}")), 6)
+    na, nb = F.col("a.__norm"), F.col("b.__norm")
+    sim = F.round(
+        F.when((na == 0.0) | (nb == 0.0), F.lit(0.0))
+        .otherwise(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                   / (na * nb)), 6)
     return (a.join(b, cond)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
