@@ -435,6 +435,63 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(docs, "doc_id", "text", k=5, w=8)
 
 
+def _q_sql_grouping_sets(spark, sf_dir):
+    """SQL dialect surface: GROUPING SETS via spark.sql over a temp view."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_qty,
+               count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+def _q_sql_vector_search(spark, sf_dir):
+    """SQL dialect surface for vector search: the vs_* SQL macros
+    (functions/vector.py register_sql_functions) + scalar subquery."""
+    from dotnetvectorsearch_spark.functions.vector import (
+        register_sql_functions,
+    )
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_v")
+    return spark.sql("""
+        SELECT vec_id,
+               round(vs_cosine(embedding,
+                   (SELECT embedding FROM emb_v WHERE vec_id = 0)), 6)
+                   AS similarity
+        FROM emb_v
+        ORDER BY similarity DESC, vec_id ASC
+        LIMIT 10
+    """)
+
+
+def _q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — the distribution profile a data-quality pass needs."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (ev.groupBy("event_type")
+            .agg(pct.alias("p"))
+            .select("event_type",
+                    F.round(F.col("p")[0], 6).alias("p50"),
+                    F.round(F.col("p")[1], 6).alias("p90"),
+                    F.round(F.col("p")[2], 6).alias("p99")))
+
+
+def _q_length_buckets(spark, sf_dir):
+    """Token-length histogram of the corpus (50-token buckets): the
+    length-distribution check before packing training batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(T.ws_token_count("text") / F.lit(50)) * 50)
+    return (docs.groupBy(bucket.cast("long").alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars")))
+
+
 def _q_media_stats(spark, sf_dir):
     """Multimodal binary-column analytics: byte stats per modality/mime over
     opaque payloads — pure Catalyst, no decode."""
@@ -515,6 +572,16 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
                                    threshold=NEARDUP_COSINE_THRESHOLD)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Seeded per-language stratified sample (training-mix balancing);
+    sampling is engine-specific, so rows-only."""
+    from dotnetvectorsearch_spark.operators.sampling import stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fracs = {lang: 0.25 for lang in langs}
+    return stratified_sample(docs, "lang", fracs).select("doc_id", "lang")
+
+
 def _q_embed_documents(spark, sf_dir):
     """Prepare-pipeline embedding stage with the deterministic backend:
     passage-prefixed text -> Arrow-batched UDF -> unit vectors."""
@@ -562,6 +629,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_stats": _q_props_json_stats,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "media_stats": _q_media_stats,
+    "sql_grouping_sets": _q_sql_grouping_sets,
+    "sql_vector_search": _q_sql_vector_search,
+    "value_percentiles": _q_value_percentiles,
+    "length_buckets": _q_length_buckets,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -570,6 +641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_documents": _q_embed_documents,
     "media_features": _q_media_features,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+    "stratified_sample": _q_stratified_sample,
 }
 
 
@@ -948,6 +1020,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp FROM w
+        """,
+        "sql_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "sql_vector_search": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS similarity
+            FROM embeddings
+            ORDER BY similarity DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "length_buckets": """
+            WITH t AS (
+                SELECT text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS nt
+                FROM documents
+            )
+            SELECT CAST(floor(nt / 50) * 50 AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs,
+                   SUM(length(text)) AS total_chars
+            FROM t GROUP BY 1
         """,
         "media_stats": """
             SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
