@@ -572,6 +572,23 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
                                    threshold=NEARDUP_COSINE_THRESHOLD)
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN quality metric: recall@10 of IVF nprobe-pruned search vs the
+    exact brute-force top-10 (the measurement loop an index tuner runs)."""
+    from dotnetvectorsearch_spark.operators.ann import (
+        IVFIndex,
+        brute_force_topk,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, 10).collect()}
+    idx = IVFIndex(n_cells=16, nprobe=4).fit(emb)
+    approx = {r.vec_id
+              for r in idx.search(idx.transform(emb), qv, 10).collect()}
+    recall = len(exact & approx) / 10.0
+    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Seeded per-language stratified sample (training-mix balancing);
     sampling is engine-specific, so rows-only."""
@@ -642,6 +659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": _q_media_features,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "stratified_sample": _q_stratified_sample,
+    "ann_recall": _q_ann_recall,
 }
 
 

@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+must survive code changes — broadcast strategies, top-k pushdown, column
+pruning, predicate pushdown."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_search_is_topk_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "search_topk")
+    # per-partition heap top-k, not global sort
+    assert "TakeOrderedAndProject" in plan
+    # corpus never shuffles; 1-row query side broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_prunes_vector_column(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "listing_projected")
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines and all("embedding" not in l for l in read_lines)
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan          # dims small enough at test SF
+    assert "PushedFilters" in plan              # date/segment reach the scan
+
+
+def test_tpch_q1_pushes_date_filter_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    assert plan.count("HashAggregate") >= 2      # partial + final
+
+
+def test_anti_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customers_no_orders")
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_no_cartesian_anywhere_but_search(spark, sf_dir):
+    # every non-search oracle query must avoid cartesian products
+    for name in ("tpch_q1", "tpch_q3", "tpch_q5", "jaccard_pairs",
+                 "embedding_neardup", "sessionize", "rollup_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
