@@ -492,6 +492,32 @@ def _q_length_buckets(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_chars")))
 
 
+def _q_pack_documents(spark, sf_dir):
+    """Sequence packing (budget-quantized variant): assign docs to fixed
+    token-budget training packs per language shard — window cumsum, one
+    shuffle."""
+    from dotnetvectorsearch_spark.operators.packing import pack_sequential
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang",
+                       T.ws_token_count("text").cast("long").alias("n_tok"))
+    return pack_sequential(base, "n_tok", budget=2048,
+                           shard_col="lang", order_col="doc_id")
+
+
+def _q_contamination_pairs(spark, sf_dir):
+    """Train/eval contamination: overlap coefficient of test-doc shingles
+    contained in train docs (corpora split by source id parity)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter(src_num % 2 == 0)
+    test = docs.filter(src_num % 2 == 1)
+    return cross_corpus_contamination(train, test, shingle_n=3,
+                                      min_overlap=0.2)
+
+
 def _q_media_stats(spark, sf_dir):
     """Multimodal binary-column analytics: byte stats per modality/mime over
     opaque payloads — pure Catalyst, no decode."""
@@ -650,6 +676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_vector_search": _q_sql_vector_search,
     "value_percentiles": _q_value_percentiles,
     "length_buckets": _q_length_buckets,
+    "pack_documents": _q_pack_documents,
+    "contamination_pairs": _q_contamination_pairs,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1078,6 +1106,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    SUM(length(text)) AS total_chars
             FROM t GROUP BY 1
+        """,
+        "pack_documents": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tok
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(floor(coalesce(SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 2048) AS BIGINT) AS pack_id
+            FROM t
+        """,
+        "contamination_pairs": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS sn
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, sn, string_split_regex(trim(text), '\\s+') AS t
+                FROM d
+            ), sh AS (
+                SELECT DISTINCT doc_id, sn,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), te_sizes AS (
+                SELECT doc_id, count(*) AS n_te FROM sh
+                WHERE sn % 2 = 1 GROUP BY 1
+            ), inter AS (
+                SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+                       count(*) AS n_inter
+                FROM sh te JOIN sh tr ON te.s = tr.s
+                WHERE te.sn % 2 = 1 AND tr.sn % 2 = 0
+                GROUP BY 1, 2
+            )
+            SELECT test_id, train_id,
+                   round(n_inter / CAST(n_te AS DOUBLE), 6) AS overlap
+            FROM inter JOIN te_sizes ON te_sizes.doc_id = test_id
+            WHERE round(n_inter / CAST(n_te AS DOUBLE), 6) >= 0.2
         """,
         "media_stats": """
             SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "asof_click_purchase",
     "winnow_fingerprints",
     "media_stats",
+    "pack_documents",
+    "contamination_pairs",
 ]
 
 

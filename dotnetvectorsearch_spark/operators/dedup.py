@@ -363,6 +363,43 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def cross_corpus_contamination(train: DataFrame, test: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", shingle_n: int = 3,
+                               min_overlap: float = 0.5) -> DataFrame:
+    """Train/eval contamination check: for each (test, train) doc pair
+    sharing shingles, the overlap coefficient
+    |shared| / |test shingles| — the fraction of the TEST doc already
+    present in training data. Asymmetric by design (a tiny eval prompt
+    fully contained in a big train doc IS contamination; Jaccard would
+    dilute it).
+
+    Shape: two inverted indexes equi-joined on the shingle value — shuffle
+    ∝ corpus sizes; never a cross product. Returns
+    (test_id, train_id, overlap) pairs with overlap >= min_overlap.
+    """
+    tr = (_spread(train, id_col)
+          .select(F.col(id_col).alias("train_id"),
+                  word_shingles(text_col, shingle_n).alias("sh")))
+    te = (_spread(test, id_col)
+          .select(F.col(id_col).alias("test_id"),
+                  word_shingles(text_col, shingle_n).alias("sh"))
+          .persist())  # feeds sizes + the inverted index
+    te_sizes = te.select("test_id", F.size("sh").alias("n_te"))
+    tr_inv = tr.select("train_id", F.explode("sh").alias("s"))
+    te_inv = te.select("test_id", F.explode("sh").alias("s"))
+    inter = (te_inv.join(tr_inv, "s")
+             .groupBy("test_id", "train_id")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = inter.join(te_sizes, "test_id")
+    overlap = F.when(F.col("n_te") > 0,
+                     F.col("n_inter").cast("double") / F.col("n_te")
+                     ).otherwise(F.lit(0.0))
+    return (out.withColumn("overlap", F.round(overlap, 6))
+            .filter(F.col("overlap") >= min_overlap)
+            .select("test_id", "train_id", "overlap"))
+
+
 # ------------------------------------------------------ embedding near-dup
 
 

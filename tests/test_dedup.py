@@ -117,3 +117,19 @@ def test_winnow_fingerprints_position_invariant(spark):
     a = {r.fp for r in fps if r.doc_id == 1}
     b = {r.fp for r in fps if r.doc_id == 2}
     assert len(a & b) / len(a | b) > 0.5
+
+
+def test_cross_corpus_contamination(spark):
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="unrelated training material about databases"),
+    ])
+    test = spark.createDataFrame([
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=11, text="completely novel evaluation text nothing shared"),
+    ])
+    out = D.cross_corpus_contamination(train, test, shingle_n=3,
+                                       min_overlap=0.5)
+    rows = {(r.test_id, r.train_id): r.overlap for r in out.collect()}
+    assert (10, 1) in rows and rows[(10, 1)] >= 0.9   # contained prompt
+    assert not any(t == 11 for (t, _) in rows)        # clean doc absent
