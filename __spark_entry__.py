@@ -492,6 +492,27 @@ def _q_length_buckets(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_chars")))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """End-to-end cleaning pipeline composition: language filter (predicted
+    'en') + quality floor + exact-dedup keep-first -> surviving ids."""
+    from dotnetvectorsearch_spark.operators.dedup import exact_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text",
+                         T.lang_id("text").alias("pred_lang"),
+                         T.quality_score("text").alias("quality"))
+    filt = scored.filter((F.col("pred_lang") == "en")
+                         & (F.col("quality") >= 0.4))
+    return exact_dedup(filt, "text", "doc_id").select("doc_id", "quality")
+
+
+def _q_user_event_types(spark, sf_dir):
+    """Array aggregation: per-user sorted distinct event types."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def _q_pack_documents(spark, sf_dir):
     """Sequence packing (budget-quantized variant): assign docs to fixed
     token-budget training packs per language shard — window cumsum, one
@@ -678,6 +699,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_buckets": _q_length_buckets,
     "pack_documents": _q_pack_documents,
     "contamination_pairs": _q_contamination_pairs,
+    "clean_corpus": _q_clean_corpus,
+    "user_event_types": _q_user_event_types,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1106,6 +1129,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    SUM(length(text)) AS total_chars
             FROM t GROUP BY 1
+        """,
+        "clean_corpus": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       {_lang_score_sql('en')} AS s_en,
+                       {_lang_score_sql('es')} AS s_es,
+                       {_lang_score_sql('fr')} AS s_fr,
+                       {_lang_score_sql('de')} AS s_de,
+                       {_lang_score_sql('zh')} AS s_zh,
+                       length(text) AS nc,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS nt,
+                       len(regexp_extract_all(text, '[,.!?;:]')) AS np
+                FROM documents
+            ), r AS (
+                SELECT doc_id, text, nc, nt,
+                       (s_en > 0 AND s_en >= s_es AND s_en >= s_fr
+                        AND s_en >= s_de AND s_en >= s_zh) AS is_en,
+                       round(CASE WHEN nt > 0
+                             THEN (nc - nt + 1) / CAST(nt AS DOUBLE)
+                             ELSE 0 END, 6) AS mwl,
+                       round(CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE)
+                             ELSE 0 END, 6) AS pr,
+                       round(CASE WHEN nt > 0 THEN s_en / CAST(nt AS DOUBLE)
+                             ELSE 0 END, 6) AS sr
+                FROM s
+            ), q AS (
+                SELECT doc_id, text, is_en,
+                       round(((CASE WHEN nc >= 20 AND nc <= 100000
+                               THEN 1.0 ELSE 0.0 END)
+                            + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                            + least(sr * 4.0, 1.0)
+                            + (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6)
+                           AS quality
+                FROM r
+            ), f AS (
+                SELECT doc_id, text, quality FROM q
+                WHERE is_en AND quality >= 0.4
+            ), k AS (
+                SELECT min(doc_id) AS doc_id FROM f
+                GROUP BY md5(trim(regexp_replace(lower(text),
+                                                 '\\s+', ' ', 'g')))
+            )
+            SELECT f.doc_id, f.quality FROM f
+            JOIN k ON f.doc_id = k.doc_id
+        """,
+        "user_event_types": """
+            SELECT user_id,
+                   list_sort(list(DISTINCT event_type)) AS types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "pack_documents": """
             WITH t AS (
