@@ -506,10 +506,12 @@ def _q_clean_corpus(spark, sf_dir):
 
 
 def _q_user_event_types(spark, sf_dir):
-    """Array aggregation: per-user sorted distinct event types."""
+    """Array aggregation: per-user sorted distinct event types (joined to
+    a string so the cross-engine value hash sees identical scalars)."""
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
-            .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+            .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+                 .alias("types"),
                  F.count(F.lit(1)).alias("n_events")))
 
 
@@ -1179,7 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_event_types": """
             SELECT user_id,
-                   list_sort(list(DISTINCT event_type)) AS types,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                       AS types,
                    count(*) AS n_events
             FROM events GROUP BY user_id
         """,

@@ -24,6 +24,12 @@ def get_spark(app_name: str = "dotnetvectorsearch-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the advisory size instead of
+        # maximizing parallelism: fewer tasks on small shuffles (~10% off
+        # end-to-end locally), and at real scale the advisory target (64M)
+        # governs anyway.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
