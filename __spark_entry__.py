@@ -606,6 +606,20 @@ def _q_media_features(spark, sf_dir):
                         F.round(V.l2_norm("feature"), 6).alias("feat_norm"))
 
 
+def _q_media_frames(spark, sf_dir):
+    """Multimodal 1->N fan-out: per-video sampled frame features via
+    mapInPandas (stubbed decode; explode inside the Arrow batch)."""
+    from dotnetvectorsearch_spark.multimodal.binary_ops import (
+        media_from_documents,
+        sample_frames,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(media_from_documents(docs), every_nth=50)
+    return frames.select("asset_id", "frame_idx",
+                         F.round(V.l2_norm("frame_feature"), 6)
+                         .alias("feat_norm"))
+
+
 def _q_embedding_neardup_lsh(spark, sf_dir):
     """Embedding near-dup with hyperplane-LSH blocking instead of a label
     column — the fully-unsupervised scale path."""
@@ -710,6 +724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "embed_documents": _q_embed_documents,
     "media_features": _q_media_features,
+    "media_frames": _q_media_frames,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "stratified_sample": _q_stratified_sample,
     "ann_recall": _q_ann_recall,

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "media_stats",
     "pack_documents",
     "contamination_pairs",
+    "clean_corpus",
+    "user_event_types",
+    "value_percentiles",
+    "cube_orders",
 ]
 
 

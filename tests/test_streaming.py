@@ -109,3 +109,36 @@ def test_stream_sessionize(spark, tmp_path):
         assert first and first[0].n_events == 2
     finally:
         q.stop()
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    """Batch/stream twin parity: the streaming rollup over one micro-batch
+    must equal the same aggregation run as a plain batch query."""
+    rows = [
+        Row(ts="2024-01-01 10:05:00", event_type="click", value=1.5),
+        Row(ts="2024-01-01 10:45:00", event_type="click", value=2.5),
+        Row(ts="2024-01-01 10:50:00", event_type="view", value=1.0),
+        Row(ts="2024-01-01 12:10:00", event_type="view", value=4.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "parity"
+    src.mkdir()
+    df.write.mode("overwrite").parquet(str(src / "b1"))
+
+    batch = {(r.hour_start, r.event_type): (r.n_events, r.sum_value)
+             for r in hourly_rollup(df).collect()}
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .parquet(str(src / "*")))
+    q = (hourly_rollup(stream).writeStream.format("memory")
+         .queryName("parity_test").outputMode("complete").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM parity_test").count() >= len(batch))
+        streamed = {(r.hour_start, r.event_type): (r.n_events, r.sum_value)
+                    for r in spark.sql("SELECT * FROM parity_test").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch
