@@ -492,6 +492,24 @@ def _q_length_buckets(spark, sf_dir):
                  F.sum(F.length("text")).alias("total_chars")))
 
 
+def _q_value_band_join(spark, sf_dir):
+    """Range join: assign each event to overlapping value bands via
+    bucketed interval join (equi-join on bucket + exact BETWEEN), not a
+    nested-loop inequality join."""
+    from dotnetvectorsearch_spark.operators.ranges import interval_join
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("low", 10.0, 25.0), ("mid", 20.0, 60.0),
+         ("high", 55.0, 90.0), ("top", 85.0, 1e9)],
+        "band string, lo double, hi double")
+    out = interval_join(ev, bands, "value", "lo", "hi", bucket_width=25.0,
+                        domain=(0.0, 1000.0))
+    return (out.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 6).alias("sum_value")))
+
+
 def _q_clean_corpus(spark, sf_dir):
     """End-to-end cleaning pipeline composition: language filter (predicted
     'en') + quality floor + exact-dedup keep-first -> surviving ids."""
@@ -717,6 +735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_pairs": _q_contamination_pairs,
     "clean_corpus": _q_clean_corpus,
     "user_event_types": _q_user_event_types,
+    "value_band_join": _q_value_band_join,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1146,6 +1165,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    SUM(length(text)) AS total_chars
             FROM t GROUP BY 1
+        """,
+        "value_band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('tiny', 0.0, 10.0), ('low', 10.0, 25.0),
+                ('mid', 20.0, 60.0), ('high', 55.0, 90.0),
+                ('top', 85.0, 1e9))
+            SELECT band, count(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS sum_value
+            FROM events JOIN bands
+              ON value >= lo AND value <= hi
+            GROUP BY band
         """,
         "clean_corpus": f"""
             WITH s AS (
