@@ -64,6 +64,15 @@ def _q_search_topk(spark, sf_dir):
     return S.top_k_similar(emb, q, top_k=10, id_col="vec_id", round_digits=6)
 
 
+def _q_search_topk_arrow(spark, sf_dir):
+    """Arrow/BLAS physical variant of the flagship search — same logical
+    result as search_topk, vectorized scan for big corpora."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _collect_query_vec(spark, sf_dir)
+    return S.top_k_similar_arrow(emb, qv, top_k=10, id_col="vec_id",
+                                 round_digits=6)
+
+
 def _q_search_threshold(spark, sf_dir):
     """Q7: similarity threshold filter (README-declared API surface)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -694,6 +703,7 @@ def _q_embed_documents(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
+    "search_topk_arrow": _q_search_topk_arrow,
     "search_threshold": _q_search_threshold,
     "pairwise_similarity": _q_pairwise_similarity,
     "doc_listing": _q_doc_listing,
@@ -780,6 +790,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id = 0)")
     return {
         "search_topk": f"""
+            WITH q AS {qvec}
+            SELECT e.vec_id,
+                   round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity
+            FROM embeddings e CROSS JOIN q
+            ORDER BY similarity DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "search_topk_arrow": f"""
             WITH q AS {qvec}
             SELECT e.vec_id,
                    round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity

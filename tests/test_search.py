@@ -76,3 +76,17 @@ def test_listing_projection_prunes_scan(spark, sf_dir):
 def test_corpus_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert S.corpus_count(docs).collect()[0].total_documents == docs.count()
+
+
+def test_arrow_topk_matches_hof_path(spark, sf_dir):
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == 0).first().embedding
+    q = spark.createDataFrame([(qv,)], "query_embedding array<float>")
+    hof = [(r.vec_id, r.similarity) for r in
+           S.top_k_similar(emb, q, top_k=10, id_col="vec_id",
+                           round_digits=6).collect()]
+    arrow = [(r.vec_id, r.similarity) for r in
+             S.top_k_similar_arrow(emb, list(qv), top_k=10, id_col="vec_id",
+                                   round_digits=6).collect()]
+    assert arrow == hof
