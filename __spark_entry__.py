@@ -349,6 +349,17 @@ def _q_topk_batch(spark, sf_dir):
     return S.topk_per_query(emb, qs, k=5, round_digits=6)
 
 
+def _q_topk_batch_arrow(spark, sf_dir):
+    """Arrow/BLAS variant of the batch similarity join: one matmul scores
+    all 5 queries per batch; same logical result as topk_batch."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+          .collect())
+    qvecs = [(r.vec_id, list(r.embedding)) for r in qs]
+    return S.topk_per_query_arrow(emb, qvecs, k=5, round_digits=6)
+
+
 def _q_rollup_revenue(spark, sf_dir):
     """ROLLUP hierarchy aggregation (nation -> order status) over a
     broadcast dimension chain; subtotal rows keyed 'ALL'."""
@@ -729,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
+    "topk_batch_arrow": _q_topk_batch_arrow,
     "rollup_revenue": _q_rollup_revenue,
     "cube_orders": _q_cube_orders,
     "repeat_customers": _q_repeat_customers,
@@ -1054,6 +1066,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT p_brand FROM part
         """,
         "topk_batch": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.qid, e.vec_id,
+                         round(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                             AS similarity
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT qid, vec_id, similarity,
+                         row_number() OVER (PARTITION BY qid
+                             ORDER BY similarity DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT qid, vec_id, similarity, rank FROM r WHERE rank <= 5
+        """,
+        "topk_batch_arrow": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.qid, e.vec_id,

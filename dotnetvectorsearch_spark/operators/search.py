@@ -167,6 +167,57 @@ def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
             .filter(F.col("rank") <= k))
 
 
+def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
+                         k: int = DEFAULT_TOP_K, doc_id: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_digits: int | None = None) -> DataFrame:
+    """Arrow/BLAS variant of :func:`topk_per_query`: one (B x D) @ (D x Q)
+    matmul scores ALL queries against each Arrow batch, local top-k per
+    query, then one small rank window. The production batch-query shape:
+    per-element cost is a fused BLAS op instead of N*Q interpreted
+    higher-order evaluations, and the shuffle carries ~batches*Q*k rows.
+    `query_vecs` is [(qid, vector), ...] — small enough to ship in the
+    UDF closure (it is the broadcast side by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    validate_top_k(k)
+    qids = np.asarray([q for q, _ in query_vecs], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for _, v in query_vecs])          # Q x D
+    qnorms = np.linalg.norm(qmat, axis=1)              # Q
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # B x D
+            dnorms = np.linalg.norm(m, axis=1)                        # B
+            denom = dnorms[:, None] * qnorms[None, :]                 # B x Q
+            sims = np.where(denom > 0.0,
+                            (m @ qmat.T) / np.where(denom > 0.0, denom, 1.0),
+                            0.0)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            ids = pdf[doc_id].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -sims[:, j]))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame({"qid": out_q, doc_id: out_id,
+                                "similarity": out_s})
+
+    local = docs.select(doc_id, vec_col).mapInPandas(
+        score, f"qid long, {doc_id} long, similarity double")
+    w = Window.partitionBy("qid").orderBy(F.desc("similarity"),
+                                          F.asc(doc_id))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def pairwise_similarity(df: DataFrame, vec_a: str, vec_b: str,
                         out: str = "similarity",
                         round_digits: int | None = None) -> DataFrame:

@@ -29,3 +29,15 @@ def test_topk_per_query_basic(spark, sf_dir):
 
 def test_topk_prefilter_matches_full_window(spark, sf_dir):
     assert _run(spark, sf_dir, True) == _run(spark, sf_dir, False)
+
+
+def test_arrow_batch_matches_window_path(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.search import topk_per_query_arrow
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = (load_table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect())
+    qvecs = [(r.vec_id, list(r.embedding)) for r in qs]
+    arrow = sorted((r.qid, r.rank, r.vec_id, r.similarity)
+                   for r in topk_per_query_arrow(emb, qvecs, k=4,
+                                                 round_digits=6).collect())
+    assert arrow == _run(spark, sf_dir, prefilter=True)
