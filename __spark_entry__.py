@@ -538,8 +538,10 @@ def _q_clean_corpus(spark, sf_dir):
     scored = docs.select("doc_id", "text",
                          T.lang_id("text").alias("pred_lang"),
                          T.quality_score("text").alias("quality"))
+    # exact_dedup self-joins its input; persist so the ~10 regex passes of
+    # lang-ID + quality scoring run once, not three times.
     filt = scored.filter((F.col("pred_lang") == "en")
-                         & (F.col("quality") >= 0.4))
+                         & (F.col("quality") >= 0.4)).persist()
     return exact_dedup(filt, "text", "doc_id").select("doc_id", "quality")
 
 
@@ -551,6 +553,40 @@ def _q_user_event_types(spark, sf_dir):
             .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
                  .alias("types"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+BM25_QUERY_TERMS = ["vector", "join", "fast"]
+
+
+def _bm25_ranked(spark, sf_dir, k):
+    from dotnetvectorsearch_spark.operators import lexical as L
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = L.term_frequencies(docs).persist()
+    avgdl = (tf.select("doc_id", "doc_len").distinct()
+             .agg(F.avg("doc_len")).first()[0])
+    idf = L.inverse_doc_frequencies(tf, n_docs)
+    return L.bm25_topk(tf, idf, avgdl, BM25_QUERY_TERMS, k=k)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-15: posting-list equi-join on broadcast query
+    terms over the distributed inverted index."""
+    return _bm25_ranked(spark, sf_dir, k=15)
+
+
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    cosine (vector) rankings, ids unified on doc_id == vec_id."""
+    from dotnetvectorsearch_spark.operators import lexical as L
+    bm = L.attach_rank(_bm25_ranked(spark, sf_dir, k=50), "bm25")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vec(spark, sf_dir)
+    cos = (S.top_k_similar(emb, q, top_k=50, id_col="vec_id",
+                           round_digits=6)
+           .select(F.col("vec_id").alias("doc_id"), "similarity"))
+    cos = L.attach_rank(cos, "similarity")
+    return L.rrf_fuse(bm, cos, k=15)
 
 
 def _q_pack_documents(spark, sf_dir):
@@ -758,6 +794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": _q_clean_corpus,
     "user_event_types": _q_user_event_types,
     "value_band_join": _q_value_band_join,
+    "bm25_topk": _q_bm25_topk,
+    "hybrid_search": _q_hybrid_search,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1209,6 +1247,89 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    SUM(length(text)) AS total_chars
             FROM t GROUP BY 1
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE length(trim(text)) > 0
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), lens AS (
+                SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+            ), stats AS (SELECT avg(doc_len) AS avgdl FROM lens),
+            nd AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+                SELECT term,
+                       ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf
+                FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+                      WHERE term IN ('vector', 'join', 'fast')
+                      GROUP BY 1), nd
+            ), sc AS (
+                SELECT tf.doc_id,
+                       SUM(idf.idf * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * lens.doc_len / stats.avgdl))) AS s
+                FROM tf
+                JOIN idf USING (term)
+                JOIN lens USING (doc_id), stats
+                GROUP BY 1
+            )
+            SELECT doc_id, round(s, 6) AS bm25 FROM sc
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+        """,
+        "hybrid_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE length(trim(text)) > 0
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), lens AS (
+                SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+            ), stats AS (SELECT avg(doc_len) AS avgdl FROM lens),
+            nd AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+                SELECT term,
+                       ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf
+                FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+                      WHERE term IN ('vector', 'join', 'fast')
+                      GROUP BY 1), nd
+            ), sc AS (
+                SELECT tf.doc_id,
+                       round(SUM(idf.idf * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * lens.doc_len / stats.avgdl))), 6) AS s
+                FROM tf
+                JOIN idf USING (term)
+                JOIN lens USING (doc_id), stats
+                GROUP BY 1
+            ), bm AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                           AS rank_a
+                FROM (SELECT * FROM sc ORDER BY s DESC, doc_id ASC LIMIT 50)
+            ), cos AS (
+                SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                           AS rank_b
+                FROM (
+                    SELECT e.vec_id,
+                           round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               (SELECT CAST(embedding AS DOUBLE[])
+                                FROM embeddings WHERE vec_id = 0)), 6) AS sim
+                    FROM embeddings e
+                    ORDER BY sim DESC, e.vec_id ASC LIMIT 50
+                )
+            )
+            SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+                   round(coalesce(1.0 / (60 + rank_a), 0)
+                         + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
+            FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 15
         """,
         "value_band_join": """
             WITH bands(band, lo, hi) AS (VALUES

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ann_ivf_topk",
     "topk_batch",
+    "topk_batch_arrow",
+    "value_band_join",
     "rollup_revenue",
     "asof_click_purchase",
     "winnow_fingerprints",

@@ -1,0 +1,109 @@
+"""Lexical (BM25) search and hybrid rank fusion (beyond-reference).
+
+A vector-search engine in production pairs embedding search with lexical
+retrieval; this module provides the distributed BM25 pipeline and
+reciprocal-rank-fusion (RRF) hybrid ranking, all as Catalyst built-ins:
+
+- `term_frequencies`: explode whitespace tokens -> per-(doc, term) counts
+  plus per-doc length. One shuffle on (doc, term), map-side combined.
+- `inverse_doc_frequencies`: document frequencies -> the standard BM25
+  idf  ln(1 + (N - df + 0.5)/(df + 0.5)). A term-keyed frame, tiny
+  relative to the corpus (vocabulary-sized) — broadcastable.
+- `bm25_topk`: score a tokenized query: join the (small) query-term frame
+  to the tf inverted index on term — the posting-list equi-join shape —
+  aggregate per doc, top-k. The corpus shuffles on term once at index
+  build; queries touch only matching postings.
+- `rrf_fuse`: reciprocal-rank fusion of any two ranked frames:
+  score = sum 1/(k0 + rank); standard hybrid (BM25 + cosine) ranking.
+
+Everything is deterministic (id tiebreaks) and ANSI-SQL-expressible, so
+the full hybrid pipeline is oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dotnetvectorsearch_spark.functions.text import WS_PATTERN
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+DEFAULT_RRF_K = 60
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS_PATTERN),
+                    lambda t: t != F.lit(""))
+
+
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Inverted index with counts: (doc, term, tf, doc_len)."""
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col))
+                       .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    return tf.join(lens, id_col)
+
+
+def inverse_doc_frequencies(tf: DataFrame, n_docs: int,
+                            id_col: str = "doc_id") -> DataFrame:
+    """BM25 idf per term: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    return df_.select("term", idf.alias("idf"))
+
+
+def bm25_topk(tf: DataFrame, idf: DataFrame, avg_doc_len: float,
+              query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", k1: float = DEFAULT_K1,
+              b: float = DEFAULT_B,
+              round_digits: int | None = 6) -> DataFrame:
+    """Top-k docs for a bag of query terms (deduplicated) by BM25.
+
+    The query-term frame is broadcast onto the term-keyed index: only
+    matching postings flow into the per-doc aggregation.
+    """
+    spark = tf.sparkSession
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(query_terms))], "term string")
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / avg_doc_len))
+    contrib = (tf.join(F.broadcast(terms), "term")
+               .join(F.broadcast(idf), "term")
+               .select(F.col(id_col), (F.col("idf") * norm).alias("c")))
+    score = F.sum("c")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (contrib.groupBy(id_col).agg(score.alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", k0: int = DEFAULT_RRF_K,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked frames (each with a `rank`
+    column): score = Σ 1/(k0 + rank); docs missing from one list simply
+    contribute nothing from it (full outer join)."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    joined = a.join(b, id_col, "full_outer")
+    contrib_a = F.when(F.col("rank_a").isNotNull(),
+                       1.0 / (k0 + F.col("rank_a"))).otherwise(0.0)
+    contrib_b = F.when(F.col("rank_b").isNotNull(),
+                       1.0 / (k0 + F.col("rank_b"))).otherwise(0.0)
+    return (joined.select(F.col(id_col),
+                          F.round(contrib_a + contrib_b, 6).alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc(id_col)).limit(k))
+
+
+def attach_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
+                ascending: bool = False) -> DataFrame:
+    """row_number rank by (score, id) — deterministic input for rrf_fuse."""
+    order = [F.asc(score_col) if ascending else F.desc(score_col),
+             F.asc(id_col)]
+    return df.withColumn("rank",
+                         F.row_number().over(Window.orderBy(*order)))
