@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "user_event_types",
     "value_percentiles",
     "cube_orders",
+    "bm25_topk",
+    "hybrid_search",
 ]
 
 
