@@ -748,6 +748,147 @@ def _q_embed_documents(spark, sf_dir):
                       F.size("embedding").alias("dim"))
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """Single-table filter aggregate (TPC-H Q6 shape). All three predicates
+    reach the parquet scan (PushedFilters: shipdate range, discount band,
+    quantity cap) so row groups outside the year are never decoded; the
+    aggregate is a one-row partial+final merge with no wide shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return out.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+              .cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_tpch_q4(spark, sf_dir):
+    """Order-priority check (TPC-H Q4 shape): EXISTS subquery expressed as a
+    LEFT SEMI join — lineitem is never materialized per-order, and the semi
+    join stops probing after the first match. Orders filtered to one quarter
+    before the join so the probe side is small."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue by customer (TPC-H Q10 shape): fact-fact join
+    on orderkey, then broadcast dimension joins (customer, nation) so
+    lineitem shuffles only once, on the order key; top-20 via
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")).cast("double")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey))
+    return (joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """Promotion-revenue share (TPC-H Q14 shape): conditional aggregation
+    over a broadcast part join; decimal accumulators so the CASE branch sums
+    are order-independent, final ratio rounded once."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc)
+                        .otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double"), 6).alias("promo_revenue_pct"))
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    per-part average-quantity subquery is decorrelated into one grouped
+    aggregate that is broadcast back against lineitem. The threshold
+    l_quantity < 0.5 * avg(qty) is evaluated as
+    2 * qty * cnt < sum_qty in decimals — exact, no float-division
+    boundary flakiness between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pp_partkey"))
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                     .alias("sum_qty"),
+                     F.count(F.lit(1)).alias("cnt")))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(per_part),
+               li.l_partkey == per_part.pp_partkey))
+    small = j.filter(
+        F.col("l_quantity").cast("decimal(18,4)") * 2 * F.col("cnt")
+        < F.col("sum_qty"))
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double") / 7.0, 6).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18 shape): HAVING on a grouped sum
+    becomes an aggregate-then-join — the qualifying orderkeys (few) join
+    back to orders, customer broadcast; top-20 by total price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > 120))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20))
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """Disjunctive multi-predicate join (TPC-H Q19 shape): three OR'd
+    brand/size/quantity bands over a broadcast part join. Catalyst extracts
+    the common join key and pushes the residual disjunction below the
+    aggregate; the filter stays in whole-stage codegen."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#13")
+           & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15)))
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_topk_arrow": _q_search_topk_arrow,
@@ -773,6 +914,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": _q_sessionize,
     "customers_no_orders": _q_customers_no_orders,
     "tpch_q5": _q_tpch_q5,
+    "tpch_q4": _q_tpch_q4,
+    "tpch_q6": _q_tpch_q6,
+    "tpch_q10": _q_tpch_q10,
+    "tpch_q14": _q_tpch_q14,
+    "tpch_q17": _q_tpch_q17,
+    "tpch_q18": _q_tpch_q18,
+    "tpch_q19": _q_tpch_q19,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
@@ -1093,6 +1241,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(100.0
+                   * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q17": """
+            WITH per_part AS (
+                SELECT l_partkey AS pp_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY 1
+            )
+            SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                         AS DOUBLE) / 7.0, 6) AS avg_yearly,
+                   count(*) AS n_rows
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN per_part pp ON l.l_partkey = pp.pp_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND CAST(l.l_quantity AS DECIMAL(18,4)) * 2 * pp.cnt
+                  < pp.sum_qty
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey,
+                         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
         """,
         "events_distinct_users": """
             SELECT event_type,

@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "top_orders_window",
     "events_hourly",
     "sessionize",

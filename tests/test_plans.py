@@ -49,6 +49,32 @@ def test_anti_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in plan
 
 
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    # every predicate reaches the parquet scan: row groups outside the
+    # shipdate year / discount band are skipped by min-max stats
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # projection prunes to the 4 referenced columns only
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines and all("l_orderkey" not in l for l in read_lines)
+
+
+def test_tpch_q4_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_broadcasts_having_result(spark, sf_dir):
+    # the HAVING aggregate output (few qualifying orders) must be the
+    # broadcast side, never a shuffle of the full orders table
+    plan = _plan(spark, sf_dir, "tpch_q18")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_cartesian_anywhere_but_search(spark, sf_dir):
     # every non-search oracle query must avoid cartesian products
     for name in ("tpch_q1", "tpch_q3", "tpch_q5", "jaccard_pairs",
