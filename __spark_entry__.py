@@ -545,6 +545,23 @@ def _q_clean_corpus(spark, sf_dir):
     return exact_dedup(filt, "text", "doc_id").select("doc_id", "quality")
 
 
+def _q_cleaned_docs(spark, sf_dir):
+    """Boilerplate removal (web-crawl cleaning pass): strip HTML tags,
+    URLs, and control chars, collapse whitespace — all JVM-side
+    regexp_replace in one codegen'd map stage, no shuffle. The documents
+    table is clean, so deterministic noise is injected first to exercise
+    every strip stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("<p class=\"x\">"), F.col("text"),
+                     F.lit("</p> see https://example.com/a?b=1 or "
+                           "www.test.org/page \t "),
+                     F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.clean_text(dirty).alias("clean"),
+        F.length(T.clean_text(dirty)).alias("n_chars"))
+
+
 def _q_user_event_types(spark, sf_dir):
     """Array aggregation: per-user sorted distinct event types (joined to
     a string so the cross-engine value hash sees identical scalars)."""
@@ -940,6 +957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": _q_pack_documents,
     "contamination_pairs": _q_contamination_pairs,
     "clean_corpus": _q_clean_corpus,
+    "cleaned_docs": _q_cleaned_docs,
     "user_event_types": _q_user_event_types,
     "value_band_join": _q_value_band_join,
     "bm25_topk": _q_bm25_topk,
@@ -1580,6 +1598,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events JOIN bands
               ON value >= lo AND value <= hi
             GROUP BY band
+        """,
+        "cleaned_docs": r"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       '<p class="x">' || text
+                       || '</p> see https://example.com/a?b=1 or '
+                       || 'www.test.org/page ' || chr(9) || ' ' || text
+                       AS d
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(d, '<[^>]+>', ' ', 'g'),
+                                   'https?://\S+|www\.\S+', ' ', 'g'),
+                               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                           '\s+', ' ', 'g')) AS clean
+                FROM dirty
+            )
+            SELECT doc_id, clean, length(clean) AS n_chars FROM c
         """,
         "clean_corpus": f"""
             WITH s AS (

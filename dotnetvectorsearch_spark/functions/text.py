@@ -164,6 +164,38 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+HTML_TAG_PATTERN = r"<[^>]+>"
+URL_PATTERN = r"https?://\S+|www\.\S+"
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def strip_html(text: Column | str) -> Column:
+    """Remove HTML/XML tags, leaving tag-separated text space-joined.
+    Regex-based boilerplate removal (tags only, not entity decoding) —
+    the standard first pass of a web-crawl cleaning pipeline."""
+    return F.regexp_replace(_c(text), HTML_TAG_PATTERN, " ")
+
+
+def strip_urls(text: Column | str) -> Column:
+    """Remove http(s)/www URLs (crawl-noise removal)."""
+    return F.regexp_replace(_c(text), URL_PATTERN, " ")
+
+
+def strip_control_chars(text: Column | str) -> Column:
+    """Remove C0/C1 control characters except tab/newline/CR."""
+    return F.regexp_replace(_c(text), CONTROL_PATTERN, "")
+
+
+def clean_text(text: Column | str) -> Column:
+    """Composed cleaning pass: strip tags -> URLs -> control chars ->
+    collapse whitespace. All JVM-side regexp_replace (whole-stage
+    codegen), no Python in the hot path; at 100 TB this runs as a pure
+    map stage with no shuffle."""
+    return F.trim(F.regexp_replace(
+        strip_control_chars(strip_urls(strip_html(text))),
+        WS_PATTERN, " "))
+
+
 def _sliding_concat(arr: Column, n: int, sep: str,
                     distinct: bool = True) -> Column:
     """n-gram shingles of an array via zip_with over shifted slices.

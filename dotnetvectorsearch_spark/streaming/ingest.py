@@ -8,6 +8,9 @@ Two pipelines:
   directory are embedded and appended to the Parquet corpus exactly once
   (checkpointed). This is `run_prepare` in `foreachBatch` form, so batch
   and streaming share one code path.
+- **Streaming exact dedup** (`stream_dedup`): watermark-bounded
+  drop-duplicates on the normalized-text fingerprint — the streaming twin
+  of `operators.dedup.exact_dedup` for at-least-once ingest sources.
 - **Event rollups** (`stream_hourly_rollup`, `stream_sessionize`):
   watermarked tumbling-window aggregation and applyInPandasWithState
   session windows over an event stream — the streaming twins of the batch
@@ -54,6 +57,31 @@ def stream_prepare(spark: SparkSession, input_dir: str, out_path: str,
     return (raw.writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+def stream_dedup(docs: DataFrame, ts_col: str = "created_at",
+                 text_col: str = "text",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-text
+    fingerprint was already seen within the watermark horizon — the
+    streaming twin of ``operators.dedup.exact_dedup``, for ingest
+    pipelines where the same document arrives repeatedly (re-crawls,
+    at-least-once upstream queues).
+
+    Uses ``dropDuplicatesWithinWatermark`` so state is bounded: a
+    fingerprint is kept only until the watermark passes it, unlike plain
+    ``dropDuplicates`` whose state grows without bound on a stream. At
+    scale the dedup state shards by fingerprint across executors; the
+    watermark horizon is the dedup window — duplicates farther apart
+    than it are handled by the batch compaction pass instead.
+    """
+    from dotnetvectorsearch_spark.functions.text import fingerprint
+
+    return (docs
+            .withColumn("fp", fingerprint(text_col))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .drop("fp"))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

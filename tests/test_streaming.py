@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
 from dotnetvectorsearch_spark.streaming.ingest import (
     hourly_rollup,
+    stream_dedup,
     stream_prepare,
     stream_sessionize,
 )
@@ -109,6 +110,38 @@ def test_stream_sessionize(spark, tmp_path):
         assert first and first[0].n_events == 2
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate text arriving within the watermark horizon is dropped;
+    distinct text passes through. Whitespace/case variants hash to the
+    same fingerprint (normalized-text dedup, not byte equality)."""
+    rows = [
+        Row(doc_id=1, text="Hello World", created_at="2024-01-01 10:00:00"),
+        Row(doc_id=2, text="  hello   world ", created_at="2024-01-01 10:05:00"),
+        Row(doc_id=3, text="something else", created_at="2024-01-01 10:06:00"),
+    ]
+    src = tmp_path / "dedup"
+    src.mkdir()
+    spark.createDataFrame(rows).withColumn(
+        "created_at", F.col("created_at").cast("timestamp")) \
+        .write.mode("overwrite").parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, created_at timestamp")
+              .parquet(str(src / "*")))
+    q = (stream_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_test").outputMode("append").start())
+    try:
+        assert _wait(lambda: spark.sql("SELECT * FROM dedup_test").count() >= 2)
+        time.sleep(2)  # allow a further (empty) micro-batch to surface extras
+        out = spark.sql("SELECT * FROM dedup_test").collect()
+    finally:
+        q.stop()
+    assert len(out) == 2
+    texts = {r.text for r in out}
+    assert "something else" in texts
+    assert len([t for t in texts if "ello" in t.lower()]) == 1
+    assert set(out[0].asDict()) == {"doc_id", "text", "created_at"}
 
 
 def test_hourly_rollup_stream_matches_batch(spark, tmp_path):

@@ -84,3 +84,17 @@ def test_quality_score_bounds(spark, sf_dir):
     stats = docs.select(T.quality_score("text").alias("q")) \
         .agg(F.min("q"), F.max("q")).collect()[0]
     assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_clean_text_strips_boilerplate(spark):
+    df = spark.createDataFrame([Row(
+        t='<div id="a">Hello</div> visit https://x.io/p?q=1 or '
+          'www.y.org/z now\x00\x1f  done')])
+    r = df.select(T.clean_text("t").alias("c")).collect()[0]
+    assert r.c == "Hello visit or now done"
+
+
+def test_clean_text_preserves_plain_text(spark):
+    df = spark.createDataFrame([Row(t="already clean text")])
+    assert df.select(T.clean_text("t")).collect()[0][0] == \
+        "already clean text"
