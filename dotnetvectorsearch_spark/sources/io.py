@@ -68,6 +68,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 32,
+                   sort_col: str | None = None) -> None:
+    """Bucketed managed-table sink: pre-shuffles once at write time so
+    every later equi-join or aggregation on ``bucket_col`` is
+    shuffle-free (no Exchange in the plan — both sides arrive
+    co-partitioned). This is the 100 TB pattern for fact-fact joins like
+    lineitem⋈orders: pay the shuffle once during ingest, never per query.
+    ``sort_col`` additionally sorts within buckets, enabling merge joins
+    without a sort step and better min/max row-group skipping."""
+    writer = (df.write.mode("overwrite").format("parquet")
+              .bucketBy(n_buckets, bucket_col))
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str, how: str = "inner") -> DataFrame:
+    """Join two tables bucketed on the same key with the same bucket
+    count: Catalyst recognizes the matching output partitioning and
+    plans a SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
 def embedding_to_json(df: DataFrame, col: str = "embedding",
                       out: str = "embedding_json") -> DataFrame:
     """P3 compatibility codec: the reference stores vectors as JSON TEXT
