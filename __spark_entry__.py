@@ -130,6 +130,21 @@ def _q_vector_norms(spark, sf_dir):
     )
 
 
+def _q_quantized_embeddings(spark, sf_dir):
+    """Symmetric int8 vector quantization (4x storage cut for the vector
+    column at 100 TB): per-vector scale + array<int> codes, all codegen'd
+    higher-order functions. Note: the scale expression is captured by the
+    transform lambda, which re-evaluates it per element (O(d^2)/row) —
+    fine at d=64; for large d materialize scale to a column behind an
+    exchange/persist boundary first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = V.quantize_scale("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        V.quantize_int8("embedding", scale).alias("q"))
+
+
 def _q_json_codec_roundtrip(spark, sf_dir):
     """P3+P4: JSON TEXT vector codec (the reference's storage format)
     round-trips losslessly: cosine(decode(encode(v)), v) == 1."""
@@ -917,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_text": _q_prepare_text,
     "vector_norms": _q_vector_norms,
     "json_codec_roundtrip": _q_json_codec_roundtrip,
+    "quantized_embeddings": _q_quantized_embeddings,
     "token_stats": _q_token_stats,
     "quality_scores": _q_quality_scores,
     "lang_id": _q_lang_id,
@@ -1064,6 +1080,22 @@ def oracle_sql() -> dict[str, str]:
                                              list_transform(e, x -> x / nrm)))
                        ELSE nrm END, 6) AS unit_norm
             FROM n
+        """,
+        "quantized_embeddings": """
+            WITH s AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> abs(x)))
+                       / 127.0 AS scale
+                FROM embeddings
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CASE WHEN scale = 0
+                        THEN list_transform(e, x -> 0)
+                        ELSE list_transform(
+                            e, x -> CAST(round(x / scale) AS INT))
+                   END AS q
+            FROM s
         """,
         "json_codec_roundtrip": f"""
             SELECT vec_id,

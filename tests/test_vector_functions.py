@@ -97,3 +97,26 @@ def test_sql_macros(spark):
     assert row.d == pytest.approx(24.0)
     assert row.n == pytest.approx(5.0)
     assert row.c == pytest.approx(1.0)
+
+
+def test_quantize_roundtrip_fidelity(spark, sf_dir):
+    """int8 quantization keeps cosine(original, dequantized) >= 0.999 and
+    all codes within [-127, 127]."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.withColumn("scale", V.quantize_scale("embedding"))
+    emb = emb.withColumn("q", V.quantize_int8("embedding", F.col("scale")))
+    emb = emb.withColumn("deq", V.dequantize("q", F.col("scale")))
+    stats = emb.select(
+        F.min(V.cosine_similarity("embedding", "deq")).alias("min_cos"),
+        F.max(F.array_max("q")).alias("max_q"),
+        F.min(F.array_min("q")).alias("min_q")).collect()[0]
+    assert stats.min_cos >= 0.999
+    assert -127 <= stats.min_q and stats.max_q <= 127
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "v array<float>")
+    df = df.withColumn("scale", V.quantize_scale("v"))
+    df = df.withColumn("q", V.quantize_int8("v", F.col("scale")))
+    r = df.withColumn("deq", V.dequantize("q", F.col("scale"))).collect()[0]
+    assert r.scale == 0.0 and r.q == [0, 0, 0] and r.deq == [0.0, 0.0, 0.0]
