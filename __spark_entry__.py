@@ -921,6 +921,214 @@ def _q_tpch_q19(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"))
 
 
+def _q_tpch_q7(spark, sf_dir):
+    """Bilateral trade volume (TPC-H Q7 shape): two aliased copies of the
+    nation dim (supplier side vs customer side), both broadcast; the big
+    fact shuffles only for the final small group-by. Nation-pair filter
+    applied post-join on broadcast columns — stays in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    vol = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")).cast("double")
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(vol.alias("revenue")))
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): conditional aggregation
+    (sum(CASE)/sum) over a 7-table join; every dimension broadcast, the
+    fact table is never shuffled on a dim key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    vol_col = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk")))
+    total = F.sum(vol_col.cast("decimal(18,6)")).cast("double")
+    national = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol_col)
+                     .otherwise(F.lit(0.0)).cast("decimal(18,6)")) \
+        .cast("double")
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(national / total, 6).alias("mkt_share"),
+                 total.alias("total_volume")))
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """Product-line profit by nation and year (TPC-H Q9 shape, adapted:
+    the testdata has no partsupp, so supply cost is modeled as
+    10% of p_retailprice per unit). Part filter pushed into the broadcast
+    side; profit expression entirely in whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(profit.cast("decimal(18,6)")).cast("double")
+                 .alias("sum_profit")))
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """Priority-by-status counts (TPC-H Q12 shape, adapted: the testdata
+    has no l_shipmode, so l_linestatus is the grouping axis). Conditional
+    counting via sum(CASE) with map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count")))
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a second
+    aggregation builds the histogram. Two shuffles, both on shrinking
+    data — the canonical distribution-of-counts pattern."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): the revenue
+    CTE is computed once, its max is a 1-row broadcast joined back —
+    no recompute, no correlated subquery."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")).cast("double")
+                .alias("total_revenue")))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.join(F.broadcast(max_rev),
+                     rev.total_revenue == max_rev.max_revenue)
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_revenue", 6).alias("total_revenue")))
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """Supplier diversity per part segment (TPC-H Q16 shape, adapted:
+    no partsupp table, so actual shipments in lineitem stand in for the
+    supplier catalog). count(DISTINCT) after a broadcast part join;
+    Spark plans a two-phase distinct aggregate (partial dedup map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """Dormant high-balance customers (TPC-H Q22 shape, adapted: nation
+    key stands in for the phone country code, and "dormant" means no
+    orders since 2000-01-01 — the synthetic data has no order-less
+    customers at all). Scalar subquery (global avg) broadcast as a 1-row
+    frame + anti join against the filtered orders."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 3, 5, 7, 9, 11, 13))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    # Exact decimal sum / count instead of F.avg: float summation order
+    # differs between engines (and between partitionings), and customers
+    # sitting within 1 ulp of the mean would flip the filter.
+    avg_bal = (load_table(spark, sf_dir, "customer")
+               .filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                     .cast("double") / F.count(F.lit(1)))
+                    .alias("avg_bal")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                 .cast("double").alias("totacctbal")))
+
+
+def _q_search_topk_quantized(spark, sf_dir):
+    """Scalar-quantized search (the SQ8 scale path): corpus vectors stored
+    as int8 codes + per-vector scale, scored against the full-precision
+    query after on-the-fly dequantization. At 100 TB this cuts the scanned
+    vector bytes 4x; recall loss is ~1e-3 in cosine (see
+    test_quantize_roundtrip_fidelity). Asymmetric scoring (float query vs
+    dequantized corpus) mirrors faiss SQ8 semantics.
+
+    The codes frame is persisted: quantization is a write-time cost (codes
+    live in parquet at scale), and the cache barrier also stops Catalyst's
+    projection collapse from inlining the scale expression into the
+    dequantize lambda (which would re-evaluate it per element — O(d^2)
+    per row per query, measured 5x slower at sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = V.quantize_scale("embedding")
+    codes = emb.select(
+        "vec_id", scale.alias("scale"),
+        V.quantize_int8("embedding", scale).alias("q")).persist()
+    deq = codes.select(
+        "vec_id", V.dequantize("q", F.col("scale")).alias("embedding"))
+    q = _query_vec(spark, sf_dir)
+    return S.top_k_similar(deq, q, top_k=10, id_col="vec_id", round_digits=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_topk_arrow": _q_search_topk_arrow,
@@ -954,6 +1162,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": _q_tpch_q17,
     "tpch_q18": _q_tpch_q18,
     "tpch_q19": _q_tpch_q19,
+    "tpch_q7": _q_tpch_q7,
+    "tpch_q8": _q_tpch_q8,
+    "tpch_q9": _q_tpch_q9,
+    "tpch_q12": _q_tpch_q12,
+    "tpch_q13": _q_tpch_q13,
+    "tpch_q15": _q_tpch_q15,
+    "tpch_q16": _q_tpch_q16,
+    "tpch_q22": _q_tpch_q22,
+    "search_topk_quantized": _q_search_topk_quantized,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
@@ -1381,6 +1598,149 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30
                    AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       - 0.1 * p_retailprice * l_quantity
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                  ON c_custkey = o.o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q22": """
+            WITH avg_bal AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_nationkey IN (0, 3, 5, 7, 9, 11, 13)
+              AND c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+        """,
+        "search_topk_quantized": f"""
+            WITH s AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> abs(x)))
+                       / 127.0 AS scale
+                FROM embeddings
+            ), codes AS (
+                SELECT vec_id, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(e, x -> 0)
+                            ELSE list_transform(
+                                e, x -> CAST(round(x / scale) AS INT))
+                       END AS q
+                FROM s
+            ), deq AS (
+                SELECT vec_id,
+                       list_transform(
+                           q, x -> CAST(CAST(x AS DOUBLE) * scale AS FLOAT))
+                       AS de
+                FROM codes
+            )
+            SELECT deq.vec_id,
+                   round({cos.format(a='deq.de', b='q.qe')}, 6) AS similarity
+            FROM deq CROSS JOIN {qvec} q
+            ORDER BY similarity DESC, deq.vec_id ASC
+            LIMIT 10
         """,
         "events_distinct_users": """
             SELECT event_type,

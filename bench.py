@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "search_topk_quantized",
     "top_orders_window",
     "events_hourly",
     "sessionize",
