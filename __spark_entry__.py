@@ -1129,6 +1129,45 @@ def _q_search_topk_quantized(spark, sf_dir):
     return S.top_k_similar(deq, q, top_k=10, id_col="vec_id", round_digits=6)
 
 
+def _q_session_windows(spark, sf_dir):
+    """Built-in session_window sessionization (batch twin of
+    streaming.session_rollup): merge-on-touch semantics — an event at
+    exactly gap distance still MERGES (the [start, last+gap] overlap test
+    is closed); only a strictly larger gap starts a new session. Outputs
+    epoch seconds (long), not timestamps, so the comparison is
+    timezone-proof. events.ts arrives as long nanos (nanosAsLong)."""
+    from dotnetvectorsearch_spark.streaming.ingest import session_rollup
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_seconds(F.expr("CAST(ts AS LONG) DIV 1000000000"))
+        .alias("ts"))
+    out = session_rollup(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_sec"),
+        F.col("session_end").cast("long").alias("session_end_sec"),
+        "n_events")
+
+
+def _q_events_sliding(spark, sf_dir):
+    """Sliding-window rollup (batch twin of streaming.sliding_rollup):
+    1-hour windows every 30 minutes — each event lands in exactly 2
+    windows. Epoch-second window starts for timezone-proof comparison."""
+    from dotnetvectorsearch_spark.streaming.ingest import sliding_rollup
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_seconds(F.expr("CAST(ts AS LONG) DIV 1000000000"))
+        .alias("ts"),
+        "event_type",
+        # decimal in -> exact decimal sum inside the operator -> the
+        # aggregate is order-independent and engine-exact
+        F.col("value").cast("decimal(18,6)").alias("value"))
+    out = sliding_rollup(ev)
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_sec"),
+        "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_topk_arrow": _q_search_topk_arrow,
@@ -1171,6 +1210,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16": _q_tpch_q16,
     "tpch_q22": _q_tpch_q22,
     "search_topk_quantized": _q_search_topk_quantized,
+    "session_windows": _q_session_windows,
+    "events_sliding": _q_events_sliding,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
@@ -1741,6 +1782,38 @@ def oracle_sql() -> dict[str, str]:
             FROM deq CROSS JOIN {qvec} q
             ORDER BY similarity DESC, deq.vec_id ASC
             LIMIT 10
+        """,
+        "session_windows": """
+            WITH e AS (
+                SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events
+            ), l AS (
+                SELECT user_id, sec,
+                       lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                           AS prev
+                FROM e
+            ), g AS (
+                SELECT user_id, sec,
+                       SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY sec
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM l
+            )
+            SELECT user_id,
+                   min(sec) AS session_start_sec,
+                   max(sec) + 1800 AS session_end_sec,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "events_sliding": """
+            SELECT (epoch_ms(ts) // 1000 // 1800) * 1800 - k * 1800
+                       AS window_start_sec,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events, UNNEST([0, 1]) AS t(k)
+            GROUP BY 1, 2
         """,
         "events_distinct_users": """
             SELECT event_type,

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "search_topk_quantized",
     "top_orders_window",
     "events_hourly",
+    "events_sliding",
+    "session_windows",
     "sessionize",
     "jaccard_pairs",
     "minhash_pairs",

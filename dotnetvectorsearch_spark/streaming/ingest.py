@@ -96,6 +96,56 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def sliding_rollup(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window rollup: each event lands in window/slide overlapping
+    windows (2 for 1h/30m). Works on a streaming OR batch frame with
+    (ts timestamp, event_type string, value double).
+
+    Scale note: output cardinality is input x (window/slide); keep the
+    ratio small (2-4) at 100 TB or pre-aggregate to tumbling slide-sized
+    buckets first and roll those up (the two-level pattern)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows via the built-in ``session_window``
+    (merge-on-overlap: an event exactly ``gap`` after the last one starts
+    a NEW session — the window is the half-open [start, last+gap)).
+
+    The declarative twin of ``stream_sessionize``: same shape, but
+    expressed as a groupBy so Catalyst plans it (and the streaming state
+    store handles merging) instead of custom applyInPandasWithState code.
+    Works on batch or streaming frames with (user_id long, ts timestamp).
+    """
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: the static dimension is broadcast to
+    every task, so the stream is never shuffled and no join state is kept
+    (unlike stream-stream joins). The static side is re-resolved per
+    micro-batch, so a dim table rewritten between batches is picked up.
+
+    At 100 TB-of-stream scale this is THE join shape to prefer: state-free,
+    watermark-free, and the dim refresh is free consistency."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 
 from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
 from dotnetvectorsearch_spark.streaming.ingest import (
+    enrich_stream,
     hourly_rollup,
+    session_rollup,
+    sliding_rollup,
     stream_dedup,
     stream_prepare,
     stream_sessionize,
@@ -175,3 +178,89 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+def test_session_rollup_boundary_and_stream_parity(spark, tmp_path):
+    """session_window semantics: an event at exactly the 30-min gap still
+    MERGES (closed-interval overlap); only strictly larger gaps split.
+    Streaming run over one micro-batch must equal the batch run."""
+    rows = [
+        Row(user_id=1, ts="2024-01-01 10:00:00"),
+        Row(user_id=1, ts="2024-01-01 10:29:59"),   # merges (gap < 30m)
+        Row(user_id=1, ts="2024-01-01 10:59:59"),   # merges (gap < 30m)
+        Row(user_id=2, ts="2024-01-01 10:00:00"),
+        Row(user_id=2, ts="2024-01-01 10:30:00"),   # exactly 30m -> merges
+        Row(user_id=2, ts="2024-01-01 11:00:01"),   # 30m1s -> new session
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    batch = {(r.user_id, r.session_start, r.session_end): r.n_events
+             for r in session_rollup(df).collect()}
+    by_user = {}
+    for (uid, _s, _e), n in batch.items():
+        by_user.setdefault(uid, []).append(n)
+    assert sorted(by_user[1]) == [3]
+    assert sorted(by_user[2]) == [1, 2]
+
+    src = tmp_path / "sessw"
+    src.mkdir()
+    df.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(src / "*")))
+    q = (session_rollup(stream).writeStream.format("memory")
+         .queryName("sessw_test").outputMode("complete").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM sessw_test").count() >= len(batch))
+        streamed = {(r.user_id, r.session_start, r.session_end): r.n_events
+                    for r in spark.sql("SELECT * FROM sessw_test").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch
+
+
+def test_sliding_rollup_two_windows_per_event(spark):
+    """1h/30m sliding windows: every event is counted in exactly 2 windows."""
+    rows = [
+        Row(ts="2024-01-01 10:05:00", event_type="click", value=1.0),
+        Row(ts="2024-01-01 10:40:00", event_type="click", value=2.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = sliding_rollup(df).collect()
+    assert sum(r.n_events for r in out) == 2 * len(rows)
+    # the 10:00 window sees both events; 09:30 only the first
+    by_start = {r.window_start.strftime("%H:%M"): r.n_events for r in out}
+    assert by_start["10:00"] == 2
+    assert by_start["09:30"] == 1
+    assert by_start["10:30"] == 1
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: streamed events pick up dim columns via
+    a broadcast join, left rows without a match keep null dims."""
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="gold"), Row(user_id=2, segment="silver")])
+    rows = [
+        Row(user_id=1, ts="2024-01-01 10:00:00", value=5.0),
+        Row(user_id=3, ts="2024-01-01 10:01:00", value=7.0),  # no dim row
+    ]
+    src = tmp_path / "enrich"
+    src.mkdir()
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")).write.mode("overwrite") \
+        .parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .parquet(str(src / "*")))
+    q = (enrich_stream(stream, dim, on="user_id").writeStream
+         .format("memory").queryName("enrich_test")
+         .outputMode("append").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM enrich_test").count() >= 2)
+        out = {r.user_id: r.segment
+               for r in spark.sql("SELECT * FROM enrich_test").collect()}
+    finally:
+        q.stop()
+    assert out == {1: "gold", 3: None}
