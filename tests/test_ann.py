@@ -74,3 +74,38 @@ def test_lsh_candidate_reduction(emb, qvec):
     n_cand = bucketed.filter(
         F.col("bucket").isin(lsh.probe_buckets(qvec, 1))).count()
     assert 0 < n_cand < emb.count()
+
+
+def test_pq_codes_shape_and_range(emb, qvec):
+    pq = A.PQIndex(m=8, n_codes=16).fit(emb)
+    row = pq.transform(emb).filter(F.col("vec_id") == 0).collect()[0]
+    assert len(row.pq_codes) == 8
+    assert all(0 <= c < 16 for c in row.pq_codes)
+
+
+def test_pq_recall_and_self_hit(emb, qvec, exact_top10):
+    pq = A.PQIndex(m=16, n_codes=64).fit(emb)
+    encoded = pq.transform(emb)
+    got = [r.vec_id for r in pq.search(encoded, qvec, 10).collect()]
+    assert got[0] == 0  # ADC keeps the query's own vector on top
+    # near-uniform random vectors are the worst case for PQ; ADC-only must
+    # clearly beat random overlap with the exact top-10
+    assert len(set(got) & set(exact_top10)) / 10 >= 0.3
+    # the production two-stage plan (ADC shortlist -> exact rescore of
+    # ~5% of the corpus) should recover (almost) all true neighbors
+    got_rescored = [r.vec_id
+                    for r in pq.search(encoded, qvec, 10, rescore=emb,
+                                       shortlist=100).collect()]
+    assert len(set(got_rescored) & set(exact_top10)) / 10 >= 0.8
+
+
+def test_pq_deterministic(emb, qvec):
+    a = A.PQIndex(m=4, n_codes=8, seed=11).fit(emb)
+    b = A.PQIndex(m=4, n_codes=8, seed=11).fit(emb)
+    assert (a.codebooks == b.codebooks).all()
+    assert (a.lookup_table(qvec) == b.lookup_table(qvec)).all()
+
+
+def test_pq_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        A.PQIndex(m=7).fit(emb)
