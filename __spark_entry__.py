@@ -1170,6 +1170,31 @@ def _q_ann_pq_recall(spark, sf_dir):
     return spark.createDataFrame([(recall,)], "recall_at_10 double")
 
 
+def _q_approx_distinct_users(spark, sf_dir):
+    """Sketch aggregation: HLL++ approximate distinct users per event
+    type. At 100 TB exact distinct means shuffling every key; the sketch
+    is fixed-size per group, merges associatively (map-side partial!),
+    and lands within ~2% (rsd 0.02). Rows-only check (DuckDB's HLL is a
+    different implementation with different estimates); accuracy vs exact
+    is pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _q_approx_value_percentiles(spark, sf_dir):
+    """Sketch quantiles: approx_percentile with accuracy 10000 — bounded
+    memory per group vs the exact percentile's full sort. The scale twin
+    of the exact `value_percentiles` query (both kept: exact for small
+    groups, sketch for 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+                 .alias("value_pcts")))
+
+
 def _q_session_windows(spark, sf_dir):
     """Built-in session_window sessionization (batch twin of
     streaming.session_rollup): merge-on-touch semantics — an event at
@@ -1284,6 +1309,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_pq_topk": _q_ann_pq_topk,
     "ann_pq_recall": _q_ann_pq_recall,
+    "approx_distinct_users": _q_approx_distinct_users,
+    "approx_value_percentiles": _q_approx_value_percentiles,
     "embed_documents": _q_embed_documents,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,

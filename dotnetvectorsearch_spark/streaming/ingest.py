@@ -146,6 +146,31 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on,
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def stream_index_append(vectors: DataFrame, index, path: str,
+                        checkpoint: str, vec_col: str = "embedding"):
+    """Incremental ANN-index maintenance: assign each arriving vector to
+    its IVF cell and append it into the ``partitionBy(cell)`` parquet
+    index — new vectors are immediately searchable with the same
+    partition-pruned probe path as the batch-built index.
+
+    The centroids stay fixed between retrains (the standard IVF
+    maintenance contract: assignment drifts slowly; retrain + full
+    rewrite is a periodic batch job, e.g. when cell-size skew passes a
+    threshold). Appends create small files per trigger —
+    ``sources.layout.compact`` per cell-partition is the companion
+    maintenance pass at scale.
+
+    ``index`` is a fitted ``operators.ann.IVFIndex``. Returns the started
+    StreamingQuery."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (index.transform(batch_df, vec_col=vec_col)
+         .write.mode("append").partitionBy("cell").parquet(path))
+
+    return (vectors.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

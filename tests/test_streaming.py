@@ -16,6 +16,7 @@ from dotnetvectorsearch_spark.streaming.ingest import (
     session_rollup,
     sliding_rollup,
     stream_dedup,
+    stream_index_append,
     stream_prepare,
     stream_sessionize,
 )
@@ -264,3 +265,44 @@ def test_enrich_stream_static_broadcast_join(spark, tmp_path):
     finally:
         q.stop()
     assert out == {1: "gold", 3: None}
+
+
+def test_stream_index_append_searchable(spark, sf_dir, tmp_path):
+    """Vectors streamed into the IVF index become searchable with the
+    same partition-pruned probe path; a second drop is appended (not
+    rewritten) and is found too."""
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    from dotnetvectorsearch_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    idx = IVFIndex(n_cells=4, nprobe=4).fit(emb)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    index_path = str(tmp_path / "ivf_index")
+    first = emb.filter(F.col("vec_id") < 50)
+    second = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    first.write.parquet(str(src / "b1"))
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = stream_index_append(stream, idx, index_path,
+                            str(tmp_path / "ckpt"))
+    try:
+        assert _wait(lambda: _count_parquet(spark, index_path) == 50)
+        second.write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, index_path) == 100)
+    finally:
+        q.stop()
+
+    indexed = spark.read.parquet(index_path)
+    assert set(indexed.columns) == {"vec_id", "embedding", "cell"}
+    res = idx.search(indexed, qvec, 5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # probes prune at the scan
+    got = [r.vec_id for r in res.collect()]
+    assert got[0] == 0 and len(got) == 5
