@@ -1170,6 +1170,24 @@ def _q_ann_pq_recall(spark, sf_dir):
     return spark.createDataFrame([(recall,)], "recall_at_10 double")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/context-window prep):
+    64-token chunks every 48 tokens, one row per chunk."""
+    from dotnetvectorsearch_spark.operators.packing import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id",
+                           chunk_tokens=64, stride=48)
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (cluster analytics / k-means E-step)
+    as a distributed exact aggregate — posexplode + decimal-sum + ordered
+    re-assembly, no driver collect of vectors."""
+    from dotnetvectorsearch_spark.operators.ann import centroids_by
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroids_by(emb, "label")
+
+
 def _q_approx_distinct_users(spark, sf_dir):
     """Sketch aggregation: HLL++ approximate distinct users per event
     type. At 100 TB exact distinct means shuffling every key; the sketch
@@ -1278,6 +1296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk_quantized": _q_search_topk_quantized,
     "session_windows": _q_session_windows,
     "events_sliding": _q_events_sliding,
+    "chunk_documents": _q_chunk_documents,
+    "label_centroids": _q_label_centroids,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
@@ -1874,6 +1894,43 @@ def oracle_sql() -> dict[str, str]:
                    max(sec) + 1800 AS session_end_sec,
                    count(*) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, t,
+                       r.i AS start_tok,
+                       CAST((r.i / 48) AS INT) AS chunk_id
+                FROM toks,
+                     UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 48))
+                         AS r(i)
+            )
+            SELECT doc_id, chunk_id,
+                   len(t[start_tok + 1 : start_tok + 64]) AS n_tokens,
+                   array_to_string(t[start_tok + 1 : start_tok + 64], ' ')
+                       AS chunk_text
+            FROM starts
+        """,
+        "label_centroids": """
+            WITH v AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), x AS (
+                SELECT label, r.i AS pos, e[r.i] AS val
+                FROM v, UNNEST(range(1, len(e) + 1)) AS r(i)
+            ), m AS (
+                SELECT label, pos,
+                       round(CAST(SUM(CAST(val AS DECIMAL(27,12)))
+                                  AS DOUBLE) / count(*), 6) AS mean_v
+                FROM x GROUP BY label, pos
+            )
+            SELECT label, list(mean_v ORDER BY pos) AS centroid
+            FROM m GROUP BY label
         """,
         "events_sliding": """
             SELECT (epoch_ms(ts) // 1000 // 1800) * 1800 - k * 1800

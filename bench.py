@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "media_stats",
     "pack_documents",
+    "chunk_documents",
+    "label_centroids",
     "contamination_pairs",
     "clean_corpus",
     "user_event_types",

@@ -132,6 +132,29 @@ class IVFIndex:
         return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def centroids_by(emb: DataFrame, by: str, vec_col: str = "embedding",
+                 out: str = "centroid", round_digits: int = 6) -> DataFrame:
+    """Element-wise mean vector per group — distributed, exact, built-ins
+    only (the k-means E-step / cluster-analytics aggregate, usable on
+    corpora far too large to sample to the driver).
+
+    Shape: posexplode -> groupBy(by, pos) with a decimal-cast sum (exact,
+    order-independent) -> re-assemble via sort_array(collect_list(struct)).
+    Two shuffles on shrinking data; the collect_list per (group) carries
+    d scalars, not vectors. Fine to d ~ few thousand."""
+    exploded = emb.select(F.col(by), F.posexplode(vec_col)
+                          .alias("__pos", "__v"))
+    per_pos = (exploded.groupBy(by, "__pos")
+               .agg((F.sum(F.col("__v").cast("decimal(27,12)"))
+                     .cast("double") / F.count(F.lit(1))).alias("__mean")))
+    assembled = (per_pos.groupBy(by)
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct("__pos", "__mean"))).alias("__pm")))
+    mean_arr = F.transform(F.col("__pm"),
+                           lambda s: F.round(s["__mean"], round_digits))
+    return assembled.select(F.col(by), mean_arr.alias(out))
+
+
 def _kmeans_fit_plain(sample: np.ndarray, n_codes: int, seed: int,
                       iters: int = 15) -> np.ndarray:
     """Seeded k-means++ WITHOUT unit-normalization (PQ subvectors are not

@@ -35,6 +35,45 @@ def pack_sequential(docs: DataFrame, token_col: str, budget: int,
     return docs.withColumn(out, F.floor(cum_prev / budget).cast("long"))
 
 
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep: RAG
+    passage splitting / long-doc training samples).
+
+    Chunk i covers whitespace-token positions [i*stride, i*stride +
+    chunk_tokens); stride < chunk_tokens gives the overlap that keeps
+    boundary-spanning content inside some chunk. Output one row per
+    chunk: (id, chunk_id, n_tokens, chunk_text).
+
+    Shape: tokenize -> posexplode(sequence of starts) -> slice + join.
+    One narrow pass, no shuffle; the token array is re-evaluated per
+    chunk row (docs are chunks x tokens work anyway — same complexity,
+    and it keeps the plan in codegen instead of caching wide arrays).
+    Empty/blank docs produce a single empty chunk (chunk_id 0), so every
+    document survives into the chunked corpus."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_tok = docs.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0,
+               F.array().cast("array<string>"))
+        .otherwise(toks).alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+        F.lit(stride))
+    exploded = with_tok.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"))
+    chunk = F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+    return (exploded
+            .select(F.col(id_col),
+                    F.col("chunk_id"),
+                    F.size(chunk).alias("n_tokens"),
+                    F.array_join(chunk, " ").alias("chunk_text")))
+
+
 def pack_greedy(docs: DataFrame, token_col: str, budget: int,
                 shard_col: str, order_col: str,
                 out: str = "pack_id") -> DataFrame:

@@ -109,3 +109,15 @@ def test_pq_deterministic(emb, qvec):
 def test_pq_rejects_indivisible_dim(emb):
     with pytest.raises(ValueError, match="not divisible"):
         A.PQIndex(m=7).fit(emb)
+
+
+def test_centroids_by_exact_mean(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(label=1, embedding=[1.0, 0.0]),
+        Row(label=1, embedding=[0.0, 1.0]),
+        Row(label=2, embedding=[2.0, 2.0]),
+    ])
+    out = {r.label: r.centroid for r in A.centroids_by(df, "label").collect()}
+    assert out[1] == [0.5, 0.5]
+    assert out[2] == [2.0, 2.0]

@@ -57,3 +57,26 @@ def test_pack_ids_monotone_within_shard(spark):
         by_shard.setdefault(r.shard, []).append(r.pack_id)
     for packs in by_shard.values():
         assert packs == sorted(packs)
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from dotnetvectorsearch_spark.operators.packing import chunk_documents
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),  # 1 chunk
+        Row(doc_id=2, text=" ".join(f"w{i}" for i in range(130))),  # 3 chunks
+        Row(doc_id=3, text="   "),                                  # blank
+    ])
+    out = chunk_documents(docs, "text", "doc_id",
+                          chunk_tokens=64, stride=48)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 10 tokens -> one chunk with all of them
+    assert rows[(1, 0)].n_tokens == 10
+    # doc 2: starts at 0, 48, 96 -> 64, 64, 34 tokens
+    assert [rows[(2, i)].n_tokens for i in range(3)] == [64, 64, 34]
+    # overlap: chunk 1 starts at token 48, inside chunk 0's range
+    assert rows[(2, 1)].chunk_text.startswith("w48 ")
+    assert "w48" in rows[(2, 0)].chunk_text
+    # blank doc survives as a single empty chunk
+    assert rows[(3, 0)].n_tokens == 0 and rows[(3, 0)].chunk_text == ""
+    assert len(rows) == 5
