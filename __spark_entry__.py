@@ -1105,6 +1105,118 @@ def _q_tpch_q22(spark, sf_dir):
                  .cast("double").alias("totacctbal")))
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """Cheapest part per brand (TPC-H Q2 shape, adapted: no partsupp, so
+    p_retailprice stands in for supply cost and lineitem shipments stand
+    in for the supplier catalog). The correlated-min pattern: aggregate
+    once, broadcast the tiny (brand, min) frame back — never a correlated
+    re-scan per row."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD")
+    min_price = (part.groupBy(F.col("p_brand").alias("mb"))
+                 .agg(F.min("p_retailprice").alias("min_price")))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    eu_supp = (supp.join(F.broadcast(nation),
+                         supp.s_nationkey == nation.n_nationkey)
+               .join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey)
+               .select("s_suppkey"))
+    cheapest = part.join(
+        F.broadcast(min_price),
+        (part.p_brand == F.col("mb"))
+        & (part.p_retailprice == F.col("min_price")))
+    shipped = (li.join(F.broadcast(eu_supp),
+                       li.l_suppkey == eu_supp.s_suppkey, "left_semi")
+               .join(F.broadcast(cheapest),
+                     li.l_partkey == cheapest.p_partkey))
+    return (shipped.groupBy("p_brand", "p_partkey", "p_name",
+                            "p_retailprice")
+            .agg(F.countDistinct("l_suppkey").alias("n_eu_suppliers")))
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """Important inventory (TPC-H Q11 shape, adapted: shipped value from
+    lineitem stands in for stock value). GROUP BY + HAVING against a
+    scalar fraction of the global total — the total is a 1-row broadcast,
+    and the per-part aggregate is computed ONCE (persist) instead of once
+    per side of the comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 5)
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey,
+                        "left_semi")
+                .groupBy("l_partkey")
+                .agg(F.sum(val.cast("decimal(18,6)")).cast("double")
+                     .alias("part_value"))
+                .persist())
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double")
+        .alias("total_value"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value")
+                    > F.lit(0.001) * F.col("total_value"))
+            .select("l_partkey", F.round("part_value", 6)
+                    .alias("part_value")))
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """Promotion-heavy suppliers (TPC-H Q20 shape, adapted: shipped
+    quantities stand in for partsupp availability). Conditional aggregate
+    per supplier compared against its own total — one pass, sum(CASE),
+    no self-join. Threshold 0.2 vs the ~1/6 expected PROMO share (the
+    synthetic data assigns types uniformly, so TPC-H's 0.5 would be
+    vacuously empty)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    promo_qty = F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.col("l_quantity")).otherwise(0.0)
+                      .cast("decimal(18,4)")).cast("double")
+    total_qty = F.sum(F.col("l_quantity").cast("decimal(18,4)")) \
+        .cast("double")
+    per_supp = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .groupBy("l_suppkey")
+                .agg(promo_qty.alias("promo_qty"),
+                     total_qty.alias("total_qty")))
+    return (per_supp.filter(F.col("promo_qty")
+                            > F.lit(0.2) * F.col("total_qty"))
+            .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "promo_qty", "total_qty"))
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """Suppliers who alone returned items on multi-supplier final orders
+    (TPC-H Q21 shape, adapted: l_returnflag='R' stands in for the
+    late-receipt predicate the testdata lacks). The exists/not-exists
+    pair collapses into one grouped pass: count distinct suppliers,
+    count distinct returning suppliers, keep orders where exactly one
+    supplier returned — no correlated subqueries, no double scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    f_lines = li.join(orders, li.l_orderkey == orders.o_orderkey,
+                      "left_semi")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (f_lines.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(r_supp).alias("n_r_supp"),
+                      F.max(r_supp).alias("blame_supp")))
+    blamed = per_order.filter((F.col("n_supp") >= 2)
+                              & (F.col("n_r_supp") == 1))
+    return (blamed.join(F.broadcast(supp),
+                        blamed.blame_supp == supp.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 def _q_search_topk_quantized(spark, sf_dir):
     """Scalar-quantized search (the SQ8 scale path): corpus vectors stored
     as int8 codes + per-vector scale, scored against the full-precision
@@ -1293,6 +1405,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": _q_tpch_q15,
     "tpch_q16": _q_tpch_q16,
     "tpch_q22": _q_tpch_q22,
+    "tpch_q2": _q_tpch_q2,
+    "tpch_q11": _q_tpch_q11,
+    "tpch_q20": _q_tpch_q20,
+    "tpch_q21": _q_tpch_q21,
     "search_topk_quantized": _q_search_topk_quantized,
     "session_windows": _q_session_windows,
     "events_sliding": _q_events_sliding,
@@ -1844,6 +1960,80 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "tpch_q2": """
+            WITH std AS (
+                SELECT * FROM part WHERE p_type = 'STANDARD'
+            ), mp AS (
+                SELECT p_brand AS mb, min(p_retailprice) AS min_price
+                FROM std GROUP BY 1
+            ), cheapest AS (
+                SELECT p.* FROM std p
+                JOIN mp ON p.p_brand = mp.mb
+                       AND p.p_retailprice = mp.min_price
+            ), eu AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            )
+            SELECT p_brand, p_partkey, p_name, p_retailprice,
+                   count(DISTINCT l_suppkey) AS n_eu_suppliers
+            FROM lineitem
+            JOIN cheapest ON l_partkey = p_partkey
+            WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "tpch_q11": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_nationkey = 5)
+                GROUP BY 1
+            )
+            SELECT l_partkey, round(part_value, 6) AS part_value
+            FROM pv
+            WHERE part_value > 0.001 *
+                  (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6)))
+                          AS DOUBLE) FROM pv)
+        """,
+        "tpch_q20": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                THEN l_quantity ELSE 0.0 END
+                                AS DECIMAL(18,4))) AS DOUBLE) AS promo_qty,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                            AS DOUBLE) AS total_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, promo_qty, total_qty
+            FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE promo_qty > 0.2 * total_qty
+        """,
+        "tpch_q21": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_r_supp,
+                       max(CASE WHEN l_returnflag = 'R'
+                           THEN l_suppkey END) AS blame_supp
+                FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderstatus = 'F')
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON blame_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_r_supp = 1
+            GROUP BY 1, 2
         """,
         "search_topk_quantized": f"""
             WITH s AS (

@@ -35,9 +35,13 @@ BENCH_QUERIES = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q2",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
     "search_topk_quantized",
     "top_orders_window",
     "events_hourly",
