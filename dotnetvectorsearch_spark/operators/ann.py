@@ -109,6 +109,34 @@ class IVFIndex:
         """Attach the cell id — a narrow (shuffle-free) Arrow-batched matmul."""
         return emb.withColumn(out, self.assign_udf()(F.col(vec_col)))
 
+    def refine(self, emb: DataFrame, vec_col: str = "embedding",
+               iters: int = 2) -> IVFIndex:
+        """Distributed Lloyd refinement of the sample-trained centroids:
+        assign (narrow Arrow matmul) -> exact per-cell mean
+        (``centroids_by``: decimal sums, order-independent) -> renormalize
+        on the driver. Per iteration: one narrow pass over the corpus plus
+        two shuffles of shrinking data; the driver only ever holds
+        (n_cells x d) floats — so the corpus the centroids are fit to is
+        no longer bounded by driver memory, only the initial seeding is
+        sample-based. Cells that lose all members keep their previous
+        centroid (the standard empty-cluster rule)."""
+        from dotnetvectorsearch_spark.functions.vector import l2_normalize
+        for _ in range(iters):
+            # spherical k-means: the cell mean is over UNIT vectors
+            # (matching _kmeans_fit), then re-normalized
+            normed = emb.withColumn("__nv", l2_normalize(vec_col))
+            assigned = self.transform(normed, vec_col)
+            rows = centroids_by(assigned, "cell", "__nv",
+                                round_digits=12).collect()
+            new_cent = self.centroids.copy()
+            for r in rows:
+                m = np.asarray(r.centroid, dtype=np.float64)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    new_cent[r.cell] = (m / norm).astype(np.float32)
+            self.centroids = new_cent
+        return self
+
     def write(self, emb: DataFrame, path: str,
               vec_col: str = "embedding") -> None:
         """Materialize the index partitioned by cell: a query's probe set

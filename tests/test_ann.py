@@ -121,3 +121,34 @@ def test_centroids_by_exact_mean(spark):
     out = {r.label: r.centroid for r in A.centroids_by(df, "label").collect()}
     assert out[1] == [0.5, 0.5]
     assert out[2] == [2.0, 2.0]
+
+
+def test_ivf_refine_improves_centroid_fit(emb, qvec):
+    """Distributed Lloyd refinement must not worsen the mean cosine
+    between vectors and their assigned centroid (Lloyd monotonicity,
+    modulo the float rounding in the exchange)."""
+    import numpy as np
+
+    def mean_assigned_cos(idx):
+        rows = idx.transform(emb).select("embedding", "cell").collect()
+        m = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                      for r in rows])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cents = idx.centroids[np.array([r.cell for r in rows])]
+        return float((m * cents).sum(axis=1).mean())
+
+    idx = A.IVFIndex(n_cells=8, nprobe=2, seed=3).fit(emb)
+    before = mean_assigned_cos(idx)
+    idx.refine(emb, iters=2)
+    after = mean_assigned_cos(idx)
+    assert after >= before - 1e-6
+    # refined index still searches correctly
+    got = [r.vec_id for r in idx.search(idx.transform(emb), qvec, 5)
+           .collect()]
+    assert got[0] == 0
+
+
+def test_ivf_refine_deterministic(emb):
+    a = A.IVFIndex(n_cells=4, nprobe=2, seed=9).fit(emb).refine(emb, iters=1)
+    b = A.IVFIndex(n_cells=4, nprobe=2, seed=9).fit(emb).refine(emb, iters=1)
+    assert (a.centroids == b.centroids).all()
