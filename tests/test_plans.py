@@ -81,3 +81,43 @@ def test_no_cartesian_anywhere_but_search(spark, sf_dir):
                  "embedding_neardup", "sessionize", "rollup_revenue"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q7_q8_never_shuffle_fact_on_dim_keys(spark, sf_dir):
+    """The multi-dimension joins must be all-broadcast: the lineitem fact
+    is only ever exchanged for the final (small) group-by."""
+    for name in ("tpch_q7", "tpch_q8"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+
+
+def test_quantized_search_is_topk_over_cached_codes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "search_topk_quantized")
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # codes materialized once
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    """Chunking must be a single narrow pass: no shuffle at all."""
+    plan = _plan(spark, sf_dir, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_windowed_rollups_single_shuffle(spark, sf_dir):
+    """Tumbling/sliding/session rollups: exactly one hash exchange
+    (partial agg map-side, final after one shuffle)."""
+    for name in ("events_hourly", "events_sliding"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
+    """Q21's exists/not-exists collapse: lineitem is shuffled once for
+    the per-order aggregate; supplier join and order semi-join broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -65,3 +65,35 @@ def test_normalize_idempotent_on_corpus(spark, sf_dir):
         F.lit(0.0), lambda acc, x: F.greatest(acc, x))
     max_diff = emb.select(F.max(diff).alias("m")).first().m
     assert max_diff < 1e-12
+
+
+def test_quantize_error_bound_on_corpus(spark, sf_dir):
+    """Quantization error per component is bounded by scale/2 = max|x|/254
+    for every vector in the corpus (the int8 round guarantee)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = V.quantize_scale("embedding")
+    deq = V.dequantize(V.quantize_int8("embedding", scale), scale)
+    max_err = F.array_max(F.zip_with(
+        "embedding", deq,
+        lambda a, b: F.abs(a.cast("double") - b.cast("double"))))
+    bad = (emb.select(max_err.alias("e"), scale.alias("s"))
+           .filter(F.col("e") > F.col("s") / 2 + 1e-7).count())
+    assert bad == 0
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Chunking coverage: concatenating each doc's stride-aligned chunk
+    prefixes reconstructs the doc's full token sequence (no token is
+    dropped at chunk boundaries)."""
+    from dotnetvectorsearch_spark.operators.packing import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    total = (docs.filter(F.length(F.trim("text")) > 0)
+             .agg(F.sum(n_tok)).first()[0])
+    chunks = chunk_documents(docs, "text", "doc_id",
+                             chunk_tokens=64, stride=48)
+    # stride-aligned prefix = first 48 tokens of each chunk; the final
+    # (short) chunk contributes all of its tokens
+    covered = (chunks.agg(F.sum(F.least(F.col("n_tokens"), F.lit(48))))
+               .first()[0])
+    assert covered == total
