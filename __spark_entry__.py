@@ -795,6 +795,23 @@ def _q_embed_documents(spark, sf_dir):
                       F.size("embedding").alias("dim"))
 
 
+def _q_text_search_e2e(spark, sf_dir):
+    """Full reference-flagship flow with a REAL semantic backend that
+    needs no model weights: embed the corpus (passage prefix) with the
+    hashed-projection embedder, embed a text query (query prefix), cosine
+    top-10. Lexical-overlap semantics: the hits actually share vocabulary
+    with the query, unlike the hash-of-text test embedder."""
+    from dotnetvectorsearch_spark.embeddings import HashedProjectionEmbedder
+    e = HashedProjectionEmbedder(dim=64)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.withColumn(
+        "embedding", e.embed_column("text", kind="passage"))
+    q_text = docs.filter(F.col("doc_id") == 0).select(
+        e.embed_column("text", kind="query").alias("query_embedding"))
+    return S.top_k_similar(corpus.select("doc_id", "embedding"), q_text,
+                           top_k=10, id_col="doc_id", round_digits=6)
+
+
 def _q_tpch_q6(spark, sf_dir):
     """Single-table filter aggregate (TPC-H Q6 shape). All three predicates
     reach the parquet scan (PushedFilters: shipdate range, discount band,
@@ -1463,6 +1480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": _q_approx_distinct_users,
     "approx_value_percentiles": _q_approx_value_percentiles,
     "embed_documents": _q_embed_documents,
+    "text_search_e2e": _q_text_search_e2e,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
