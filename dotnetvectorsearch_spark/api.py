@@ -107,23 +107,70 @@ class VectorSearchEngine:
 
     def search(self, query_text: str, top_k: int = 5,
                include_embeddings: bool = False,
-               threshold: float | None = None) -> dict[str, Any]:
-        """POST /api/search — brute-force cosine top-k over the corpus."""
+               threshold: float | None = None,
+               method: str = "brute") -> dict[str, Any]:
+        """POST /api/search — cosine top-k over the corpus.
+
+        ``method`` selects the physical strategy (reference parity is
+        ``"brute"``; the rest are the beyond-reference scale paths):
+        ``"brute"`` exact scan, ``"ivf"`` partition-pruned nprobe search,
+        ``"lsh"`` multi-probe hyperplane buckets, ``"pq"`` ADC over
+        compressed codes + exact rescore. ANN indexes are built lazily on
+        first use and cached on the engine (build-time artifacts)."""
         validate_top_k(top_k)
         qvec = self._embed_texts([query_text], prefix=QUERY_PREFIX)[0]
-        query = self.spark.createDataFrame(
-            [(qvec,)], "query_embedding array<float>")
-        hits = top_k_similar(
-            self.corpus, query, top_k=top_k, id_col=self.id_col,
-            threshold=threshold, include_embeddings=include_embeddings,
-            round_digits=6).collect()
+        if method == "brute":
+            query = self.spark.createDataFrame(
+                [(qvec,)], "query_embedding array<float>")
+            hits_df = top_k_similar(
+                self.corpus, query, top_k=top_k, id_col=self.id_col,
+                threshold=threshold, include_embeddings=include_embeddings,
+                round_digits=6)
+        else:
+            hits_df = self._ann_search(method, qvec, top_k)
+            if threshold is not None:
+                score = ("similarity" if "similarity" in hits_df.columns
+                         else "approx_similarity")
+                hits_df = hits_df.filter(F.col(score) >= threshold)
+        hits = hits_df.collect()
         total = self.corpus.count()
         return {
             "query": query_text,
             "results": [r.asDict() for r in hits],
             "result_count": len(hits),
             "total_documents": total,
+            "method": method,
         }
+
+    def _ann_search(self, method: str, qvec: list[float], top_k: int):
+        from dotnetvectorsearch_spark.operators.ann import (
+            HyperplaneLSH,
+            IVFIndex,
+            PQIndex,
+        )
+        if not hasattr(self, "_ann"):
+            self._ann: dict[str, Any] = {}
+        vecs = self.corpus.select(self.id_col, "embedding")
+        if method == "ivf":
+            if "ivf" not in self._ann:
+                idx = IVFIndex(n_cells=16, nprobe=4).fit(vecs)
+                self._ann["ivf"] = (idx, idx.transform(vecs).persist())
+            idx, indexed = self._ann["ivf"]
+            return idx.search(indexed, qvec, top_k, id_col=self.id_col)
+        if method == "lsh":
+            if "lsh" not in self._ann:
+                idx = HyperplaneLSH(num_planes=12).fit(dim=len(qvec))
+                self._ann["lsh"] = (idx, idx.transform(vecs).persist())
+            idx, bucketed = self._ann["lsh"]
+            return idx.search(bucketed, qvec, top_k, id_col=self.id_col)
+        if method == "pq":
+            if "pq" not in self._ann:
+                idx = PQIndex(m=16, n_codes=64).fit(vecs)
+                self._ann["pq"] = (idx, idx.transform(vecs).persist())
+            idx, encoded = self._ann["pq"]
+            return idx.search(encoded, qvec, top_k, id_col=self.id_col,
+                              rescore=vecs, shortlist=max(10 * top_k, 50))
+        raise ValueError(f"unknown search method: {method!r}")
 
     # ------------------------------------------------------------ documents
 

@@ -56,11 +56,14 @@ def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int,
     x = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     n = len(x)
+    n_cells = min(n_cells, n)  # degenerate corpora: never more cells than points
     centroids = [x[rng.randint(n)]]
     for _ in range(1, n_cells):
         d2 = np.min(
             [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
-        probs = d2 / max(d2.sum(), 1e-12)
+        s = d2.sum()
+        # all remaining points coincide with a centroid -> uniform pick
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
         centroids.append(x[rng.choice(n, p=probs)])
     cent = np.stack(centroids)
     for _ in range(iters):
@@ -195,7 +198,8 @@ def _kmeans_fit_plain(sample: np.ndarray, n_codes: int, seed: int,
     for _ in range(1, n_codes):
         d2 = np.min(
             [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
-        probs = d2 / max(d2.sum(), 1e-12)
+        s = d2.sum()
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
         centroids.append(x[rng.choice(n, p=probs)])
     cent = np.stack(centroids)
     for _ in range(iters):

@@ -91,3 +91,38 @@ def test_list_documents_projection_toggle(engine):
     assert [d["id"] for d in without["documents"]] == [1, 2, 3, 4]
     assert "embedding" in with_e["documents"][0]
     assert "embedding" not in without["documents"][0]
+
+
+def test_search_method_selection(spark):
+    """Every ANN method plugs into the same search call. With a semantic
+    (lexical-overlap) embedder, the duplicated cancel-booking docs must
+    top the exact ranking, and the candidate-scanning approximations
+    (ivf: nprobe covers all 4 cells; pq: rescored shortlist covers the
+    corpus) must agree. LSH may legitimately return fewer than k on a
+    4-doc corpus (empty probe buckets) — only its ranking is checked."""
+    from dotnetvectorsearch_spark.embeddings import HashedProjectionEmbedder
+    raw = spark.createDataFrame(
+        [(1, "How do I cancel my booking?", "Use the portal."),
+         (2, "What is the refund policy?", "Refunds within 30 days."),
+         (3, "How do I cancel my booking?", "Use the portal."),
+         (4, "Where is check-in?", "Front desk, level 1.")],
+        "id long, question string, answer string")
+    emb = HashedProjectionEmbedder(dim=32)
+    eng = VectorSearchEngine(spark, prepare_documents(raw, emb), emb)
+
+    brute = eng.search("cancel my booking", top_k=2)
+    assert brute["method"] == "brute"
+    assert {r["id"] for r in brute["results"]} == {1, 3}
+    for method in ("ivf", "pq"):
+        out = eng.search("cancel my booking", top_k=2, method=method)
+        assert out["method"] == method
+        assert {r["id"] for r in out["results"]} == {1, 3}, method
+    lsh = eng.search("cancel my booking", top_k=2, method="lsh")
+    hit_ids = {r["id"] for r in lsh["results"]}
+    assert hit_ids <= {1, 2, 3, 4} and len(hit_ids) <= 2
+
+
+def test_search_unknown_method_rejected(engine):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown search method"):
+        engine.search("anything", method="hnsw")
