@@ -673,6 +673,22 @@ def _q_media_stats(spark, sf_dir):
     return media_stats(media_from_documents(docs))
 
 
+def _q_media_resized(spark, sf_dir):
+    """Multimodal resize plumbing contract, oracle-checked on the parts
+    SQL can see: images come back at the target dimensions with the
+    deterministic stub payload size; other modalities pass through with
+    their original byte length and null dims."""
+    from dotnetvectorsearch_spark.multimodal.binary_ops import (
+        media_from_documents,
+        resize_media,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_media(media_from_documents(docs), 224, 224)
+    return out.select("asset_id", "modality",
+                      F.length("payload").alias("n_bytes"),
+                      "width", "height")
+
+
 # ---- rows-only queries (non-SQL-expressible: hash-seeded LSH, kmeans ANN,
 # ---- python-embedder) — driver records a weaker rows-only check.
 
@@ -1458,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_stats": _q_props_json_stats,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "media_stats": _q_media_stats,
+    "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
     "sql_vector_search": _q_sql_vector_search,
     "value_percentiles": _q_value_percentiles,
@@ -2543,5 +2560,17 @@ def oracle_sql() -> dict[str, str]:
                    MAX(octet_length(encode(text))) AS max_bytes
             FROM documents
             GROUP BY 1, 2
+        """,
+        "media_resized": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN (224 * 224) // 1024
+                        ELSE octet_length(encode(text)) END AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0 THEN 224 END AS width,
+                   CASE WHEN doc_id % 3 = 0 THEN 224 END AS height
+            FROM documents
         """,
     }

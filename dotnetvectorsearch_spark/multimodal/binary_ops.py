@@ -103,6 +103,49 @@ def sample_frames(media: DataFrame, every_nth: int = 30,
         .mapInPandas(process, schema)
 
 
+def resize_media(media: DataFrame, target_width: int = 224,
+                 target_height: int = 224,
+                 decode_stub: str = "fake") -> DataFrame:
+    """Image resize: binary in -> binary out + updated dimension metadata
+    (the preprocessing step every vision-training pipeline runs).
+
+    The stub 'resize' is a deterministic payload transform (truncate/pad
+    to a size proportional to the target area) so the binary->binary
+    round-trip plumbing — payload column in AND out, metadata rewrite,
+    non-image passthrough — is fully testable; swap ``_fake_decode``-style
+    kernels for PIL at the marked integration point. Non-image rows pass
+    through unchanged (width/height null), so the operator is safe to run
+    over a mixed-modality table."""
+    schema = ("asset_id long, modality string, mime_type string, "
+              "payload binary, width int, height int")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "real image codecs (PIL) are not available; integration "
+                "point for production resize")
+        target_len = max(1, (target_width * target_height) // 1024)
+        for pdf in batches:
+            rows = []
+            for asset_id, modality, mime, payload in zip(
+                    pdf["asset_id"], pdf["modality"], pdf["mime_type"],
+                    pdf["payload"]):
+                if modality != "image":
+                    rows.append((asset_id, modality, mime, payload,
+                                 None, None))
+                    continue
+                buf = bytes(payload or b"") or b"\x00"  # empty -> 1 zero byte
+                resized = (buf * (target_len // len(buf) + 1))[:target_len]
+                rows.append((asset_id, modality, mime, resized,
+                             target_width, target_height))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "modality", "mime_type", "payload",
+                "width", "height"])
+
+    return media.select("asset_id", "modality", "mime_type", "payload") \
+        .mapInPandas(process, schema)
+
+
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Deterministic synthetic media table from the documents fixture:

@@ -64,3 +64,29 @@ def test_media_stats_no_python(spark, media):
     assert stats[("image", "image/png")] == 2
     plan = media_stats(media)._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()
+
+
+def test_resize_media_images_only(spark, media):
+    from dotnetvectorsearch_spark.multimodal.binary_ops import resize_media
+    out = resize_media(media, target_width=224, target_height=224)
+    rows = {r.asset_id: r for r in out.collect()}
+    assert set(rows) == {r.asset_id for r in media.collect()}
+    expected_len = (224 * 224) // 1024
+    for r in rows.values():
+        if r.modality == "image":
+            assert (r.width, r.height) == (224, 224)
+            assert len(r.payload) == expected_len
+        else:
+            # non-image rows pass through untouched
+            assert r.width is None and r.height is None
+    # deterministic: same input -> identical resized bytes
+    again = {r.asset_id: bytes(r.payload) for r in
+             resize_media(media, 224, 224).collect() if r.modality == "image"}
+    for aid, payload in again.items():
+        assert bytes(rows[aid].payload) == payload
+
+
+def test_resize_media_raise_stub(spark, media):
+    from dotnetvectorsearch_spark.multimodal.binary_ops import resize_media
+    with pytest.raises(Exception, match="integration point"):
+        resize_media(media, decode_stub="raise").collect()
