@@ -280,6 +280,37 @@ class PQIndex:
         """Attach PQ codes — narrow, shuffle-free, Arrow-batched."""
         return emb.withColumn(out, self.encode_udf()(F.col(vec_col)))
 
+    def write(self, emb: DataFrame, path: str,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        """Materialize the index: codes table (m bytes/row — the only
+        thing a search scans) and the codebooks, both parquet. The float
+        vectors stay wherever they already live (needed only for
+        rescore)."""
+        self.transform(emb.select(id_col, vec_col), vec_col) \
+            .drop(vec_col).write.mode("overwrite").parquet(f"{path}/codes")
+        spark = emb.sparkSession
+        books = [(j, c, [float(x) for x in self.codebooks[j, c]])
+                 for j in range(self.m)
+                 for c in range(self.codebooks.shape[1])]
+        spark.createDataFrame(
+            books, "subspace int, code int, centroid array<float>") \
+            .write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def read(cls, spark, path: str) -> tuple[PQIndex, DataFrame]:
+        """Load a written index: returns (index, codes DataFrame)."""
+        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = max(r.subspace for r in rows) + 1
+        n_codes = max(r.code for r in rows) + 1
+        dim_sub = len(rows[0].centroid)
+        books = np.zeros((m, n_codes, dim_sub), dtype=np.float32)
+        for r in rows:
+            books[r.subspace, r.code] = np.asarray(r.centroid,
+                                                   dtype=np.float32)
+        idx = cls(m=m, n_codes=n_codes)
+        idx.codebooks = books
+        return idx, spark.read.parquet(f"{path}/codes")
+
     def lookup_table(self, query_vec: list[float]) -> np.ndarray:
         """Per-query ADC table: table[j, c] = dot(q_subspace_j, code_jc)."""
         q = np.asarray(query_vec, dtype=np.float32)

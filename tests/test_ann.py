@@ -152,3 +152,18 @@ def test_ivf_refine_deterministic(emb):
     a = A.IVFIndex(n_cells=4, nprobe=2, seed=9).fit(emb).refine(emb, iters=1)
     b = A.IVFIndex(n_cells=4, nprobe=2, seed=9).fit(emb).refine(emb, iters=1)
     assert (a.centroids == b.centroids).all()
+
+
+def test_pq_write_read_roundtrip(emb, qvec, tmp_path, spark):
+    """A persisted PQ index reloads to identical codebooks and identical
+    search results (the index is a storage artifact, not session state)."""
+    pq = A.PQIndex(m=8, n_codes=32, seed=5).fit(emb)
+    path = str(tmp_path / "pq")
+    pq.write(emb, path)
+    loaded, codes = A.PQIndex.read(spark, path)
+    assert (loaded.codebooks == pq.codebooks).all()
+    before = [(r.vec_id, r.approx_similarity)
+              for r in pq.search(pq.transform(emb), qvec, 5).collect()]
+    after = [(r.vec_id, r.approx_similarity)
+             for r in loaded.search(codes, qvec, 5).collect()]
+    assert before == after

@@ -306,3 +306,32 @@ def test_stream_index_append_searchable(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan  # probes prune at the scan
     got = [r.vec_id for r in res.collect()]
     assert got[0] == 0 and len(got) == 5
+
+
+def test_stream_prepare_exactly_once_restart(spark, tmp_path):
+    """Exactly-once across restarts: stopping the ingest stream and
+    restarting with the SAME checkpoint must not re-embed or re-append
+    files already processed."""
+    from dotnetvectorsearch_spark.embeddings import DeterministicEmbedder
+    ind = tmp_path / "in"
+    ind.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    (ind / "a.csv").write_text(CSV1)
+    q = stream_prepare(spark, str(ind), out, ckpt, DeterministicEmbedder(dim=8))
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 2)
+    finally:
+        q.stop()
+    # restart with the same checkpoint; drop one new file
+    (ind / "b.csv").write_text(CSV2)
+    q2 = stream_prepare(spark, str(ind), out, ckpt,
+                        DeterministicEmbedder(dim=8))
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 3)
+        import time as _t
+        _t.sleep(2)  # allow any (wrong) duplicate batch to surface
+        assert _count_parquet(spark, out) == 3
+    finally:
+        q2.stop()
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]
