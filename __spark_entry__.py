@@ -1330,6 +1330,29 @@ def _q_ann_pq_recall(spark, sf_dir):
     return spark.createDataFrame([(recall,)], "recall_at_10 double")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher/C4 repetition heuristics per doc: distinct-token ratio and
+    top-token share — the boilerplate/keyword-stuffing filters a corpus
+    cleaning pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.repetition_stats("text")
+    return docs.select("doc_id",
+                       *[c.alias(n) for n, c in stats.items()])
+
+
+def _q_redacted_docs(spark, sf_dir):
+    """PII scrub pass. The synthetic corpus is PII-free, so deterministic
+    PII (an email built from doc_id, a phone, an IP) is appended first —
+    the oracle replicates both the injection and the scrub, proving the
+    patterns behave identically under Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 192.168.1.1"))
+    return docs.select("doc_id", T.redact_pii(with_pii).alias("redacted"))
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (RAG/context-window prep):
     64-token chunks every 48 tokens, one row per chunk."""
@@ -1462,6 +1485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding": _q_events_sliding,
     "chunk_documents": _q_chunk_documents,
     "label_centroids": _q_label_centroids,
+    "repetition_stats": _q_repetition_stats,
+    "redacted_docs": _q_redacted_docs,
     "events_distinct_users": _q_events_distinct_users,
     "distinct_brands": _q_distinct_brands,
     "topk_batch": _q_topk_batch,
@@ -2155,6 +2180,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[start_tok + 1 : start_tok + 64], ' ')
                        AS chunk_text
             FROM starts
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(t) AS tok FROM toks
+            ), c AS (
+                SELECT doc_id, tok, count(*) AS cnt
+                FROM u GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   round(count(*) / CAST(SUM(cnt) AS DOUBLE), 6)
+                       AS distinct_ratio,
+                   round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6)
+                       AS top_token_share
+            FROM c GROUP BY doc_id
+        """,
+        "redacted_docs": """
+            WITH pii AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-123-4567 at 192.168.1.1'
+                           AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g'),
+                           '\\+?\\b(?:\\d{1,3}[ .-]?)?(?:\\(\\d{2,4}\\)[ .-]?)?\\d{3}[ .-]\\d{3,4}\\b',
+                           '<PHONE>', 'g') AS redacted
+            FROM pii
         """,
         "label_centroids": """
             WITH v AS (

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "label_centroids",
     "contamination_pairs",
     "clean_corpus",
+    "redacted_docs",
+    "repetition_stats",
     "user_event_types",
     "value_percentiles",
     "cube_orders",

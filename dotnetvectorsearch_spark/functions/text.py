@@ -127,6 +127,72 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_ok + word_ok + stop_ok + punct_ok) / 4.0, 6)
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs. Order matters: emails before the
+# bare-number patterns (an address's digits must not be half-scrubbed),
+# and IPs before phones (the phone rule would otherwise eat "192.168").
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # leading \+?\b (not \b\+?): a word boundary can't precede '+', so the
+    # anchor sits between the optional plus and the first digit
+    (r"\+?\b(?:\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}\b",
+     "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub common PII shapes (emails, card-length digit runs, phone
+    numbers, IPv4) to typed placeholder tokens — the standard scrub pass
+    before corpus text reaches a training set. Heuristic by design:
+    recall-oriented patterns, applied in order so composite matches
+    (an email's digits) are consumed by the earlier rule. Pure
+    ``regexp_replace`` — codegen'd, and oracle-checkable because the
+    patterns avoid Java/RE2 dialect differences."""
+    out = _c(text)
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_stats(text: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style repetition features: distinct-token ratio and the
+    share of the text occupied by the single most frequent token. Low
+    distinct ratios / high top-token share flag boilerplate and
+    keyword-stuffed documents. Built-ins only: the token array is
+    computed once per expression tree (no lambda capture of a computed
+    array — see _sliding_concat)."""
+    toks = F.split(F.trim(_c(text)), WS_PATTERN)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # top-token count = longest equal-run of the SORTED tokens, found in
+    # one aggregate pass whose lambdas touch only (acc, x) — capturing
+    # the token array in a per-element lambda would re-split the string
+    # O(distinct) times (see _sliding_concat)
+    def _merge(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.best, run).alias("best"))
+
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(" ").alias("prev"),
+                 F.lit(0).cast("int").alias("run"),
+                 F.lit(0).cast("int").alias("best")),
+        _merge,
+        lambda acc: acc.best)
+    return {
+        "n_tokens": n.cast("long"),
+        "distinct_ratio": F.round(
+            F.when(n > 0, n_distinct.cast("double") / n)
+            .otherwise(F.lit(0.0)), 6),
+        "top_token_share": F.round(
+            F.when(n > 0, top_count.cast("double") / n)
+            .otherwise(F.lit(0.0)), 6),
+    }
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts over lowercased text."""
     t = F.lower(_c(text))

@@ -98,3 +98,35 @@ def test_clean_text_preserves_plain_text(spark):
     df = spark.createDataFrame([Row(t="already clean text")])
     assert df.select(T.clean_text("t")).collect()[0][0] == \
         "already clean text"
+
+
+def test_redact_pii_all_shapes(spark):
+    from dotnetvectorsearch_spark.functions.text import redact_pii
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-ample.co.uk, call 555-123-4567 or +1 (212) 555-0199, "
+          "card 4111 1111 1111 1111, host 10.0.0.1",)], "t string")
+    out = df.select(redact_pii("t").alias("r")).first().r
+    assert "<EMAIL>" in out and "@" not in out
+    assert "<CARD>" in out and "4111" not in out
+    assert "<IP>" in out and "10.0.0.1" not in out
+    assert "<PHONE>" in out and "555-123-4567" not in out
+    assert "+" not in out  # the plus of "+1 (212)..." is consumed too
+    # clean text passes through untouched
+    clean = spark.createDataFrame([("just words, 版本 7 here",)], "t string")
+    assert clean.select(redact_pii("t").alias("r")).first().r \
+        == "just words, 版本 7 here"
+
+
+def test_repetition_stats_known_values(spark):
+    from dotnetvectorsearch_spark.functions.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "all unique tokens here")],
+        "id long, t string")
+    stats = repetition_stats("t")
+    rows = {r.id: r for r in df.select(
+        "id", *[c.alias(n) for n, c in stats.items()]).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].distinct_ratio == 0.5
+    assert rows[1].top_token_share == 0.75
+    assert rows[2].distinct_ratio == 1.0
+    assert rows[2].top_token_share == 0.25
