@@ -292,6 +292,41 @@ def _q_dedup_rows(spark, sf_dir):
     return exact_dedup(docs, "text", "doc_id").select("doc_id")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: jaccard candidate pairs -> distributed
+    connected components (min-label + pointer jumping) -> every doc mapped
+    to its cluster's min id (= the canonical doc to keep)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        dedup_clusters, jaccard_pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.1)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def _q_click_purchase_interval(spark, sf_dir):
+    """Interval join (batch twin of the watermarked stream-stream join):
+    every (click, purchase) pair per user with the purchase inside the
+    30-minute attribution window after the click."""
+    from dotnetvectorsearch_spark.streaming.ingest import stream_interval_join
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(ts AS LONG) DIV 1000000000")
+    base = ev.select("event_id", "user_id", "event_type",
+                     F.timestamp_seconds(sec).alias("t"))
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("t").alias("click_t")))
+    purchases = (base.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id"),
+                         F.col("t").alias("purchase_t")))
+    out = stream_interval_join(clicks, purchases, "user_id",
+                               "click_t", "purchase_t", "30 minutes")
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_timestamp("purchase_t") - F.unix_timestamp("click_t"))
+        .alias("delta_sec"))
+
+
 def _q_sessionize(spark, sf_dir):
     """Stateful sequence op: 30-minute-gap sessionization per user
     (batch twin of the streaming applyInPandasWithState sessionizer)."""
@@ -1458,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": _q_jaccard_pairs,
     "embedding_neardup": _q_embedding_neardup,
     "dedup_rows": _q_dedup_rows,
+    "dedup_clusters": _q_dedup_clusters,
     "sessionize": _q_sessionize,
     "customers_no_orders": _q_customers_no_orders,
     "tpch_q5": _q_tpch_q5,
@@ -1496,6 +1532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeat_customers": _q_repeat_customers,
     "churned_customers": _q_churned_customers,
     "asof_click_purchase": _q_asof_click_purchase,
+    "click_purchase_interval": _q_click_purchase_interval,
     "props_json_stats": _q_props_json_stats,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "media_stats": _q_media_stats,
@@ -1798,6 +1835,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT ia, ib
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = ia
+                JOIN sizes sb ON sb.doc_id = ib
+                WHERE round(n_inter /
+                            CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE),
+                            6) >= 0.1
+            ), edges AS (
+                SELECT ia AS a, ib AS b FROM pairs
+                UNION
+                SELECT ib AS a, ia AS b FROM pairs
+            ), reach AS (
+                SELECT a AS node, a AS r FROM edges
+                UNION
+                SELECT e.b AS node, reach.r
+                FROM reach JOIN edges e ON e.a = reach.node
+            ), comp AS (
+                SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "sessionize": """
             WITH e AS (
@@ -2332,6 +2407,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, sec AS purchase_sec,
                    coalesce(lc, -1) AS last_click_sec
             FROM w WHERE event_type = 'purchase'
+        """,
+        "click_purchase_interval": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_ms(ts) // 1000 AS sec
+                FROM events
+            )
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   p.sec - c.sec AS delta_sec
+            FROM e c
+            JOIN e p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND p.sec >= c.sec
+             AND p.sec <= c.sec + 1800
         """,
         "props_json_stats": """
             SELECT event_type,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "session_windows",
     "sessionize",
     "jaccard_pairs",
+    "dedup_clusters",
     "minhash_pairs",
     "embedding_neardup",
     "ann_ivf_topk",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "value_band_join",
     "rollup_revenue",
     "asof_click_purchase",
+    "click_purchase_interval",
     "winnow_fingerprints",
     "media_stats",
     "pack_documents",

@@ -439,3 +439,86 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ------------------------------------------------------ duplicate clusters
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list; returns
+    ``(node, component)`` where ``component`` is the minimum node id
+    reachable from ``node``. The last stage of every dedup pipeline:
+    candidate pairs (minhash / simhash / jaccard / embedding cosine) are
+    edges, components are duplicate clusters, and the min-id member is the
+    canonical document to keep.
+
+    Algorithm: min-label propagation fused with pointer jumping — each
+    round a node's label becomes ``min(own, neighbours' labels,
+    label-of-label)``. Neighbour propagation alone needs O(diameter)
+    rounds; the pointer-jump term halves chain depth every round, giving
+    O(log n) convergence like the large-star/small-star alternating
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Dedup graphs are near-cliques with tiny diameter,
+    so in practice 2-3 rounds converge.
+
+    Scale: per round, two hash-partition equi-joins keyed on node id
+    (edges x labels, labels x labels) and one min-groupBy — shuffle
+    proportional to |E| + |V|, never quadratic. ``localCheckpoint``
+    truncates the growing lineage each round (without it, round k
+    re-executes rounds 1..k-1). Beyond-reference (north-star dedup;
+    the reference has no joins at all, SURVEY §2.5).
+    """
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+             .distinct()
+             .persist())
+    # label(u) starts as min(u, min neighbour) — one round of propagation
+    # folded into initialization.
+    labels = (edges.groupBy("u")
+              .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+              .select(F.col("u").alias("node"), "label")
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.v == labels.node)
+               .select(F.col("u").alias("node"), "label"))
+        jump = (labels.alias("x")
+                .join(labels.select(F.col("node").alias("label"),
+                                    F.col("label").alias("label2")).alias("y"),
+                      "label")
+                .select("node", F.col("label2").alias("label")))
+        new = (labels.union(nbr).union(jump)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Assign every document a duplicate-cluster id: the component min-id
+    for docs appearing in a candidate pair, the doc's own id for
+    singletons. ``cluster_id`` doubles as the canonical-keep id, so
+    downstream dedup is ``filter(doc_id == cluster_id)``.
+
+    Scale: one broadcast-or-shuffle left join of the corpus against the
+    (much smaller) component map.
+    """
+    comp = connected_components(pairs, src, dst)
+    return (docs.select(F.col(id_col))
+            .join(comp.select(F.col("node").alias(id_col),
+                              F.col("component")),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col))
+                    .alias("cluster_id")))

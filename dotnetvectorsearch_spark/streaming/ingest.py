@@ -241,3 +241,35 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
             ))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str, left_ts: str, right_ts: str,
+                         within: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: pair each left event with every right
+    event for the same key that lands in ``[left_ts, left_ts + within]``
+    (e.g. click -> purchases within the attribution window). Works on two
+    streaming frames, two batch frames, or a mix — same plan shape, so the
+    batch twin is directly oracle-checkable.
+
+    Streaming semantics: BOTH sides carry watermarks and the join
+    condition bounds event time in both directions, which lets the state
+    store evict rows once ``watermark + within`` passes — without the
+    bound, stream-stream join state grows forever (the documented Spark
+    requirement for state cleanup). Column names must be disjoint apart
+    from ``key`` (rename before calling).
+
+    Scale: state per key is O(events inside the watermark horizon); the
+    join itself is a hash-partition co-partitioning on ``key`` of the two
+    streams — the same shuffle a batch equi-join would pay, plus state.
+    Beyond-reference (reference has no streams, SURVEY §2.5).
+    """
+    l = (left.withWatermark(left_ts, watermark)
+         if left.isStreaming else left)
+    r = (right.withWatermark(right_ts, watermark)
+         if right.isStreaming else right)
+    cond = ((l[key] == r[key])
+            & (r[right_ts] >= l[left_ts])
+            & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond).drop(r[key])

@@ -133,3 +133,56 @@ def test_cross_corpus_contamination(spark):
     rows = {(r.test_id, r.train_id): r.overlap for r in out.collect()}
     assert (10, 1) in rows and rows[(10, 1)] >= 0.9   # contained prompt
     assert not any(t == 11 for (t, _) in rows)        # clean doc absent
+
+
+def test_connected_components_chain_and_clique(spark):
+    # A 10-node chain (worst case for pure neighbour propagation: diameter
+    # 9 must converge via pointer jumping), a 4-clique, and an isolated
+    # pair — three components, labelled by their min ids.
+    edges = ([(i, i + 1) for i in range(9)]
+             + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+             + [(30, 31)])
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {r.node: r.component
+            for r in D.connected_components(df).collect()}
+    assert all(comp[i] == 0 for i in range(10))
+    assert all(comp[i] == 20 for i in range(20, 24))
+    assert comp[30] == 30 and comp[31] == 30
+
+
+def test_connected_components_matches_union_find(spark):
+    # Oracle: driver-side union-find on a deterministic random-ish graph.
+    edges = [((7 * i) % 40, (11 * i + 3) % 40) for i in range(30)]
+    edges = [e for e in edges if e[0] != e[1]]
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = sorted({n for e in edges for n in e})
+    expected = {}
+    roots = {}
+    for n in nodes:
+        r = find(n)
+        roots.setdefault(r, n)          # min node per root (nodes sorted)
+        expected[n] = roots[r]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in D.connected_components(df).collect()}
+    assert got == expected
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    cl = {r.doc_id: r.cluster_id
+          for r in D.dedup_clusters(docs, pairs).collect()}
+    assert cl == {1: 1, 2: 2, 3: 2, 9: 9}
+    # canonical filter keeps exactly one doc per cluster
+    keep = [d for d, c in cl.items() if d == c]
+    assert sorted(keep) == [1, 2, 9]

@@ -335,3 +335,52 @@ def test_stream_prepare_exactly_once_restart(spark, tmp_path):
         q2.stop()
     ids = sorted(r.id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_interval_join_stream_and_batch_parity(spark, tmp_path):
+    from dotnetvectorsearch_spark.streaming.ingest import stream_interval_join
+
+    clicks = [Row(click_id=1, user_id=10, click_t="2024-01-01 10:00:00"),
+              Row(click_id=2, user_id=20, click_t="2024-01-01 10:00:00")]
+    purchases = [
+        Row(purchase_id=101, p_user=10, purchase_t="2024-01-01 10:10:00"),
+        Row(purchase_id=102, p_user=10, purchase_t="2024-01-01 11:00:00"),
+        Row(purchase_id=103, p_user=20, purchase_t="2024-01-01 10:30:00"),
+    ]
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(); pdir.mkdir()
+    cdf = spark.createDataFrame(clicks).withColumn(
+        "click_t", F.col("click_t").cast("timestamp"))
+    pdf = (spark.createDataFrame(purchases)
+           .withColumnRenamed("p_user", "user_id")
+           .withColumn("purchase_t", F.col("purchase_t").cast("timestamp")))
+    cdf.write.mode("overwrite").parquet(str(cdir / "b1"))
+    pdf.write.mode("overwrite").parquet(str(pdir / "b1"))
+
+    # 101 inside the window, 103 exactly on the inclusive 30-min edge,
+    # 102 past it.
+    expected = {(1, 101), (2, 103)}
+
+    batch = stream_interval_join(cdf, pdf, "user_id",
+                                 "click_t", "purchase_t", "30 minutes")
+    assert {(r.click_id, r.purchase_id)
+            for r in batch.collect()} == expected
+
+    cs = (spark.readStream
+          .schema("click_id long, user_id long, click_t timestamp")
+          .parquet(str(cdir / "*")))
+    ps = (spark.readStream
+          .schema("purchase_id long, user_id long, purchase_t timestamp")
+          .parquet(str(pdir / "*")))
+    joined = stream_interval_join(cs, ps, "user_id",
+                                  "click_t", "purchase_t", "30 minutes")
+    q = (joined.writeStream.format("memory")
+         .queryName("ssjoin_test").outputMode("append").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM ssjoin_test").count() >= 2)
+        got = {(r.click_id, r.purchase_id)
+               for r in spark.sql("SELECT * FROM ssjoin_test").collect()}
+        assert got == expected
+    finally:
+        q.stop()
