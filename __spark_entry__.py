@@ -169,6 +169,64 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_user_event_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns. The pivot values are
+    pinned explicitly, so Spark skips the extra distinct-values job and the
+    plan is a single hash aggregate — the only pivot form that is sane at
+    100 TB (unbounded inferred pivot columns are a driver OOM)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", EVENT_TYPES)
+           .agg(F.count(F.lit(1))))
+    return out.na.fill(0, EVENT_TYPES)
+
+
+def _q_top_terms(spark, sf_dir):
+    """Corpus vocabulary statistics: top-100 terms by collection frequency
+    with document frequency — the first pass of any tokenizer-training /
+    stopword-mining pipeline. explode -> two-level aggregate; term-keyed
+    shuffle with map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    toks = toks.filter(F.col("term") != "")
+    per_doc = (toks.groupBy("doc_id", "term")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    return (per_doc.groupBy("term")
+            .agg(F.sum("tf").alias("n_occurrences"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("term"))
+            .limit(100))
+
+
+def _q_tfidf_top_term(spark, sf_dir):
+    """TF-IDF: each document's highest-scoring term (tf * ln(N/df)).
+    Corpus size N arrives via a broadcast 1-row cross join (never a
+    driver-side collect into the plan); ranking is a per-doc window."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    toks = toks.filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(total))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "term", "tfidf"))
+
+
 def _q_quality_scores(spark, sf_dir):
     """Text analysis: quality features + composite score."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1483,6 +1541,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_codec_roundtrip": _q_json_codec_roundtrip,
     "quantized_embeddings": _q_quantized_embeddings,
     "token_stats": _q_token_stats,
+    "user_event_pivot": _q_user_event_pivot,
+    "top_terms": _q_top_terms,
+    "tfidf_top_term": _q_tfidf_top_term,
     "quality_scores": _q_quality_scores,
     "lang_id": _q_lang_id,
     "fingerprint_dedup": _q_fingerprint_dedup,
@@ -1685,6 +1746,54 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
                    length(text) AS chars
             FROM documents
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS click,
+                   count(*) FILTER (WHERE event_type = 'view')     AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   count(*) FILTER (WHERE event_type = 'error')    AS error
+            FROM events GROUP BY user_id
+        """,
+        "top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT term, SUM(tf) AS n_occurrences, count(*) AS n_docs
+            FROM tf GROUP BY term
+            ORDER BY n_occurrences DESC, term ASC
+            LIMIT 100
+        """,
+        "tfidf_top_term": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(*) AS n FROM documents
+            ), s AS (
+                SELECT doc_id, tf.term,
+                       round(tf * ln(n / df), 6) AS tfidf,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY round(tf * ln(n / df), 6) DESC,
+                                    tf.term ASC) AS rn
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf FROM s WHERE rn = 1
         """,
         "quality_scores": """
             WITH f AS (

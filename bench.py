@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "redacted_docs",
     "repetition_stats",
     "user_event_types",
+    "user_event_pivot",
+    "top_terms",
+    "tfidf_top_term",
     "value_percentiles",
     "cube_orders",
     "bm25_topk",
