@@ -171,6 +171,28 @@ def _q_token_stats(spark, sf_dir):
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_dataset_splits(spark, sf_dir):
+    """Deterministic train/val/test split by content hash: assignment
+    depends only on (doc_id, salt), so it is stable across runs, engines,
+    partitionings, and incremental re-ingests. Narrow codegen projection,
+    zero shuffle."""
+    from dotnetvectorsearch_spark.operators.sampling import hash_split
+    docs = load_table(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+            .select("doc_id", "split"))
+
+
+def _q_doc_seq_ids(spark, sf_dir):
+    """Dense contiguous ids 0..N-1 in doc_id order without the
+    single-task global row_number: range repartition + per-partition
+    offsets + narrow mapInPandas stamp."""
+    from dotnetvectorsearch_spark.operators.ids import contiguous_ids
+    docs = load_table(spark, sf_dir, "documents")
+    return contiguous_ids(docs, "doc_id").select("doc_id", "seq_id")
+
 
 def _q_user_event_pivot(spark, sf_dir):
     """Pivot: per-user event-type counts as columns. The pivot values are
@@ -1542,6 +1564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_embeddings": _q_quantized_embeddings,
     "token_stats": _q_token_stats,
     "user_event_pivot": _q_user_event_pivot,
+    "dataset_splits": _q_dataset_splits,
+    "doc_seq_ids": _q_doc_seq_ids,
     "top_terms": _q_top_terms,
     "tfidf_top_term": _q_tfidf_top_term,
     "quality_scores": _q_quality_scores,
@@ -1745,6 +1769,25 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                    len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
                    length(text) AS chars
+            FROM documents
+        """,
+        "dataset_splits": """
+            -- fixed-width lowercase-hex compare == numeric compare;
+            -- thresholds are %08x of int(cum_weight * 16^8), matching
+            -- operators.sampling.hash_split exactly
+            SELECT doc_id,
+                   CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                                 1, 8) < 'e6666666' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                                 1, 8) < 'f3333333' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "doc_seq_ids": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS seq_id
             FROM documents
         """,
         "user_event_pivot": """

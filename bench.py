@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "user_event_pivot",
     "top_terms",
     "tfidf_top_term",
+    "dataset_splits",
+    "doc_seq_ids",
     "value_percentiles",
     "cube_orders",
     "bm25_topk",

@@ -33,3 +33,37 @@ def proportional_downsample(df: DataFrame, strata_col: str,
     fractions = {k: min(1.0, target_per_stratum / n)
                  for k, n in counts.items() if n > 0}
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, float],
+               salt: str = "split-v1",
+               out: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: the split
+    a row lands in depends only on (key, salt), so it is stable across
+    runs, machines, partitionings, and incremental re-ingests — the
+    property random `randomSplit` does NOT have (its assignment changes
+    with partitioning). Weights need not sum to 1; they are normalized.
+
+    Mechanism: the first 8 hex chars of md5(key || salt) uniformly cover
+    [0, 16^8); cumulative weight thresholds carve the range. A narrow,
+    codegen'd projection — no shuffle, no state, trivially parallel at
+    any scale, and exactly reproducible in any engine with md5 (hence
+    oracle-checkable).
+    """
+    total = sum(weights.values())
+    bound = 16 ** 8
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long")
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = h < F.lit(int(acc * bound))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)

@@ -30,3 +30,33 @@ def test_proportional_downsample_caps_strata(spark, sf_dir):
               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     # Bernoulli sampling is approximate; allow 3x headroom over the target
     assert counts and all(n <= 3 * target for n in counts.values())
+
+
+def test_hash_split_stable_and_partition_invariant(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import hash_split
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split
+         for r in hash_split(docs, "doc_id", w).select(
+             "doc_id", "split").collect()}
+    # identical assignment under a different partitioning (randomSplit
+    # would NOT survive this)
+    b = {r.doc_id: r.split
+         for r in hash_split(docs.repartition(7), "doc_id", w).select(
+             "doc_id", "split").collect()}
+    assert a == b
+    from collections import Counter
+    frac = Counter(a.values())
+    n = len(a)
+    assert 0.8 < frac["train"] / n < 0.97
+    assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_hash_split_weight_normalization(spark):
+    from dotnetvectorsearch_spark.operators.sampling import hash_split
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    # weights 9/1 == 0.9/0.1 after normalization
+    a = {r.k: r.split for r in hash_split(df, "k", {"a": 9, "b": 1}).collect()}
+    b = {r.k: r.split
+         for r in hash_split(df, "k", {"a": 0.9, "b": 0.1}).collect()}
+    assert a == b
