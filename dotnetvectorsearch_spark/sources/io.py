@@ -106,3 +106,49 @@ def embedding_from_json(df: DataFrame, col: str = "embedding_json",
     ``?? Array.Empty<float>()`` at VectorSearchService.cs:148-149)."""
     parsed = F.from_json(F.col(col), ArrayType(FloatType()))
     return df.withColumn(out, F.coalesce(parsed, F.array().cast("array<float>")))
+
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         schema: StructType) -> DataFrame:
+    """JSONL corpus reader: one JSON object per line, explicit schema
+    (never inferSchema — an inference pass over 100 TB is a full extra
+    scan). Corrupt lines land in no row rather than failing the job,
+    matching the CSV reader's silent-drop policy (DROPMALFORMED).
+    Beyond-reference: the reference ingests only CSV
+    (DotNetVectorSearch.Prepare/Program.cs:26-34); JSONL is the lingua
+    franca of LLM training corpora, so the engine treats it as a
+    first-class source."""
+    return (spark.read.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .json(path))
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                target_partitions: int | None = None,
+                max_records_per_file: int | None = None) -> None:
+    """JSONL sink. `max_records_per_file` bounds shard size (training
+    loaders want many same-sized shards, not one file per executor
+    core); compression stays off by default so shards are seekable and
+    line-splittable by downstream readers."""
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
+
+
+def upsert_partitioned(df: DataFrame, path: str,
+                       partition_col: str) -> None:
+    """Idempotent partition-level upsert: rewrite exactly the partitions
+    present in `df`, leave every other partition untouched — Spark's
+    `partitionOverwriteMode=dynamic` + `insertInto`-style overwrite on a
+    path. The scalable no-ACID-table upsert: a day's re-ingest replaces
+    that day's partition atomically (per partition) instead of
+    rewriting the whole corpus or appending duplicates.
+
+    At 100 TB this is THE maintenance write path: incremental jobs own a
+    partition key (date, source, shard) and replace only their slice."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
+     .parquet(path))

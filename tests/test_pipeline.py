@@ -91,3 +91,56 @@ def test_json_codec_roundtrip(spark):
     # null JSON -> empty array (reference ?? Array.Empty<float>())
     nul = spark.createDataFrame([Row(j=None)], "j string")
     assert list(embedding_from_json(nul, "j", "v").collect()[0].v) == []
+
+
+def test_jsonl_roundtrip_and_malformed_drop(spark, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import (
+        read_documents_jsonl, write_jsonl)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": 2, "text": "second doc"}\n')
+    df = read_documents_jsonl(spark, str(src),
+                              schema="doc_id long, text string")
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows == {1: "hello world", 2: "second doc"}
+
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, target_partitions=2)
+    back = read_documents_jsonl(spark, out,
+                                schema="doc_id long, text string")
+    assert {r.doc_id: r.text for r in back.collect()} == rows
+
+
+def test_jsonl_shard_size_bound(spark, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import write_jsonl
+    df = spark.range(0, 100, 1, 1).withColumnRenamed("id", "doc_id")
+    out = tmp_path / "sharded"
+    write_jsonl(df, str(out), max_records_per_file=10)
+    shards = [p for p in out.glob("part-*") if p.suffix != ".crc"]
+    assert len(shards) >= 10
+    for p in shards:
+        assert len(p.read_text().splitlines()) <= 10
+
+
+def test_upsert_partitioned_rewrites_only_touched_partition(spark, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import upsert_partitioned
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c")],
+        "id long, day string, payload string")
+    upsert_partitioned(base, path, "day")
+    # re-ingest day 2 with corrected + extra rows; day 1 must not change
+    patch = spark.createDataFrame(
+        [(3, "2024-01-02", "c-fixed"), (4, "2024-01-02", "d")],
+        "id long, day string, payload string")
+    upsert_partitioned(patch, path, "day")
+    # partition values come back type-inferred (date here) — compare as str
+    got = {(r.id, str(r.day), r.payload)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+                   (3, "2024-01-02", "c-fixed"), (4, "2024-01-02", "d")}
