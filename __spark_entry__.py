@@ -372,6 +372,21 @@ def _q_dedup_rows(spark, sf_dir):
     return exact_dedup(docs, "text", "doc_id").select("doc_id")
 
 
+def _q_semantic_contamination(spark, sf_dir):
+    """Cross-corpus SEMANTIC contamination: cosine >= tau between the
+    eval half and the train half of the embeddings table (split by vec_id
+    parity), blocked by label — catches paraphrase leakage n-gram overlap
+    misses."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        semantic_contamination)
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter(F.col("vec_id") % 2 == 1)
+    return semantic_contamination(train, test, "vec_id", "embedding",
+                                  block_col="label",
+                                  threshold=NEARDUP_COSINE_THRESHOLD)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: jaccard candidate pairs -> distributed
     connected components (min-label + pointer jumping) -> every doc mapped
@@ -1579,6 +1594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": _q_embedding_neardup,
     "dedup_rows": _q_dedup_rows,
     "dedup_clusters": _q_dedup_clusters,
+    "semantic_contamination": _q_semantic_contamination,
     "sessionize": _q_sessionize,
     "customers_no_orders": _q_customers_no_orders,
     "tpch_q5": _q_tpch_q5,
@@ -1981,6 +1997,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6)
+                  >= {NEARDUP_COSINE_THRESHOLD}
+        """,
+        "semantic_contamination": f"""
+            SELECT b.vec_id AS test_id, a.vec_id AS train_id,
+                   round({cos.format(a='b.embedding', b='a.embedding')}, 6)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label
+             AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            WHERE round({cos.format(a='b.embedding', b='a.embedding')}, 6)
                   >= {NEARDUP_COSINE_THRESHOLD}
         """,
         "dedup_rows": """

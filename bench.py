@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "label_centroids",
     "contamination_pairs",
+    "semantic_contamination",
     "clean_corpus",
     "redacted_docs",
     "repetition_stats",

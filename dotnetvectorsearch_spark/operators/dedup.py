@@ -522,3 +522,41 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
             .select(F.col(id_col),
                     F.coalesce("component", F.col(id_col))
                     .alias("cluster_id")))
+
+
+def semantic_contamination(train: DataFrame, test: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           block_col: str | None = None,
+                           threshold: float = 0.9) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination: (test, train) pairs whose
+    embeddings exceed a cosine threshold — catches paraphrased eval
+    leakage that n-gram overlap (`cross_corpus_contamination`) misses.
+
+    Same blocked shape as `embedding_neardup_pairs` but across two
+    corpora: with a block key (label / LSH bucket / IVF cell) the join is
+    per-block bipartite, shuffle ∝ corpus sizes. Norms are computed once
+    per row before the join, not per pair.
+    """
+    from dotnetvectorsearch_spark.functions.vector import dot, l2_norm
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                l2_norm(vec_col).alias(f"{prefix}_norm")]
+        if block_col:
+            cols.append(F.col(block_col).alias(f"{prefix}_blk"))
+        return _spread(df, id_col).select(*cols)
+
+    te, tr = prep(test, "test"), prep(train, "train")
+    cond = F.lit(True) if not block_col else \
+        (F.col("test_blk") == F.col("train_blk"))
+    na, nb = F.col("test_norm"), F.col("train_norm")
+    sim = F.round(
+        F.when((na == 0.0) | (nb == 0.0), F.lit(0.0))
+        .otherwise(dot(F.col("test_vec"), F.col("train_vec")) / (na * nb)),
+        6)
+    return (te.join(tr, cond)
+            .select(F.col("test_id"), F.col("train_id"),
+                    sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

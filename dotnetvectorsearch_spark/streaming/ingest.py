@@ -246,7 +246,8 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          key: str, left_ts: str, right_ts: str,
                          within: str = "30 minutes",
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream interval join: pair each left event with every right
     event for the same key that lands in ``[left_ts, left_ts + within]``
     (e.g. click -> purchases within the attribution window). Works on two
@@ -272,4 +273,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
     cond = ((l[key] == r[key])
             & (r[right_ts] >= l[left_ts])
             & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}")))
-    return l.join(r, cond).drop(r[key])
+    # how="left_outer": unmatched left rows emit with nulls once the
+    # watermark closes their window (streaming) / immediately (batch) —
+    # the shape for "clicks with NO purchase in the window" funnels.
+    return l.join(r, cond, how).drop(r[key])

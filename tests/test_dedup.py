@@ -186,3 +186,20 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     # canonical filter keeps exactly one doc per cluster
     keep = [d for d, c in cl.items() if d == c]
     assert sorted(keep) == [1, 2, 9]
+
+
+def test_semantic_contamination_blocked(spark):
+    train = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=1),
+    ])
+    test = spark.createDataFrame([
+        Row(vec_id=10, embedding=[0.999, 0.04], label=0),   # leaked para
+        Row(vec_id=11, embedding=[0.0, 1.0], label=0),      # same block, far
+        Row(vec_id=12, embedding=[1.0, 0.0], label=1),      # other block, far
+    ])
+    got = {(r.test_id, r.train_id): r.cosine
+           for r in D.semantic_contamination(
+               train, test, block_col="label", threshold=0.9).collect()}
+    assert set(got) == {(10, 1)}
+    assert got[(10, 1)] > 0.99

@@ -384,3 +384,20 @@ def test_stream_interval_join_stream_and_batch_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_stream_interval_join_left_outer_batch(spark):
+    clicks = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 20, "2024-01-01 10:00:00")],
+        "click_id long, user_id long, click_t string").withColumn(
+        "click_t", F.col("click_t").cast("timestamp"))
+    purchases = spark.createDataFrame(
+        [(101, 10, "2024-01-01 10:10:00")],
+        "purchase_id long, user_id long, purchase_t string").withColumn(
+        "purchase_t", F.col("purchase_t").cast("timestamp"))
+    from dotnetvectorsearch_spark.streaming.ingest import stream_interval_join
+    out = stream_interval_join(clicks, purchases, "user_id",
+                               "click_t", "purchase_t", "30 minutes",
+                               how="left_outer")
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+    assert got == {(1, 101), (2, None)}   # click 2: no purchase in window
