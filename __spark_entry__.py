@@ -228,8 +228,10 @@ def _q_top_terms(spark, sf_dir):
 def _q_tfidf_top_term(spark, sf_dir):
     """TF-IDF: each document's highest-scoring term (tf * ln(N/df)).
     Corpus size N arrives via a broadcast 1-row cross join (never a
-    driver-side collect into the plan); ranking is a per-doc window."""
-    from pyspark.sql.window import Window
+    driver-side collect into the plan). The per-doc argmax is a
+    min-of-struct hash aggregate (partial agg map-side) rather than a
+    row_number window — same result (ties broken by term asc), one
+    partial-aggregating shuffle instead of a full sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -243,10 +245,11 @@ def _q_tfidf_top_term(spark, sf_dir):
               .withColumn("tfidf",
                           F.round(F.col("tf")
                                   * F.log(F.col("n") / F.col("df")), 6)))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "term", "tfidf"))
+    best = (scored.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("tfidf")).alias("neg"),
+                                F.col("term").alias("term"))).alias("b")))
+    return best.select("doc_id", F.col("b.term").alias("term"),
+                       (-F.col("b.neg")).alias("tfidf"))
 
 
 def _q_quality_scores(spark, sf_dir):
