@@ -195,15 +195,17 @@ def _q_doc_seq_ids(spark, sf_dir):
 
 
 def _q_user_event_pivot(spark, sf_dir):
-    """Pivot: per-user event-type counts as columns. The pivot values are
-    pinned explicitly, so Spark skips the extra distinct-values job and the
-    plan is a single hash aggregate — the only pivot form that is sane at
-    100 TB (unbounded inferred pivot columns are a driver OOM)."""
+    """Pivot: per-user event-type counts as columns, lowered to
+    conditional aggregation. `.pivot(col, values)` plans TWO exchanges
+    (count agg on (user, type), then pivotfirst on user); pinned pivot
+    values as count-if expressions plan ONE user-keyed exchange with
+    map-side partial aggregation — half the shuffle at any scale.
+    Unbounded inferred pivot columns are additionally a driver OOM; pivot
+    values must always be pinned at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    out = (ev.groupBy("user_id")
-           .pivot("event_type", EVENT_TYPES)
-           .agg(F.count(F.lit(1))))
-    return out.na.fill(0, EVENT_TYPES)
+    return ev.groupBy("user_id").agg(
+        *[F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+          for t in EVENT_TYPES])
 
 
 def _q_top_terms(spark, sf_dir):
@@ -373,6 +375,17 @@ def _q_dedup_rows(spark, sf_dir):
     from dotnetvectorsearch_spark.operators.dedup import exact_dedup
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def _q_minhash_pairs_md5(spark, sf_dir):
+    """MinHash-LSH candidate pairs with the engine-portable md5 hash
+    family (16 hashes, 4 bands x 4) — the oracle-checkable twin of the
+    xxhash64 production pipeline (minhash_pairs)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        minhash_pairs_portable)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs_portable(docs, "doc_id", "text",
+                                  num_hashes=16, shingle_n=3, bands=4)
 
 
 def _q_semantic_contamination(spark, sf_dir):
@@ -1598,6 +1611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rows": _q_dedup_rows,
     "dedup_clusters": _q_dedup_clusters,
     "semantic_contamination": _q_semantic_contamination,
+    "minhash_pairs_md5": _q_minhash_pairs_md5,
     "sessionize": _q_sessionize,
     "customers_no_orders": _q_customers_no_orders,
     "tpch_q5": _q_tpch_q5,
@@ -1698,6 +1712,13 @@ def _lang_score_sql(lang: str) -> str:
 def oracle_sql() -> dict[str, str]:
     cos = ("list_cosine_similarity(CAST({a} AS DOUBLE[]), "
            "CAST({b} AS DOUBLE[]))")
+    # portable minhash oracle fragments (16 hashes, 4 bands of 4)
+    mh_mins = ",\n                       ".join(
+        f"min(md5('{k:02d}:' || s)) AS h{k}" for k in range(16))
+    mh_bands = "\n                UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cat} AS bucket FROM mh".format(
+            b=b, cat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(4))
     qvec = ("(SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
             "WHERE vec_id = 0)")
     return {
@@ -2001,6 +2022,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6)
                   >= {NEARDUP_COSINE_THRESHOLD}
+        """,
+        "minhash_pairs_md5": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), mh AS (
+                SELECT doc_id,
+                       {mh_mins}
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                {mh_bands}
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
         """,
         "semantic_contamination": f"""
             SELECT b.vec_id AS test_id, a.vec_id AS train_id,

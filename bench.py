@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "dedup_clusters",
     "minhash_pairs",
+    "minhash_pairs_md5",
     "embedding_neardup",
     "ann_ivf_topk",
     "ann_pq_topk",

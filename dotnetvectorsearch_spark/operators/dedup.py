@@ -560,3 +560,50 @@ def semantic_contamination(train: DataFrame, test: DataFrame,
             .select(F.col("test_id"), F.col("train_id"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def minhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = 16, shingle_n: int = 3,
+                           bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidate pairs with an ENGINE-PORTABLE hash family:
+    minhash_k = min over shingles of md5('kk:' || shingle) as a lowercase
+    hex string — lexicographic min == numeric min on fixed-width hex, so
+    any engine with md5 reproduces the exact signatures (the same trick
+    `winnow_fingerprints` uses). This is the oracle-checkable twin of the
+    xxhash64 production path (`minhash_dedup_pairs`), which trades
+    portability for ~an order of magnitude cheaper hashing.
+
+    Same shuffle shape as the production path: explode shingles -> K
+    min-aggregates (map-side partials) -> band -> self-equi-join on
+    (band, bucket) -> distinct pairs. Docs with no shingles produce no
+    signature rows and therefore no candidates.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+    exploded = (_spread(docs, id_col)
+                .select(F.col(id_col),
+                        F.explode(word_shingles(text_col, shingle_n))
+                        .alias("__s")))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{k:02d}:"), F.col("__s"))))
+            .alias(f"__h{k}")
+            for k in range(num_hashes)]
+    sigs = exploded.groupBy(id_col).agg(*mins)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[F.col(f"__h{b * rows + r}")
+                                    for r in range(rows)]).alias("bucket"))
+        for b in range(bands)
+    ]
+    banded = (sigs.select(id_col,
+                          F.explode(F.array(*band_cols)).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket"))
+              .persist())
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())

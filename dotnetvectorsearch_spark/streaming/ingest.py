@@ -277,3 +277,26 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
     # watermark closes their window (streaming) / immediately (batch) —
     # the shape for "clicks with NO purchase in the window" funnels.
     return l.join(r, cond, how).drop(r[key])
+
+
+def stream_upsert_partitioned(stream: DataFrame, path: str,
+                              partition_col: str, checkpoint: str):
+    """Streaming idempotent partition sink: each micro-batch dynamically
+    overwrites exactly the partitions it contains
+    (`sources.io.upsert_partitioned` inside foreachBatch). Replayed
+    batches after a failure rewrite the same partitions to the same
+    bytes, so the sink is effectively exactly-once at partition
+    granularity — without any transaction-log table format.
+
+    The partition column must be a batch-stable key (event date, source
+    shard): a replay must regenerate the SAME partition values to
+    overwrite, which is the standard contract for this pattern.
+    """
+    from dotnetvectorsearch_spark.sources.io import upsert_partitioned
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitioned(batch_df, path, partition_col)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .start())

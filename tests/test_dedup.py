@@ -203,3 +203,17 @@ def test_semantic_contamination_blocked(spark):
                train, test, block_col="label", threshold=0.9).collect()}
     assert set(got) == {(10, 1)}
     assert got[(10, 1)] > 0.99
+
+
+def test_minhash_portable_pairs_identical_and_disjoint(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                   # identical: all bands
+        Row(doc_id=3, text="zx qv wk pl mn bv cx dz ef gh ij kl mo pq rs"),
+    ])
+    pairs = {(r.id_a, r.id_b)
+             for r in D.minhash_pairs_portable(docs).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -121,3 +121,22 @@ def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q21")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    # content-hash splitting must stay a narrow codegen projection
+    plan = _plan(spark, sf_dir, "dataset_splits")
+    assert "Exchange" not in plan
+    assert "* Project" in plan   # '*' = whole-stage-codegen'd operator
+
+
+def test_tfidf_argmax_is_hash_aggregate_not_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_term")
+    assert "Window" not in plan          # the argmax is min-of-struct agg
+    assert "HashAggregate" in plan
+
+
+def test_user_event_pivot_single_aggregate(spark, sf_dir):
+    # pinned pivot values: no distinct-values job, one agg on user_id
+    plan = _plan(spark, sf_dir, "user_event_pivot")
+    assert plan.count("+- Exchange") == 1

@@ -40,3 +40,23 @@ def test_search_1m_vectors_exact_topk(spark):
     assert abs(rows[0].similarity - 1.0) < 1e-6
     assert rows[1].similarity < 0.999        # random vectors: no near-dups
     assert len(rows) == 5
+
+
+def test_connected_components_300k_chain_clusters(spark):
+    # 50k chains of 6 nodes each (chains, not stars: forces pointer
+    # jumping to do real work). At 100x this is the same plan with more
+    # partitions — per-round shuffle is linear in |E|.
+    from pyspark.sql import functions as F
+    from dotnetvectorsearch_spark.operators.dedup import connected_components
+    edges = (spark.range(0, 300_000, 1, 16)
+             .filter((F.col("id") % 6) != 5)
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1).alias("id_b")))
+    comp = connected_components(edges)
+    agg = comp.agg(
+        F.countDistinct("component").alias("n_comp"),
+        F.sum(F.when(F.col("component")
+                     == (F.col("node") - F.col("node") % 6), 0)
+              .otherwise(1)).alias("n_wrong")).collect()[0]
+    assert agg.n_comp == 50_000
+    assert agg.n_wrong == 0

@@ -401,3 +401,33 @@ def test_stream_interval_join_left_outer_batch(spark):
                                how="left_outer")
     got = {(r.click_id, r.purchase_id) for r in out.collect()}
     assert got == {(1, 101), (2, None)}   # click 2: no purchase in window
+
+
+def test_stream_upsert_partitioned_overwrites_slice(spark, tmp_path):
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_upsert_partitioned)
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")],
+        "id long, day string, payload string"
+    ).write.parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("id long, day string, payload string")
+              .parquet(str(src / "*")))
+    q = stream_upsert_partitioned(stream, out, "day", ckpt)
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 2)
+        # second drop: corrected d2 row — partition d2 replaced, d1 kept
+        spark.createDataFrame(
+            [(2, "d2", "b-fixed"), (3, "d2", "c")],
+            "id long, day string, payload string"
+        ).write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, out) == 3)
+    finally:
+        q.stop()
+    got = {(r.id, str(r.day), r.payload)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "d1", "a"), (2, "d2", "b-fixed"), (3, "d2", "c")}
