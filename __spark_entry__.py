@@ -858,6 +858,55 @@ def _collect_query_vec(spark, sf_dir, vec_id=0):
     return emb.filter(F.col("vec_id") == vec_id).collect()[0].embedding
 
 
+def _q_search_topk_binary(spark, sf_dir):
+    """Binary (sign-bit) quantized search: Hamming distance over packed
+    32-bit words — the 32x-compressed prefilter stage of a two-stage
+    (binary scan -> exact rescore) plan. Hamming asc == SimHash cosine
+    estimate desc; ties broken by id asc."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = emb.select("vec_id", V.pack_signs("embedding").alias("code"))
+    q = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") == 0)
+         .select(V.pack_signs("embedding").alias("qcode")))
+    return (packed.crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    V.hamming_distance("code", "qcode").alias("hamming"))
+            .orderBy(F.asc("hamming"), F.asc("vec_id")).limit(10))
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Exact kNN graph: 5 nearest neighbors for every vector (broadcast
+    corpus matrix + BLAS mapInPandas, zero shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.knn_graph(emb, k=5, id_col="vec_id", round_digits=6)
+
+
+def _q_search_topk_mmr(spark, sf_dir):
+    """MMR-diversified top-k: distributed top-50 candidate scan, greedy
+    driver-side diversification (lambda=0.7). Iterative greedy selection is
+    not SQL-expressible -> rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _collect_query_vec(spark, sf_dir)
+    return S.mmr_rerank(emb, qv, k=5, fetch_k=50, lambda_mult=0.7,
+                        id_col="vec_id")
+
+
+def _q_hash_sampled_docs(spark, sf_dir):
+    """Deterministic content-hash Bernoulli sample (reproducible across
+    partitionings/engines, unlike RNG sampling)."""
+    from dotnetvectorsearch_spark.operators.sampling import hash_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang", "source")
+
+
+def _q_novelty_scores(spark, sf_dir):
+    """Per-doc n-gram novelty (fraction of word 3-grams unique to the doc):
+    corpus-level boilerplate/templating signal that pairwise dedup misses."""
+    from dotnetvectorsearch_spark.operators.dedup import ngram_novelty
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, id_col="doc_id", text_col="text", shingle_n=3)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: kmeans cells + nprobe partition-pruned search."""
     from dotnetvectorsearch_spark.operators.ann import IVFIndex
@@ -1667,6 +1716,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_band_join": _q_value_band_join,
     "bm25_topk": _q_bm25_topk,
     "hybrid_search": _q_hybrid_search,
+    "search_topk_binary": _q_search_topk_binary,
+    "knn_graph": _q_knn_graph,
+    "hash_sampled_docs": _q_hash_sampled_docs,
+    "novelty_scores": _q_novelty_scores,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1683,6 +1736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "stratified_sample": _q_stratified_sample,
     "ann_recall": _q_ann_recall,
+    "search_topk_mmr": _q_search_topk_mmr,
 }
 
 
@@ -2952,5 +3006,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN 224 END AS width,
                    CASE WHEN doc_id % 3 = 0 THEN 224 END AS height
             FROM documents
+        """,
+        # Hamming over packed sign bits == count of components whose sign
+        # bit (x > 0) differs; the oracle computes it straight from the
+        # float arrays, checking the bit-packing end-to-end.
+        "search_topk_binary": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(len(list_filter(
+                       range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i] > 0) != (q.qe[i] > 0)))
+                       AS BIGINT) AS hamming
+            FROM embeddings e CROSS JOIN q
+            ORDER BY hamming ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_graph": f"""
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   round({cos.format(a='a.embedding', b='b.embedding')}, 6)
+                       AS similarity
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY round({cos.format(a='a.embedding',
+                                           b='b.embedding')}, 6) DESC,
+                         b.vec_id ASC) <= 5
+        """,
+        # 0.25 * 16^8 = 0x40000000; fixed-width lowercase-hex compare ==
+        # numeric compare (same idiom as dataset_splits).
+        "hash_sampled_docs": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'sample-v1'), 1, 8)
+                  < '40000000'
+        """,
+        "novelty_scores": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), freq AS (
+                SELECT s, count(*) AS df FROM sh GROUP BY 1
+            )
+            SELECT sh.doc_id, count(*) AS n_shingles,
+                   round(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM sh JOIN freq ON sh.s = freq.s
+            GROUP BY 1
         """,
     }

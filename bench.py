@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "cube_orders",
     "bm25_topk",
     "hybrid_search",
+    "search_topk_binary",
+    "knn_graph",
+    "search_topk_mmr",
+    "hash_sampled_docs",
+    "novelty_scores",
 ]
 
 

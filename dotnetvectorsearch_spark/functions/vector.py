@@ -124,6 +124,56 @@ def dequantize(q: Column | str, scale: Column) -> Column:
     return F.transform(q, lambda x: (x.cast("double") * scale).cast("float"))
 
 
+def pack_signs(v: Column | str) -> Column:
+    """Binary (1-bit) quantization: pack the sign bit of each component
+    (bit set iff x > 0) into an ``array<long>`` of 32-bit words,
+    little-endian within the word (component ``w*32 + i`` -> bit ``i`` of
+    word ``w``). 32 bits per long word keeps the accumulate-by-doubling
+    construction overflow-free without relying on silent long wraparound.
+
+    Scale story: 32x smaller than float32 storage (384-d -> 12 longs), and
+    Hamming distance over packed words is pure ``bit_count(xor)`` JVM
+    codegen — the cheapest possible pre-filter stage for a two-stage
+    (binary prefilter -> exact rescore) search over 10^9+ vectors. Pure
+    higher-order functions, no UDF, exactly reproducible in any engine
+    that can compare component signs (hence oracle-checkable).
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    n_words = F.floor((F.size(v) + F.lit(31)) / F.lit(32)).cast("int")
+
+    def word(w: Column) -> Column:
+        # Build the word MSB-first: processing bit index i = 31-b while
+        # folding acc*2 + bit leaves component w*32+i at bit position i.
+        def step(acc: Column, b: Column) -> Column:
+            i = w * 32 + (F.lit(31) - b)
+            bit = F.when(
+                (i < F.size(v)) & (F.element_at(v, (i + 1).cast("int")) > 0),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            return acc * 2 + bit
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"), step)
+
+    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed sign-bit arrays (from
+    :func:`pack_signs`): sum of ``bit_count(a_w XOR b_w)``. JVM-side
+    codegen; proportional to cosine distance for unit vectors (the
+    classic SimHash estimate), so ascending Hamming ~ descending cosine.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def register_sql_functions(spark) -> None:
     """Expose the vector library to ``spark.sql`` callers as SQL temp functions
     (Spark 3.5+/4.x ``CREATE TEMPORARY FUNCTION ... RETURN`` SQL macros)."""

@@ -320,6 +320,39 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ----------------------------------------------------- exact n-gram jaccard
 
 
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    n-grams that appear in NO other document. ``novelty = 1`` means fully
+    original text; low novelty flags boilerplate/templated docs that exact
+    and pairwise dedup both miss (the duplication is spread across many
+    partners). Docs with fewer than n tokens (no shingles) are excluded.
+
+    Output: (id, n_shingles, novelty).
+
+    Plan/scale: explode(distinct shingles) -> one groupBy(shingle) count
+    (map-side partial agg; the document-frequency table) -> join back on
+    the shingle -> one groupBy(id). Two shuffles total, both on
+    high-cardinality keys. Degenerate mega-shingles ("the the the") skew
+    the DF join at corpus scale; AQE skew-join handles it (enabled in the
+    session), since unlike LSH we cannot drop hot shingles without biasing
+    the score.
+    """
+    docs = _spread(docs, id_col)
+    sh = (docs.select(F.col(id_col),
+                      F.explode(word_shingles(text_col, shingle_n))
+                      .alias("s")))
+    # word_shingles is distinct-per-doc, so count(*) == document frequency.
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (sh.join(df_counts, "s")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.round(
+                     F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("novelty")))
+
+
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.2,

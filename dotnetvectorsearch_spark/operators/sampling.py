@@ -35,6 +35,27 @@ def proportional_downsample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "sample-v1") -> DataFrame:
+    """Deterministic content-hash Bernoulli sample: keep a row iff the
+    first 8 hex chars of md5(key || salt) fall below fraction * 16^8.
+
+    Unlike ``sampleBy``/``sample`` (whose XORShift draw depends on the
+    row's partition and position, so results change under repartitioning),
+    the kept set here is a pure function of (key, salt) — stable across
+    runs, partitionings, engines, and incremental re-ingests, which is
+    what makes a 100 TB sample reproducible and auditable. Narrow
+    codegen'd filter, no shuffle, pushes past any partitioning.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = int(fraction * 16 ** 8)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long")
+    return df.filter(h < F.lit(bound))
+
+
 def hash_split(df: DataFrame, key_col: str,
                weights: dict[str, float],
                salt: str = "split-v1",

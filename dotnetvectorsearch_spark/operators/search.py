@@ -218,6 +218,112 @@ def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
             .filter(F.col("rank") <= k))
 
 
+def knn_graph(docs: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              round_digits: int | None = None) -> DataFrame:
+    """Exact k-nearest-neighbor graph: for EVERY row, its k most-cosine-similar
+    other rows. Output: (id, neighbor_id, similarity), k rows per id.
+
+    Plan: the corpus matrix is broadcast once (``sc.broadcast`` of the
+    collected (ids, matrix) pair), then a single ``mapInPandas`` pass scores
+    each Arrow batch against it with one BLAS matmul and emits each row's
+    top-k locally — no shuffle at all, no window, and ranking happens where
+    the scores are produced. Ties broken (similarity desc, neighbor id asc)
+    after rounding so the cut is deterministic and engine-portable.
+
+    Scale bounds: broadcast-side is O(N*d) floats — exact kNN this way is
+    for corpora that fit an executor (~10^7 x 384-d = ~15 GB is the edge).
+    Past that, the blocked approximate paths are the tool:
+    ``dedup.embedding_neardup_pairs`` (LSH-blocked) or ``ann.IVFIndex``
+    cell-join — same output contract, candidate-bounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    validate_top_k(k)
+    rows = docs.select(id_col, vec_col).collect()
+    all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    bc = docs.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+
+    def score(batches):
+        ids_c, mat_c, norms_c = bc.value
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(m, axis=1)
+            denom = bn[:, None] * norms_c[None, :]
+            sims = np.where(denom > 0.0,
+                            (m @ mat_c.T) / np.where(denom > 0.0, denom, 1.0),
+                            0.0)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            bids = pdf[id_col].to_numpy()
+            out_id, out_nb, out_s = [], [], []
+            for r in range(len(bids)):
+                mask = ids_c != bids[r]
+                cand_ids, cand_s = ids_c[mask], sims[r][mask]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_id.extend([bids[r]] * len(order))
+                out_nb.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame({id_col: out_id, "neighbor_id": out_nb,
+                                "similarity": out_s})
+
+    return docs.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, neighbor_id long, similarity double")
+
+
+def mmr_rerank(docs: DataFrame, query_vec: list[float], k: int = 5,
+               fetch_k: int = 50, lambda_mult: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick the
+    candidate maximizing ``lambda*sim(query) - (1-lambda)*max_sim(selected)``.
+
+    Two-stage plan shaped for scale: the DISTRIBUTED part is the expensive
+    one — a full-corpus top-``fetch_k`` scan (BLAS mapInPandas + small
+    TakeOrdered merge, identical to :func:`top_k_similar_arrow`); the greedy
+    diversification then runs driver-side over only ``fetch_k`` (<=50)
+    candidate vectors, which is O(fetch_k^2 * d) on ~KBs of data — the same
+    candidate-set contract every production MMR retriever uses. Determinism:
+    similarities rounded to 6 digits, ties broken by id asc.
+    """
+    import numpy as np
+
+    validate_top_k(k)
+    cand = (top_k_similar_arrow(docs, query_vec, top_k=min(fetch_k, MAX_TOP_K),
+                                id_col=id_col, vec_col=vec_col,
+                                round_digits=6)
+            .join(docs.select(id_col, vec_col), id_col, "inner")
+            .collect())
+    cand.sort(key=lambda r: (-r["similarity"], r[id_col]))
+    ids = [r[id_col] for r in cand]
+    qsims = np.asarray([r["similarity"] for r in cand])
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cand])
+    n = np.linalg.norm(mat, axis=1)
+    denom = n[:, None] * n[None, :]
+    pair = np.where(denom > 0.0, (mat @ mat.T) / np.where(denom > 0.0,
+                                                          denom, 1.0), 0.0)
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        best, best_score = None, None
+        for i in remaining:
+            div = max((pair[i][j] for j in selected), default=0.0)
+            score = lambda_mult * qsims[i] - (1.0 - lambda_mult) * div
+            score = round(float(score), 6)
+            if best_score is None or score > best_score:
+                best, best_score = i, score
+        selected.append(best)
+        remaining.remove(best)
+    spark = docs.sparkSession
+    out = [(int(ids[i]), float(qsims[i]), r + 1)
+           for r, i in enumerate(selected)]
+    return spark.createDataFrame(
+        out, f"{id_col} long, similarity double, mmr_rank long")
+
+
 def pairwise_similarity(df: DataFrame, vec_a: str, vec_b: str,
                         out: str = "similarity",
                         round_digits: int | None = None) -> DataFrame:

@@ -217,3 +217,30 @@ def test_minhash_portable_pairs_identical_and_disjoint(spark):
              for r in D.minhash_pairs_portable(docs).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_ngram_novelty_unique_vs_duplicated(spark):
+    from dotnetvectorsearch_spark.operators.dedup import ngram_novelty
+    rows = [
+        (1, "alpha bravo charlie delta echo"),
+        (2, "alpha bravo charlie delta echo"),      # exact dup of 1
+        (3, "zulu yankee xray whiskey victor"),     # fully original
+        (4, "xx"),                                  # <3 tokens: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[3].n_shingles == 3
+
+
+def test_ngram_novelty_partial_overlap(spark):
+    from dotnetvectorsearch_spark.operators.dedup import ngram_novelty
+    rows = [
+        (1, "a b c d"),       # shingles: "a b c", "b c d"
+        (2, "a b c x"),       # shingles: "a b c", "b c x"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.novelty for r in ngram_novelty(df).collect()}
+    assert out == {1: 0.5, 2: 0.5}

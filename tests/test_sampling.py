@@ -60,3 +60,34 @@ def test_hash_split_weight_normalization(spark):
     b = {r.k: r.split
          for r in hash_split(df, "k", {"a": 0.9, "b": 0.1}).collect()}
     assert a == b
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import hash_sample
+    from dotnetvectorsearch_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.25).collect()}
+    b = {r.doc_id for r in hash_sample(docs.repartition(7), "doc_id",
+                                       0.25).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_monotone_in_fraction(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import hash_sample
+    from dotnetvectorsearch_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5).collect()}
+    assert small <= big
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_hash_sample_rejects_bad_fraction(spark, sf_dir):
+    import pytest as _pytest
+
+    from dotnetvectorsearch_spark.operators.sampling import hash_sample
+    from dotnetvectorsearch_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)

@@ -90,3 +90,63 @@ def test_arrow_topk_matches_hof_path(spark, sf_dir):
              S.top_k_similar_arrow(emb, list(qv), top_k=10, id_col="vec_id",
                                    round_digits=6).collect()]
     assert arrow == hof
+
+
+# ------------------------------------------------------------- kNN graph
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = S.knn_graph(emb, k=3, id_col="vec_id", round_digits=6).collect()
+    rows = emb.collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    by_id = {}
+    for g in got:
+        by_id.setdefault(g.vec_id, []).append((g.neighbor_id, g.similarity))
+    assert len(by_id) == len(ids)
+    for r, i in enumerate(ids):
+        mask = ids != i
+        order = np.lexsort((ids[mask], -sims[r][mask]))[:3]
+        expect = [(int(ids[mask][j]), float(sims[r][mask][j])) for j in order]
+        assert by_id[i] == expect
+
+
+def test_knn_graph_k_rows_per_id_and_no_self(spark, sf_dir):
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    g = S.knn_graph(emb, k=5, id_col="vec_id")
+    assert g.count() == 5 * n
+    assert g.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+
+
+# ------------------------------------------------------------- MMR rerank
+
+def test_mmr_first_pick_is_top1_and_k_rows(spark, sf_dir):
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    top1 = S.top_k_similar_arrow(emb, qv, top_k=1, id_col="vec_id",
+                                 round_digits=6).collect()[0]
+    mmr = (S.mmr_rerank(emb, qv, k=5, id_col="vec_id")
+           .orderBy("mmr_rank").collect())
+    assert len(mmr) == 5
+    assert mmr[0].vec_id == top1.vec_id
+    assert len({r.vec_id for r in mmr}) == 5
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark, sf_dir):
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    plain = [r.vec_id for r in S.top_k_similar_arrow(
+        emb, qv, top_k=5, id_col="vec_id", round_digits=6).collect()]
+    mmr = [r.vec_id for r in S.mmr_rerank(
+        emb, qv, k=5, lambda_mult=1.0, id_col="vec_id")
+        .orderBy("mmr_rank").collect()]
+    assert mmr == plain

@@ -120,3 +120,46 @@ def test_quantize_zero_vector(spark):
     df = df.withColumn("q", V.quantize_int8("v", F.col("scale")))
     r = df.withColumn("deq", V.dequantize("q", F.col("scale"))).collect()[0]
     assert r.scale == 0.0 and r.q == [0, 0, 0] and r.deq == [0.0, 0.0, 0.0]
+
+
+# ------------------------------------------------------- sign-bit packing
+
+def test_pack_signs_bit_layout(spark):
+    # 40-d vector -> 2 words; component j sets bit (j % 32) of word j//32.
+    vec = [1.0 if j in (0, 5, 31, 32, 39) else -1.0 for j in range(40)]
+    df = spark.createDataFrame([Row(v=vec)], "v array<float>")
+    words = _one(df.select(V.pack_signs("v")))
+    assert len(words) == 2
+    assert words[0] == (1 << 0) | (1 << 5) | (1 << 31)
+    assert words[1] == (1 << 0) | (1 << 7)
+
+
+def test_pack_signs_zero_and_negative_are_unset(spark):
+    df = spark.createDataFrame([Row(v=[0.0, -2.0, 3.0])], "v array<float>")
+    assert _one(df.select(V.pack_signs("v"))) == [1 << 2]
+
+
+def test_hamming_distance_counts_sign_flips(spark):
+    rows = [Row(a=[1.0, -1.0, 1.0, -1.0], b=[1.0, 1.0, -1.0, -1.0])]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    packed = df.select(V.pack_signs("a").alias("pa"),
+                       V.pack_signs("b").alias("pb"))
+    assert _one(packed.select(V.hamming_distance("pa", "pb"))) == 2
+    assert _one(packed.select(V.hamming_distance("pa", "pa"))) == 0
+
+
+def test_hamming_matches_numpy_on_corpus(spark, sf_dir):
+    import numpy as np
+
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.asarray(rows[0].embedding) > 0
+    packed = emb.select("vec_id", V.pack_signs("embedding").alias("c"))
+    qdf = (emb.filter(F.col("vec_id") == rows[0].vec_id)
+           .select(V.pack_signs("embedding").alias("qc")))
+    got = {r.vec_id: r.h for r in packed.crossJoin(qdf).select(
+        "vec_id", V.hamming_distance("c", "qc").alias("h")).collect()}
+    for r in rows:
+        expect = int(np.sum((np.asarray(r.embedding) > 0) != q))
+        assert got[r.vec_id] == expect
