@@ -907,6 +907,55 @@ def _q_novelty_scores(spark, sf_dir):
     return ngram_novelty(docs, id_col="doc_id", text_col="text", shingle_n=3)
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Corpus-trained bigram LM average log-probability per doc — the
+    KenLM-style perplexity quality filter of LLM data pipelines."""
+    from dotnetvectorsearch_spark.operators.lm import bigram_logprob
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+def _q_oov_rates(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the corpus top-1000 terms."""
+    from dotnetvectorsearch_spark.operators.lm import oov_rate
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=1000, id_col="doc_id", text_col="text")
+
+
+def _q_weighted_sampled_docs(spark, sf_dir):
+    """Deterministic importance sample: keep probability proportional to
+    doc length (n_chars / max) — quality-weighted corpus selection."""
+    from dotnetvectorsearch_spark.operators.sampling import (
+        weighted_hash_sample)
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_hash_sample(docs, "doc_id", "n_chars").select(
+        "doc_id", "lang", "source")
+
+
+def _q_mixture_rebalanced(spark, sf_dir):
+    """Downsample to a target language mixture (en-heavy training mix);
+    binding stratum kept whole, others hash-downsampled to match."""
+    from dotnetvectorsearch_spark.operators.sampling import mixture_rebalance
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125,
+               "zh": 0.125}
+    return mixture_rebalance(docs, "lang", "doc_id", targets).select(
+        "doc_id", "lang", "source")
+
+
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan roundtrip (format coverage beyond parquet/CSV/
+    JSONL); values must survive the format exactly."""
+    import tempfile
+
+    from dotnetvectorsearch_spark.sources.io import read_orc, write_orc
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    write_orc(docs, path)
+    return read_orc(spark, path)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: kmeans cells + nprobe partition-pruned search."""
     from dotnetvectorsearch_spark.operators.ann import IVFIndex
@@ -1720,6 +1769,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": _q_knn_graph,
     "hash_sampled_docs": _q_hash_sampled_docs,
     "novelty_scores": _q_novelty_scores,
+    "bigram_logprob": _q_bigram_logprob,
+    "oov_rates": _q_oov_rates,
+    "weighted_sampled_docs": _q_weighted_sampled_docs,
+    "mixture_rebalanced": _q_mixture_rebalanced,
+    "orc_roundtrip": _q_orc_roundtrip,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3057,5 +3111,84 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS novelty
             FROM sh JOIN freq ON sh.s = freq.s
             GROUP BY 1
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+                FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            ), cb AS (
+                SELECT bg, count(*) AS c_bg FROM bi GROUP BY 1
+            ), cw AS (
+                SELECT w1, count(*) AS c_w1 FROM bi GROUP BY 1
+            )
+            SELECT bi.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(CAST(c_bg AS DOUBLE) / c_w1)), 6)
+                       AS avg_logprob
+            FROM bi JOIN cb USING (bg) JOIN cw USING (w1)
+            GROUP BY 1
+        """,
+        "oov_rates": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, t[i] AS w
+                FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+                WHERE len(t[i]) > 0
+            ), vocab AS (
+                SELECT w FROM (
+                    SELECT w, count(*) AS c FROM tok GROUP BY 1
+                    ORDER BY c DESC, w ASC LIMIT 1000)
+            )
+            SELECT tok.doc_id, count(*) AS n_tokens,
+                   round(avg(CAST(CASE WHEN vocab.w IS NULL THEN 1.0
+                                       ELSE 0.0 END AS DOUBLE)), 6) AS oov
+            FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+            GROUP BY 1
+        """,
+        # u = numeric value of the first 8 md5 hex chars; keep iff
+        # u < (n_chars / max_n_chars) * 16^8 — identical IEEE-double
+        # operand order as sampling.weighted_hash_sample.
+        "weighted_sampled_docs": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST(CAST(concat('0x', substr(md5(
+                          CAST(doc_id AS VARCHAR) || 'wsample-v1'), 1, 8))
+                       AS UBIGINT) AS DOUBLE)
+                  < CAST(n_chars AS DOUBLE)
+                    / (SELECT max(CAST(n_chars AS DOUBLE)) FROM documents)
+                    * 4294967296.0
+        """,
+        # per-stratum keep fraction ((min_scale * share) / n) mirrors
+        # sampling.mixture_rebalance's operand order exactly.
+        "mixture_rebalanced": """
+            WITH t(lang, share) AS (
+                VALUES ('en', CAST(0.5 AS DOUBLE)),
+                       ('de', CAST(0.125 AS DOUBLE)),
+                       ('es', CAST(0.125 AS DOUBLE)),
+                       ('fr', CAST(0.125 AS DOUBLE)),
+                       ('zh', CAST(0.125 AS DOUBLE))
+            ), c AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), s AS (
+                SELECT min(CAST(n AS DOUBLE) / share) AS scale
+                FROM c JOIN t USING (lang)
+            ), b AS (
+                SELECT lang, ((scale * share) / n) * 4294967296.0 AS bound
+                FROM c JOIN t USING (lang), s
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN b USING (lang)
+            WHERE CAST(CAST(concat('0x', substr(md5(
+                          CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 1, 8))
+                       AS UBIGINT) AS DOUBLE) < bound
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
         """,
     }

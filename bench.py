@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "search_topk_mmr",
     "hash_sampled_docs",
     "novelty_scores",
+    "bigram_logprob",
+    "oov_rates",
+    "weighted_sampled_docs",
+    "mixture_rebalanced",
 ]
 
 

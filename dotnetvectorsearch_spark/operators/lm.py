@@ -1,0 +1,103 @@
+"""Statistical language-model scoring (beyond-reference).
+
+Corpus-trained bigram LM with per-document average log-probability — the
+KenLM-style "perplexity filter" step of LLM training-data pipelines: docs
+whose token transitions are unusual for the corpus score low (noise,
+wrong-language, mangled text), boilerplate scores near 0. The reference
+has no LM surface (SURVEY.md §2.5 — no aggregations at all); this is a
+north-star training-data extension.
+
+Scale shape (100 TB doctrine): one narrow token explode; ONE wide shuffle
+to build the bigram count table (map-side combined `HashAggregate`, so the
+exchange carries vocabulary-sized partial counts, not token occurrences);
+the count tables join back onto occurrences as sort-merge joins — bigram
+vocabulary is corpus-sized, deliberately NOT broadcast — then one final
+shuffle keyed by doc id for the per-doc average. Everything is JVM
+codegen (`split`/`slice`/`zip_with`/`ln`); no Python on the hot path.
+
+Because the model is trained on the corpus being scored, every observed
+bigram has count >= 1 and the conditional P(w2|w1) = c(w1 w2)/c(w1·) is
+well-defined with no smoothing term — scores are exact MLE log-probs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens of trimmed (and by default lowercased) text."""
+    c = F.trim(F.col(text) if isinstance(text, str) else text)
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, r"\s+")
+
+
+def bigram_array(toks: Column) -> Column:
+    """Adjacent-token bigrams as `"w1 w2"` strings; empty array for texts
+    with fewer than two tokens (slice with a negative length is illegal,
+    hence the guard)."""
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram occurrence counts `(bg, c_bg)` — the trained model.
+    Map-side combined aggregate; the exchange is vocabulary-sized."""
+    occ = docs.select(F.explode(bigram_array(tokens(text_col))).alias("bg"))
+    return occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   round_digits: int = 6) -> DataFrame:
+    """Score every document by its average bigram log-probability under
+    the corpus-trained MLE bigram model.
+
+    Returns `(id_col, n_bigrams, avg_logprob)`, one row per document with
+    at least one bigram. `avg_logprob` is `avg(ln(c(w1 w2) / c(w1 ·)))`
+    over the doc's bigram occurrences — always <= 0, with 0 meaning every
+    transition in the doc is deterministic corpus-wide.
+    """
+    occ = (docs
+           .select(F.col(id_col),
+                   F.explode(bigram_array(tokens(text_col))).alias("bg"))
+           .withColumn("w1", F.substring_index("bg", " ", 1)))
+    c_bg = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    logp = F.log(F.col("c_bg").cast("double") / F.col("c_w1"))
+    return (occ.join(c_bg, "bg").join(c_w1, "w1")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(logp), round_digits).alias("avg_logprob")))
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 1000,
+             id_col: str = "doc_id", text_col: str = "text",
+             round_digits: int = 6) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-N terms
+    (by occurrence count, ties broken by term asc for determinism) — the
+    cheap companion signal to the bigram LM: high OOV = exotic vocabulary.
+
+    The vocabulary is tiny (N rows) and is broadcast into the token
+    stream, so the only wide operations are the vocab count aggregate and
+    the final per-doc aggregate. Returns `(id_col, n_tokens, oov)`.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens(text_col)).alias("w"))
+    toks = toks.filter(F.length("w") > 0)
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+             .select("w", F.lit(True).alias("in_vocab")))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.when(F.col("in_vocab").isNull(), 1.0)
+                               .otherwise(0.0)),
+                         round_digits).alias("oov")))

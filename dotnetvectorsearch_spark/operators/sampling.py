@@ -56,6 +56,74 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     return df.filter(h < F.lit(bound))
 
 
+_HASH_SPACE = float(16 ** 8)
+
+
+def _hash_u(key_col: str, salt: str):
+    """Deterministic uniform draw in [0, 16^8) from md5(key || salt) —
+    the same construction as `hash_sample`, surfaced as a double so it
+    can be compared against computed (data-dependent) bounds."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("double")
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
+                         salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic importance sample: keep each row with probability
+    `weight / max(weight)` — e.g. quality-weighted corpus selection where
+    the best documents are always kept and weaker ones survive in
+    proportion to their score.
+
+    The corpus max is one tiny map-side-combined aggregate broadcast into
+    a narrow filter (BroadcastNestedLoopJoin of a 1-row frame), so the
+    data itself never shuffles; the kept set is a pure function of
+    (key, weight, salt) — reproducible across runs, partitionings, and
+    engines, and hence oracle-checkable.
+    """
+    mx = df.agg(F.max(F.col(weight_col).cast("double")).alias("_wmax"))
+    return (df.crossJoin(F.broadcast(mx))
+            .filter(_hash_u(key_col, salt) <
+                    F.col(weight_col).cast("double") / F.col("_wmax")
+                    * F.lit(_HASH_SPACE))
+            .drop("_wmax"))
+
+
+def mixture_rebalance(df: DataFrame, strata_col: str, key_col: str,
+                      targets: dict[str, float],
+                      salt: str = "mix-v1") -> DataFrame:
+    """Downsample a corpus so stratum proportions match a target mixture
+    (e.g. language or domain weights for a training mix), keeping as much
+    data as possible: the binding stratum — the one scarcest relative to
+    its target share — is kept whole and every other stratum is
+    deterministically hash-downsampled to match. Never replicates rows.
+    Strata absent from `targets` are dropped.
+
+    Cost: one vocabulary-sized count aggregate (collected — strata
+    cardinality is small by definition), then a narrow codegen'd filter;
+    no wide shuffle at any corpus size. Per-stratum keep fractions are
+    computed as `(min_scale * share) / n` in IEEE double — the oracle SQL
+    mirrors the operand order exactly, so the kept set is bit-reproducible
+    in any engine with md5.
+    """
+    total = sum(targets.values())
+    shares = {k: v / total for k, v in targets.items()}
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+              .collect() if r[strata_col] in shares}
+    if not counts:
+        return df.filter(F.lit(False))
+    scale = min(counts[k] / shares[k] for k in counts)
+    bounds = {k: ((scale * shares[k]) / counts[k]) * _HASH_SPACE
+              for k in counts}
+    mapping = []
+    for k, b in bounds.items():
+        mapping += [F.lit(k), F.lit(b)]
+    bound = F.create_map(*mapping)[F.col(strata_col)]
+    # rows whose stratum is not in the map get a null bound -> filtered out
+    return df.filter(_hash_u(key_col, salt) < bound)
+
+
 def hash_split(df: DataFrame, key_col: str,
                weights: dict[str, float],
                salt: str = "split-v1",

@@ -137,6 +137,25 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
     w.json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink. Beyond-reference format coverage: ORC is the other
+    columnar interchange format big Hadoop/Hive estates hold corpora in;
+    Spark's native ORC writer keeps the same predicate-pushdown/column-
+    pruning behavior as Parquet (min/max + bloom stats per stripe), so
+    downstream scans keep the same scale properties."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized native reader, filter pushdown on by
+    default (`spark.sql.orc.filterPushdown`)."""
+    return spark.read.orc(path)
+
+
 def upsert_partitioned(df: DataFrame, path: str,
                        partition_col: str) -> None:
     """Idempotent partition-level upsert: rewrite exactly the partitions

@@ -1,0 +1,63 @@
+"""Bigram-LM scoring and OOV-rate operators (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.operators.lm import bigram_logprob, oov_rate
+from dotnetvectorsearch_spark.sources.io import load_table
+
+
+def test_bigram_logprob_exact_small_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")],
+        "id long, text string")
+    rows = {r.id: r for r in bigram_logprob(df, "id", "text").collect()}
+    # corpus counts: "a b"=3, "b c"=2, "b d"=1; left contexts a=3, b=3
+    exp_12 = round((math.log(3 / 3) + math.log(2 / 3)) / 2, 6)
+    exp_3 = round((math.log(3 / 3) + math.log(1 / 3)) / 2, 6)
+    assert rows[1].n_bigrams == 2
+    assert abs(rows[1].avg_logprob - exp_12) <= 1e-6
+    assert rows[2].avg_logprob == rows[1].avg_logprob
+    assert abs(rows[3].avg_logprob - exp_3) <= 1e-6
+
+
+def test_bigram_logprob_short_docs_excluded_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "  "), (4, "x y")],
+        "id long, text string")
+    out = {r.id: r for r in bigram_logprob(df, "id", "text").collect()}
+    assert set(out) == {4}            # <2 tokens -> no score row
+    assert out[4].avg_logprob == 0.0  # the only 'x _' transition
+
+
+def test_bigram_logprob_corpus_is_nonpositive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    assert out.filter(F.col("avg_logprob") > 1e-9).count() == 0
+    assert out.filter(F.col("n_bigrams") < 1).count() == 0
+
+
+def test_oov_rate_full_vocab_covers_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma beta")],
+        "id long, text string")
+    out = {r.id: r for r in
+           oov_rate(df, vocab_size=100, id_col="id", text_col="text")
+           .collect()}
+    assert out[1].oov == 0.0 and out[2].oov == 0.0
+    assert out[2].n_tokens == 3
+
+
+def test_oov_rate_tiny_vocab_flags_rare_terms(spark):
+    # beta occurs 3x -> the vocab_size=1 vocabulary is exactly {beta}
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma beta")],
+        "id long, text string")
+    out = {r.id: r for r in
+           oov_rate(df, vocab_size=1, id_col="id", text_col="text")
+           .collect()}
+    assert abs(out[1].oov - 0.5) <= 1e-6        # alpha OOV, beta in-vocab
+    assert abs(out[2].oov - (1 / 3)) <= 1e-6    # gamma OOV

@@ -144,3 +144,37 @@ def test_upsert_partitioned_rewrites_only_touched_partition(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
                    (3, "2024-01-02", "c-fixed"), (4, "2024-01-02", "d")}
+
+
+def test_orc_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert (sorted(r.doc_id for r in back.select("doc_id").collect())
+            == sorted(r.doc_id for r in docs.select("doc_id").collect()))
+    joined = docs.alias("a").join(back.alias("b"), "doc_id")
+    assert joined.filter(
+        (F.col("a.text") != F.col("b.text"))
+        | (F.col("a.n_chars") != F.col("b.n_chars"))).count() == 0
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc_part")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()

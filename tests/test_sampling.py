@@ -91,3 +91,57 @@ def test_hash_sample_rejects_bad_fraction(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError):
         hash_sample(docs, "doc_id", 1.5)
+
+
+def test_weighted_hash_sample_extremes(spark):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        weighted_hash_sample)
+    df = spark.range(200).withColumn(
+        "w", F.when(F.col("id") < 100, F.lit(0.0)).otherwise(F.lit(5.0)))
+    kept = {r.id for r in weighted_hash_sample(df, "id", "w").collect()}
+    assert kept == set(range(100, 200))  # max weight always, zero never
+
+
+def test_weighted_hash_sample_partition_invariant(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        weighted_hash_sample)
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in
+         weighted_hash_sample(docs, "doc_id", "n_chars").collect()}
+    b = {r.doc_id for r in
+         weighted_hash_sample(docs.repartition(7), "doc_id",
+                              "n_chars").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_mixture_rebalance_hits_targets(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import mixture_rebalance
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125,
+               "zh": 0.125}
+    out = mixture_rebalance(docs, "lang", "doc_id", targets)
+    before = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    after = {r.lang: r.n for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    total = sum(after.values())
+    # binding stratum (scarcest vs its target) is kept whole
+    binding = min(before, key=lambda k: before[k] / targets[k])
+    assert after[binding] == before[binding]
+    # achieved proportions approximate the target mixture
+    for lang, share in targets.items():
+        assert abs(after.get(lang, 0) / total - share) < 0.08
+    # never replicates, never invents rows
+    for lang in after:
+        assert after[lang] <= before[lang]
+
+
+def test_mixture_rebalance_drops_unlisted_strata(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import mixture_rebalance
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_rebalance(docs, "lang", "doc_id", {"en": 1.0})
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
