@@ -943,6 +943,27 @@ def _q_mixture_rebalanced(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """Adjacent-char-pair frequencies over the corpus — the first BPE
+    tokenizer-training merge statistic; top-200, deterministic ties."""
+    from dotnetvectorsearch_spark.operators.lm import char_pair_counts
+    docs = load_table(spark, sf_dir, "documents")
+    return char_pair_counts(docs, text_col="text", top_n=200)
+
+
+def _q_search_topk_matryoshka(spark, sf_dir):
+    """Flagship search over a 16-dim matryoshka prefix of the 64-dim
+    corpus — 4x less scan/FLOPs; cosine is scale-invariant so the
+    un-renormalized slice ranks identically to the renormalized one."""
+    from dotnetvectorsearch_spark.functions.vector import matryoshka_truncate
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", matryoshka_truncate("embedding", 16).alias("embedding"))
+    q = _query_vec(spark, sf_dir).select(
+        matryoshka_truncate("query_embedding", 16).alias("query_embedding"))
+    return S.top_k_similar(emb, q, top_k=10, id_col="vec_id",
+                           round_digits=6)
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink + scan roundtrip (format coverage beyond parquet/CSV/
     JSONL); values must survive the format exactly."""
@@ -1774,6 +1795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sampled_docs": _q_weighted_sampled_docs,
     "mixture_rebalanced": _q_mixture_rebalanced,
     "orc_roundtrip": _q_orc_roundtrip,
+    "bpe_pair_counts": _q_bpe_pair_counts,
+    "search_topk_matryoshka": _q_search_topk_matryoshka,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3190,5 +3213,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "bpe_pair_counts": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), w AS (
+                SELECT t[i] AS w
+                FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+                WHERE len(t[i]) >= 2
+            ), p AS (
+                SELECT substr(w, i, 2) AS pair
+                FROM w, UNNEST(range(1, len(w))) AS r(i)
+            )
+            SELECT pair, count(*) AS n
+            FROM p GROUP BY 1
+            ORDER BY n DESC, pair ASC
+            LIMIT 200
+        """,
+        "search_topk_matryoshka": f"""
+            WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({cos.format(a='e.embedding[1:16]', b='q.qe')}, 6)
+                       AS similarity
+            FROM embeddings e CROSS JOIN q
+            ORDER BY similarity DESC, e.vec_id ASC
+            LIMIT 10
         """,
     }

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "oov_rates",
     "weighted_sampled_docs",
     "mixture_rebalanced",
+    "bpe_pair_counts",
+    "search_topk_matryoshka",
 ]
 
 

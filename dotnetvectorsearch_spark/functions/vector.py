@@ -97,6 +97,24 @@ def assert_dims_match(a: Column | str, b: Column | str) -> Column:
     ).otherwise(F.raise_error(F.lit("Vectors must have the same dimensions")))
 
 
+def matryoshka_truncate(v: Column | str, dims: int,
+                        renormalize: bool = False) -> Column:
+    """Matryoshka-style dimensionality reduction: keep the first `dims`
+    components of an MRL-trained embedding (the leading prefix carries
+    the coarse semantics). A narrow `slice` projection — at 100 TB this
+    is the cheap way to trade recall for a `dims/d` cut in scan bytes,
+    memory, and cosine FLOPs before any re-ranking pass on full vectors.
+
+    `renormalize=False` (default) leaves the prefix unscaled — cosine is
+    scale-invariant, so rankings are unchanged and the expression stays
+    a pure column slice; `renormalize=True` restores unit norm for
+    consumers that dot-product against pre-normalized corpora.
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    t = F.slice(v, 1, dims)
+    return l2_normalize(t) if renormalize else t
+
+
 def quantize_scale(v: Column | str) -> Column:
     """Symmetric int8 quantization scale: max(|x|)/127 as double.
     Zero vectors get scale 0 (their quantized form is all zeros and

@@ -65,17 +65,46 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     over the doc's bigram occurrences — always <= 0, with 0 meaning every
     transition in the doc is deterministic corpus-wide.
     """
-    occ = (docs
-           .select(F.col(id_col),
-                   F.explode(bigram_array(tokens(text_col))).alias("bg"))
-           .withColumn("w1", F.substring_index("bg", " ", 1)))
-    c_bg = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(bigram_array(tokens(text_col))).alias("bg"))
+    # Joined twice (count build + score join): persist so the token-scale
+    # explode runs once (same convention as dedup.py self-joins).
+    occ = occ.persist()
+    c_bg = (occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+            .withColumn("w1", F.substring_index("bg", " ", 1)))
+    # Left-context counts derive from the bigram count table — a
+    # vocabulary-scale aggregate + join, NOT a second pass over the
+    # token-scale occurrence stream: c(w1 ·) = sum of c(w1 w2) over w2.
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    counts = c_bg.join(c_w1, "w1").drop("w1")
     logp = F.log(F.col("c_bg").cast("double") / F.col("c_w1"))
-    return (occ.join(c_bg, "bg").join(c_w1, "w1")
+    return (occ.join(counts, "bg")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg(logp), round_digits).alias("avg_logprob")))
+
+
+def char_pair_counts(docs: DataFrame, text_col: str = "text",
+                     top_n: int = 200) -> DataFrame:
+    """Corpus adjacent-character-pair frequencies — the first merge-step
+    statistic of BPE tokenizer training (the most frequent pair is the
+    next merge rule). Counts every occurrence of every 2-char window in
+    every whitespace token of the corpus.
+
+    Returns the `top_n` pairs as `(pair, n)`, ties broken by pair asc so
+    the cut is deterministic. One token-scale explode feeding a map-side
+    combined count whose exchange is alphabet²-sized, then a global
+    top-N (`TakeOrderedAndProject`) — nothing driver-side until the
+    final N rows.
+    """
+    words = (docs.select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(top_n))
 
 
 def oov_rate(docs: DataFrame, vocab_size: int = 1000,

@@ -61,3 +61,23 @@ def test_oov_rate_tiny_vocab_flags_rare_terms(spark):
            .collect()}
     assert abs(out[1].oov - 0.5) <= 1e-6        # alpha OOV, beta in-vocab
     assert abs(out[2].oov - (1 / 3)) <= 1e-6    # gamma OOV
+
+
+def test_char_pair_counts_exact(spark):
+    from dotnetvectorsearch_spark.operators.lm import char_pair_counts
+    df = spark.createDataFrame([(1, "aab ab"), (2, "ab")],
+                               "id long, text string")
+    got = {(r.pair, r.n) for r in char_pair_counts(df, "text").collect()}
+    # "aab" -> aa, ab ; "ab" -> ab ; "ab" -> ab
+    assert got == {("aa", 1), ("ab", 3)}
+
+
+def test_char_pair_counts_topn_cut_deterministic(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.lm import char_pair_counts
+    docs = load_table(spark, sf_dir, "documents")
+    top5 = char_pair_counts(docs, top_n=5).collect()
+    top10 = char_pair_counts(docs, top_n=10).collect()
+    assert [(r.pair, r.n) for r in top5] == [(r.pair, r.n)
+                                            for r in top10[:5]]
+    ns = [r.n for r in top10]
+    assert ns == sorted(ns, reverse=True)

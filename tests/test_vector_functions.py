@@ -163,3 +163,44 @@ def test_hamming_matches_numpy_on_corpus(spark, sf_dir):
     for r in rows:
         expect = int(np.sum((np.asarray(r.embedding) > 0) != q))
         assert got[r.vec_id] == expect
+
+
+def test_matryoshka_truncate_slices_and_renormalizes(spark, sf_dir):
+    from dotnetvectorsearch_spark.functions.vector import (
+        l2_norm,
+        matryoshka_truncate,
+    )
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        F.size(matryoshka_truncate("embedding", 16)).alias("d"),
+        l2_norm(matryoshka_truncate("embedding", 16, renormalize=True))
+        .alias("n"))
+    rows = t.collect()
+    assert all(r.d == 16 for r in rows)
+    assert all(abs(r.n - 1.0) < 1e-5 for r in rows)
+
+
+def test_matryoshka_ranking_invariant_under_renormalize(spark, sf_dir):
+    # cosine is scale-invariant: ranking on the raw slice equals ranking
+    # on the renormalized slice
+    from dotnetvectorsearch_spark.functions.vector import (
+        cosine_similarity,
+        matryoshka_truncate,
+    )
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    for renorm in (False, True):
+        s = (emb.crossJoin(F.broadcast(q))
+             .select("vec_id", cosine_similarity(
+                 matryoshka_truncate("embedding", 16, renormalize=renorm),
+                 matryoshka_truncate("qv", 16, renormalize=renorm))
+                 .alias("sim"))
+             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(10))
+        ids = [r.vec_id for r in s.collect()]
+        if renorm:
+            assert ids == base_ids
+        else:
+            base_ids = ids
