@@ -943,6 +943,26 @@ def _q_mixture_rebalanced(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def _q_top_docs_per_source(spark, sf_dir):
+    """Curation: best-3 documents per source by composite quality score
+    (doc_id tiebreak -> total order); local top-k prefilter bounds the
+    group-keyed exchange at k x partitions rows per group."""
+    from dotnetvectorsearch_spark.operators.sampling import top_k_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", T.quality_score("text").alias("quality"))
+    return top_k_per_group(scored, "source", 3,
+                           [("quality", True), ("doc_id", False)])
+
+
+def _q_corpus_profile(spark, sf_dir):
+    """One-pass corpus data-card summary (volume, cardinalities, length
+    stats, token total, short-doc fraction)."""
+    from dotnetvectorsearch_spark.operators.profile import corpus_profile
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_profile(docs)
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     """Adjacent-char-pair frequencies over the corpus — the first BPE
     tokenizer-training merge statistic; top-200, deterministic ties."""
@@ -1797,6 +1817,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": _q_orc_roundtrip,
     "bpe_pair_counts": _q_bpe_pair_counts,
     "search_topk_matryoshka": _q_search_topk_matryoshka,
+    "top_docs_per_source": _q_top_docs_per_source,
+    "corpus_profile": _q_corpus_profile,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -1852,7 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4))
     qvec = ("(SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
             "WHERE vec_id = 0)")
-    return {
+    oracles = {
         "search_topk": f"""
             WITH q AS {qvec}
             SELECT e.vec_id,
@@ -3241,4 +3263,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY similarity DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "corpus_profile": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                        AS BIGINT) AS total_tokens,
+                   round(avg(CAST(CASE WHEN n_chars < 20 THEN 1.0
+                                       ELSE 0.0 END AS DOUBLE)), 6)
+                       AS short_doc_frac
+            FROM documents
+        """,
     }
+    # best-3 per source under the same composite quality score the
+    # quality_scores oracle defines (reused verbatim as a CTE body).
+    oracles["top_docs_per_source"] = f"""
+        WITH q AS ({oracles["quality_scores"]})
+        SELECT source, doc_id, quality
+        FROM (
+            SELECT d.source, q.doc_id, q.quality,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+            FROM q JOIN documents d USING (doc_id))
+        WHERE rk <= 3
+    """
+    return oracles

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "mixture_rebalanced",
     "bpe_pair_counts",
     "search_topk_matryoshka",
+    "top_docs_per_source",
+    "corpus_profile",
 ]
 
 

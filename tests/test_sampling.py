@@ -145,3 +145,44 @@ def test_mixture_rebalance_drops_unlisted_strata(spark, sf_dir):
     langs = {r.lang for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_top_k_per_group_prefilter_matches_window(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import top_k_per_group
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    order = [("n_chars", True), ("doc_id", False)]
+    fast = top_k_per_group(docs, "source", 3, order, local_prefilter=True)
+    plain = top_k_per_group(docs, "source", 3, order, local_prefilter=False)
+    key = lambda r: (r.source, r.doc_id, r.n_chars)
+    assert sorted(map(key, fast.collect())) == sorted(
+        map(key, plain.collect()))
+
+
+def test_top_k_per_group_sizes_and_membership(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import top_k_per_group
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    out = top_k_per_group(docs, "source", 2,
+                          [("n_chars", True), ("doc_id", False)])
+    per_group = {r.source: r.n for r in
+                 out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    assert all(n <= 2 for n in per_group.values())
+    # winner check: the global max of one group is present
+    some = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).first()
+    kept = {(r.source, r.doc_id) for r in out.collect()}
+    assert (some.source, some.doc_id) in kept
+
+
+def test_corpus_profile_matches_manual(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.profile import corpus_profile
+    docs = load_table(spark, sf_dir, "documents")
+    row = corpus_profile(docs).collect()[0]
+    assert row.n_docs == docs.count()
+    assert row.n_langs == docs.select("lang").distinct().count()
+    assert row.n_sources == docs.select("source").distinct().count()
+    mn, mx = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert (row.min_chars, row.max_chars) == (mn, mx)
+    assert 0.0 <= row.short_doc_frac <= 1.0
+    assert row.total_tokens > row.n_docs  # multi-token docs exist
