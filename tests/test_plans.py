@@ -140,3 +140,44 @@ def test_user_event_pivot_single_aggregate(spark, sf_dir):
     # pinned pivot values: no distinct-values job, one agg on user_id
     plan = _plan(spark, sf_dir, "user_event_pivot")
     assert plan.count("+- Exchange") == 1
+
+
+def test_hash_samplers_are_pure_filters(spark, sf_dir):
+    # weighted/mixture sampling must be a narrow codegen filter over the
+    # scan: no Exchange of the data itself at any corpus size. The only
+    # join allowed is the broadcast of the 1-row max aggregate.
+    plan = _plan(spark, sf_dir, "weighted_sampled_docs")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the only exchanges are the 1-row max agg (SinglePartition) and its
+    # broadcast back — the corpus itself is never hash-repartitioned
+    assert "Exchange hashpartitioning" not in plan
+    plan = _plan(spark, sf_dir, "mixture_rebalanced")
+    assert "Exchange" not in plan               # bounds are literals
+    assert "Join" not in plan
+
+
+def test_corpus_profile_single_pass(spark, sf_dir):
+    # one scan, partial + final aggregate; distinct counts expand the
+    # aggregate but must not add extra scans of the parquet source
+    plan = _plan(spark, sf_dir, "corpus_profile")
+    scans = [l for l in plan.splitlines()
+             if l.strip().startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 1
+
+
+def test_bigram_logprob_counts_from_vocab_not_tokens(spark, sf_dir):
+    # left-context counts must derive from the bigram count table
+    # (vocabulary-scale sum), never a second token-scale aggregation of
+    # the exploded occurrence stream: exactly one Generate (explode)
+    # feeds the whole plan via the persisted occurrence relation.
+    plan = _plan(spark, sf_dir, "bigram_logprob")
+    assert "InMemoryTableScan" in plan          # occ persisted, not re-exploded
+    assert plan.count("Generate explode") <= 1
+
+
+def test_top_k_per_group_prefilter_bounds_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_docs_per_source")
+    # narrow Arrow prefilter before the group-keyed window exchange
+    assert "MapInPandas" in plan
+    assert "Window" in plan
