@@ -84,6 +84,26 @@ def stream_dedup(docs: DataFrame, ts_col: str = "created_at",
             .drop("fp"))
 
 
+def stream_clean(docs: DataFrame, quality_floor: float = 0.4,
+                 lang: str = "en", ts_col: str = "created_at",
+                 text_col: str = "text",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch `clean_corpus` composition: language-ID
+    + quality-floor predicates ahead of the watermark-bounded exact dedup.
+
+    Operator order is the scale decision: the stateless filters are
+    narrow codegen'd projections that cut the stream BEFORE any dedup
+    state is touched, so state size tracks the post-filter (clean) rate,
+    not the raw ingest rate. Works on a streaming or batch frame.
+    """
+    from dotnetvectorsearch_spark.functions.text import lang_id, quality_score
+
+    filt = docs.filter((lang_id(text_col) == F.lit(lang))
+                       & (quality_score(text_col) >= F.lit(quality_floor)))
+    return stream_dedup(filt, ts_col=ts_col, text_col=text_col,
+                        watermark=watermark)
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour rollup. Works on a streaming OR batch
     frame with (ts timestamp, event_type string, value double)."""

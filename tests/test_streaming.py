@@ -431,3 +431,47 @@ def test_stream_upsert_partitioned_overwrites_slice(spark, tmp_path):
     got = {(r.id, str(r.day), r.payload)
            for r in spark.read.parquet(out).collect()}
     assert got == {(1, "d1", "a"), (2, "d2", "b-fixed"), (3, "d2", "c")}
+
+
+def test_stream_clean_matches_batch_composition(spark, sf_dir, tmp_path):
+    """stream_clean's survivors carry exactly the batch pipeline's
+    surviving fingerprint set (filters + exact dedup), and every
+    survivor passes the stateless predicates."""
+    from dotnetvectorsearch_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from dotnetvectorsearch_spark.sources.io import load_table
+    from dotnetvectorsearch_spark.streaming.ingest import stream_clean
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("created_at"))
+    src = tmp_path / "clean_src"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, created_at timestamp")
+              .parquet(str(src)))
+    q = (stream_clean(stream).writeStream.format("memory")
+         .queryName("clean_test").outputMode("append").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM clean_test").count() >= 1)
+        time.sleep(2)
+        out = spark.sql("SELECT * FROM clean_test")
+        got_fps = {r.fp for r in
+                   out.select(fingerprint("text").alias("fp")).collect()}
+        bad = out.filter((lang_id("text") != "en")
+                         | (quality_score("text") < 0.4)).count()
+    finally:
+        q.stop()
+    batch = docs.filter((lang_id("text") == "en")
+                        & (quality_score("text") >= 0.4))
+    want_fps = {r.fp for r in
+                batch.select(fingerprint("text").alias("fp"))
+                .distinct().collect()}
+    assert got_fps == want_fps          # same surviving content set
+    assert len(got_fps) == out.count()  # exactly one survivor per fp
+    assert bad == 0                     # filters ran ahead of dedup
