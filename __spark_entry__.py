@@ -943,6 +943,26 @@ def _q_mixture_rebalanced(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def _q_semantic_clusters(spark, sf_dir):
+    """Semantic corpus clustering: exact kNN graph thresholded into
+    edges, connected components as cluster ids, singletons keep their
+    own id — the embedding-space twin of n-gram dedup_clusters."""
+    from dotnetvectorsearch_spark.operators.dedup import connected_components
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    g = S.knn_graph(emb, k=5, id_col="vec_id", round_digits=6)
+    edges = (g.filter(F.col("similarity") >= 0.35)
+             .select(F.col("vec_id").alias("id_a"),
+                     F.col("neighbor_id").alias("id_b")))
+    comp = connected_components(edges, "id_a", "id_b")
+    return (emb.select("vec_id")
+            .join(comp.withColumnRenamed("node", "vec_id"),
+                  "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("component", F.col("vec_id"))
+                    .alias("cluster_id")))
+
+
 def _q_top_docs_per_source(spark, sf_dir):
     """Curation: best-3 documents per source by composite quality score
     (doc_id tiebreak -> total order); local top-k prefilter bounds the
@@ -1819,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk_matryoshka": _q_search_topk_matryoshka,
     "top_docs_per_source": _q_top_docs_per_source,
     "corpus_profile": _q_corpus_profile,
+    "semantic_clusters": _q_semantic_clusters,
     # rows-only (no SQL oracle): LSH/kmeans/python-embedder internals
     "minhash_pairs": _q_minhash_pairs,
     "simhash_pairs": _q_simhash_pairs,
@@ -3280,6 +3301,30 @@ def oracle_sql() -> dict[str, str]:
     }
     # best-3 per source under the same composite quality score the
     # quality_scores oracle defines (reused verbatim as a CTE body).
+    # kNN edges (same SQL as the knn_graph oracle, reused verbatim)
+    # thresholded, symmetrized, closed transitively via recursive CTE —
+    # min reachable id is the cluster id; isolated vectors keep their own.
+    oracles["semantic_clusters"] = f"""
+        WITH RECURSIVE knn AS ({oracles["knn_graph"]}),
+        p AS (
+            SELECT vec_id AS ia, neighbor_id AS ib FROM knn
+            WHERE similarity >= 0.35
+        ), edges AS (
+            SELECT ia AS a, ib AS b FROM p
+            UNION
+            SELECT ib AS a, ia AS b FROM p
+        ), reach AS (
+            SELECT a AS node, a AS r FROM edges
+            UNION
+            SELECT e.b AS node, reach.r
+            FROM reach JOIN edges e ON e.a = reach.node
+        ), comp AS (
+            SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT emb.vec_id,
+               COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+        FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+    """
     oracles["top_docs_per_source"] = f"""
         WITH q AS ({oracles["quality_scores"]})
         SELECT source, doc_id, quality

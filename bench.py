@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "search_topk_matryoshka",
     "top_docs_per_source",
     "corpus_profile",
+    "semantic_clusters",
 ]
 
 

@@ -244,3 +244,23 @@ def test_ngram_novelty_partial_overlap(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.novelty for r in ngram_novelty(df).collect()}
     assert out == {1: 0.5, 2: 0.5}
+
+
+def test_semantic_clusters_consistent_with_edges(spark, sf_dir):
+    """Every thresholded kNN edge joins its endpoints into the same
+    cluster; cluster ids are the min member; singletons label themselves."""
+    import __spark_entry__ as entrymod
+    out = entrymod.queries()["semantic_clusters"](spark, sf_dir)
+    labels = {r.vec_id: r.cluster_id for r in out.collect()}
+    assert all(c <= v for v, c in labels.items())
+    from dotnetvectorsearch_spark.operators.search import knn_graph
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    g = knn_graph(emb, k=5, id_col="vec_id", round_digits=6)
+    edges = [(r.vec_id, r.neighbor_id) for r in
+             g.filter(F.col("similarity") >= 0.35).collect()]
+    assert edges, "threshold should keep some edges at this SF"
+    assert all(labels[a] == labels[b] for a, b in edges)
+    # cluster id is an actual member of its cluster
+    assert all(labels[c] == c for c in set(labels.values()))
