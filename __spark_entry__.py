@@ -943,6 +943,29 @@ def _q_mixture_rebalanced(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def _q_theta_contamination(spark, sf_dir):
+    """Join-free corpus-overlap estimate via theta sketch intersection
+    (sources src0-9 vs src10-19 as the two corpora). Approximate by
+    design -> rows-only; error bounds pinned in tests/test_sketches.py."""
+    from dotnetvectorsearch_spark.operators.sketches import (
+        theta_ngram_overlap)
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10)
+    half_b = docs.filter(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") >= 10)
+    return theta_ngram_overlap(half_a, half_b, text_col="text", n=3)
+
+
+def _q_hll_daily_users(spark, sf_dir):
+    """Mergeable per-day distinct users + sketch-union lifetime total —
+    the incremental HLL profile. Approximate -> rows-only."""
+    from dotnetvectorsearch_spark.operators.sketches import (
+        hll_daily_distinct)
+    ev = load_table(spark, sf_dir, "events")
+    return hll_daily_distinct(ev, ts_col="ts", key_col="user_id")
+
+
 def _q_semantic_clusters(spark, sf_dir):
     """Semantic corpus clustering: exact kNN graph thresholded into
     edges, connected components as cluster ids, singletons keep their
@@ -1857,6 +1880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": _q_stratified_sample,
     "ann_recall": _q_ann_recall,
     "search_topk_mmr": _q_search_topk_mmr,
+    "theta_contamination": _q_theta_contamination,
+    "hll_daily_users": _q_hll_daily_users,
 }
 
 

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     "corpus_profile",
     "semantic_clusters",
+    "theta_contamination",
+    "hll_daily_users",
 ]
 
 

@@ -1,0 +1,83 @@
+"""DataSketches-based mergeable summaries (beyond-reference).
+
+Apache DataSketches aggregates (built into Spark SQL 4.x) give the
+*mergeable* forms of the pipeline's set statistics: per-partition /
+per-day / per-shard sketches combine associatively into exact-error-bound
+estimates WITHOUT re-scanning or joining raw data. At 100 TB this is the
+difference between "estimate eval-set contamination with a token-level
+join" (shuffle ∝ corpus) and "intersect two kilobyte-sized sketches"
+(shuffle ∝ sketch size — constant).
+
+Estimates are approximate (relative error ~1/sqrt(2^lg_k)), so these are
+rows-only driver checks; tests pin the estimates inside their documented
+error bounds against exact answers (tests/test_sketches.py).
+
+The reference has no aggregation surface at all (SURVEY.md §2.5); these
+are north-star training-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def theta_ngram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
+                        text_col: str = "text", n: int = 3,
+                        lg_k: int = 14) -> DataFrame:
+    """Join-free corpus-overlap estimate: theta sketches of each side's
+    word n-gram set, intersected sketch-side. Returns one row
+    `(est_ngrams_a, est_ngrams_b, est_overlap, est_jaccard)`.
+
+    Scale shape: each side is one map-side-combined sketch aggregate —
+    the exchange carries per-task sketches (~2^lg_k hashes max, KBs),
+    never the n-grams themselves. The final intersection/union runs on
+    two 1-row frames. Contrast `dedup.cross_corpus_contamination`, which
+    joins n-gram streams for exact pair attribution: this estimator
+    answers "how contaminated?" at a constant cost, the join answers
+    "which documents?" at shuffle cost — both belong in the toolbox.
+    """
+    from dotnetvectorsearch_spark.functions.text import word_shingles
+
+    def sketch(df: DataFrame, alias: str):
+        return (df.select(F.explode(word_shingles(text_col, n)).alias("s"))
+                .agg(F.theta_sketch_agg("s", lg_k).alias(alias)))
+
+    both = sketch(corpus_a, "sk_a").crossJoin(sketch(corpus_b, "sk_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_a", "sk_b"))
+    union = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+    return both.select(
+        F.round(F.theta_sketch_estimate("sk_a"), 1).alias("est_ngrams_a"),
+        F.round(F.theta_sketch_estimate("sk_b"), 1).alias("est_ngrams_b"),
+        F.round(inter, 1).alias("est_overlap"),
+        F.round(inter / union, 6).alias("est_jaccard"))
+
+
+def hll_daily_distinct(events: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id",
+                       lg_k: int = 14) -> DataFrame:
+    """Per-day distinct-key estimates plus the exact-merge total — the
+    incremental-profile pattern: each day aggregates its own HLL sketch
+    once; the corpus-lifetime distinct count is a union of stored
+    sketches, never a re-scan of history. Returns one row per day
+    `(day, est_distinct)` plus a `day=NULL` row holding the all-time
+    union estimate (grouping-sets style).
+
+    `ts_col` is the test tables' long-nanos epoch (TIMESTAMP(NANOS) read
+    via nanosAsLong — see session.py); day bucketing is integer floor
+    division, timezone-proof.
+    """
+    day = (F.col(ts_col).cast("long") / F.lit(86_400_000_000_000)) \
+        .cast("long")
+    daily = (events
+             .groupBy(day.alias("day"))
+             .agg(F.hll_sketch_agg(key_col, lg_k).alias("sk")))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").cast("long")
+        .alias("est_distinct"))
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long")
+        .alias("est_distinct")).select(
+        F.lit(None).cast("long").alias("day"), "est_distinct")
+    return per_day.unionByName(total)

@@ -39,3 +39,50 @@ def test_sketch_merges_partial(spark, sf_dir):
             .agg(F.approx_count_distinct("user_id"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_approx_count_distinct" in plan
+
+
+def test_theta_overlap_within_error_bounds(spark, sf_dir):
+    """Theta-sketch estimates of n-gram set sizes and overlap sit within
+    ~3x the configured relative standard error of the exact answers."""
+    from dotnetvectorsearch_spark.functions.text import word_shingles
+    from dotnetvectorsearch_spark.operators.sketches import (
+        theta_ngram_overlap)
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10)
+    b = docs.filter(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") >= 10)
+    est = theta_ngram_overlap(a, b, "text", 3).collect()[0]
+
+    def shingle_set(df):
+        return {r.s for r in df.select(
+            F.explode(word_shingles("text", 3)).alias("s"))
+            .distinct().collect()}
+    sa, sb = shingle_set(a), shingle_set(b)
+    inter, union = len(sa & sb), len(sa | sb)
+    tol = 3 * (1.0 / (2 ** 14) ** 0.5) + 0.02  # 3x rsd + small-set slack
+    assert abs(est.est_ngrams_a - len(sa)) <= tol * len(sa)
+    assert abs(est.est_ngrams_b - len(sb)) <= tol * len(sb)
+    assert abs(est.est_overlap - inter) <= tol * max(inter, 1) + 2
+    assert abs(est.est_jaccard - inter / union) <= 0.05
+
+
+def test_hll_daily_distinct_matches_exact(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sketches import (
+        hll_daily_distinct)
+    ev = load_table(spark, sf_dir, "events")
+    out = hll_daily_distinct(ev).collect()
+    per_day = {r.day: r.est_distinct for r in out if r.day is not None}
+    total_est = [r.est_distinct for r in out if r.day is None][0]
+    day = (F.col("ts").cast("long") / F.lit(86_400_000_000_000)) \
+        .cast("long")
+    exact = {r.day: r.n for r in
+             ev.groupBy(day.alias("day"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(per_day) == set(exact)
+    for d, n in exact.items():
+        assert abs(per_day[d] - n) <= max(3, 0.05 * n)
+    total_exact = ev.select("user_id").distinct().count()
+    assert abs(total_est - total_exact) <= max(3, 0.05 * total_exact)
+    # union-of-sketches total never exceeds the sum of dailies
+    assert total_est <= sum(per_day.values())
