@@ -82,10 +82,14 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
     engines, and hence oracle-checkable.
     """
     mx = df.agg(F.max(F.col(weight_col).cast("double")).alias("_wmax"))
+    # CaseWhen so the division never evaluates when max <= 0 (ANSI mode
+    # raises on 0/0): a weightless corpus keeps nothing, deterministically.
+    bound = F.when(
+        F.col("_wmax") > 0,
+        F.col(weight_col).cast("double") / F.col("_wmax")
+        * F.lit(_HASH_SPACE)).otherwise(F.lit(-1.0))
     return (df.crossJoin(F.broadcast(mx))
-            .filter(_hash_u(key_col, salt) <
-                    F.col(weight_col).cast("double") / F.col("_wmax")
-                    * F.lit(_HASH_SPACE))
+            .filter(_hash_u(key_col, salt) < bound)
             .drop("_wmax"))
 
 

@@ -186,3 +186,12 @@ def test_corpus_profile_matches_manual(spark, sf_dir):
     assert (row.min_chars, row.max_chars) == (mn, mx)
     assert 0.0 <= row.short_doc_frac <= 1.0
     assert row.total_tokens > row.n_docs  # multi-token docs exist
+
+
+def test_weighted_hash_sample_all_zero_weights_keeps_nothing(spark):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        weighted_hash_sample)
+    df = spark.range(50).withColumn("w", F.lit(0.0))
+    # max weight 0 -> keep probability 0/0 is null -> every row dropped,
+    # deterministically (no divide-by-zero error, no partial keeps)
+    assert weighted_hash_sample(df, "id", "w").count() == 0
