@@ -957,6 +957,15 @@ def _q_theta_contamination(spark, sf_dir):
     return theta_ngram_overlap(half_a, half_b, text_col="text", n=3)
 
 
+def _q_kll_value_quantiles(spark, sf_dir):
+    """Mergeable per-event-type quantiles via KLL sketches (streaming /
+    incremental twin of value_percentiles). Approximate -> rows-only."""
+    from dotnetvectorsearch_spark.operators.sketches import (
+        kll_value_quantiles)
+    ev = load_table(spark, sf_dir, "events")
+    return kll_value_quantiles(ev, "value", "event_type")
+
+
 def _q_hll_daily_users(spark, sf_dir):
     """Mergeable per-day distinct users + sketch-union lifetime total —
     the incremental HLL profile. Approximate -> rows-only."""
@@ -1882,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk_mmr": _q_search_topk_mmr,
     "theta_contamination": _q_theta_contamination,
     "hll_daily_users": _q_hll_daily_users,
+    "kll_value_quantiles": _q_kll_value_quantiles,
 }
 
 

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "semantic_clusters",
     "theta_contamination",
     "hll_daily_users",
+    "kll_value_quantiles",
 ]
 
 

@@ -54,6 +54,29 @@ def theta_ngram_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
         F.round(inter / union, 6).alias("est_jaccard"))
 
 
+def kll_value_quantiles(df: DataFrame, value_col: str = "value",
+                        group_col: str | None = "event_type",
+                        probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                        k: int = 800) -> DataFrame:
+    """Per-group quantile estimates from KLL sketches — the mergeable
+    (hence streaming- and partition-incremental) alternative to
+    `percentile_cont`, whose exact form needs a per-group sort. Returns
+    one row per group with a `pNN` column per requested probability.
+
+    An exact percentile over 100 TB sorts every group; the KLL sketch is
+    one map-side-combined aggregate with a fixed-size (k-bounded) state
+    that merges associatively — the same incremental contract as the HLL
+    profile. Normalized rank error for k=800 is ~0.5%.
+    """
+    keys = [group_col] if group_col else []
+    sk = (df.groupBy(*keys)
+          .agg(F.kll_sketch_agg_double(F.col(value_col).cast("double"), k)
+               .alias("sk")))
+    cols = [F.round(F.kll_sketch_get_quantile_double("sk", F.lit(p)), 6)
+            .alias(f"p{int(p * 100)}") for p in probs]
+    return sk.select(*keys, *cols)
+
+
 def hll_daily_distinct(events: DataFrame, ts_col: str = "ts",
                        key_col: str = "user_id",
                        lg_k: int = 14) -> DataFrame:

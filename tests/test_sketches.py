@@ -86,3 +86,24 @@ def test_hll_daily_distinct_matches_exact(spark, sf_dir):
     assert abs(total_est - total_exact) <= max(3, 0.05 * total_exact)
     # union-of-sketches total never exceeds the sum of dailies
     assert total_est <= sum(per_day.values())
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sketches import (
+        kll_value_quantiles)
+    ev = load_table(spark, sf_dir, "events")
+    est = {r.event_type: r for r in
+           kll_value_quantiles(ev, "value", "event_type").collect()}
+    exact = {r.event_type: r for r in
+             ev.groupBy("event_type").agg(
+                 F.expr("percentile_cont(0.5) WITHIN GROUP "
+                        "(ORDER BY value)").alias("p50"),
+                 F.expr("percentile_cont(0.95) WITHIN GROUP "
+                        "(ORDER BY value)").alias("p95")).collect()}
+    for et, ex in exact.items():
+        # KLL guarantees RANK error (~0.5% at k=800); translate to a
+        # value tolerance via the observed spread of the distribution
+        spread = ev.filter(F.col("event_type") == et).agg(
+            F.max("value") - F.min("value")).collect()[0][0]
+        assert abs(est[et].p50 - ex.p50) <= 0.05 * spread
+        assert abs(est[et].p95 - ex.p95) <= 0.05 * spread
