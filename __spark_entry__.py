@@ -132,17 +132,19 @@ def _q_vector_norms(spark, sf_dir):
 
 def _q_quantized_embeddings(spark, sf_dir):
     """Symmetric int8 vector quantization (4x storage cut for the vector
-    column at 100 TB): per-vector scale + array<int> codes, all codegen'd
-    higher-order functions. Note: the scale expression is captured by the
-    transform lambda, which re-evaluates it per element (O(d^2)/row) —
-    fine at d=64; for large d materialize scale to a column behind an
-    exchange/persist boundary first."""
+    column at 100 TB): per-vector scale + int8 codes, all codegen'd
+    higher-order functions. The scale is materialized to a column FIRST
+    so the transform lambda references a resolved attribute (O(d)/row,
+    not O(d^2) re-evaluation per element). Codes are emitted as a JSON
+    string: the oracle harness canonicalizes scalar columns only, and
+    the JSON form is byte-comparable with DuckDB's to_json."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scale = V.quantize_scale("embedding")
-    return emb.select(
+    scaled = emb.withColumn("_scale", V.quantize_scale("embedding"))
+    return scaled.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        V.quantize_int8("embedding", scale).alias("q"))
+        F.round("_scale", 6).alias("scale"),
+        F.to_json(V.quantize_int8("embedding", F.col("_scale")))
+        .alias("q_json"))
 
 
 def _q_json_codec_roundtrip(spark, sf_dir):
@@ -340,12 +342,14 @@ def _q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the event stream table (batch view
     of the Structured Streaming hourly rollup).
 
-    events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
-    (spark.sql.legacy.parquet.nanosAsLong), so the tumbling bucket is
-    integer floor-division — exact, and identical to DuckDB's
+    events.ts is parquet TIMESTAMP(NANOS); depending on the runtime Spark
+    surfaces it as long nanos or timestamp_ntz — event_bucket_seconds
+    branches on the actual dtype, so the tumbling bucket is integer
+    floor-division either way: exact, and identical to DuckDB's
     date_trunc('hour')."""
+    from dotnetvectorsearch_spark.functions.time import event_bucket_seconds
     ev = load_table(spark, sf_dir, "events")
-    hour_epoch = F.expr("CAST(ts AS LONG) DIV 3600000000000") * 3600
+    hour_epoch = event_bucket_seconds(ev, 3600)
     return (ev.groupBy(hour_epoch.alias("hour_epoch"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
@@ -419,8 +423,10 @@ def _q_click_purchase_interval(spark, sf_dir):
     every (click, purchase) pair per user with the purchase inside the
     30-minute attribution window after the click."""
     from dotnetvectorsearch_spark.streaming.ingest import stream_interval_join
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
     ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("CAST(ts AS LONG) DIV 1000000000")
+    sec = event_epoch_seconds_long(ev)
     base = ev.select("event_id", "user_id", "event_type",
                      F.timestamp_seconds(sec).alias("t"))
     clicks = (base.filter(F.col("event_type") == "click")
@@ -442,8 +448,10 @@ def _q_sessionize(spark, sf_dir):
     """Stateful sequence op: 30-minute-gap sessionization per user
     (batch twin of the streaming applyInPandasWithState sessionizer)."""
     from pyspark.sql.window import Window
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
     ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("CAST(ts AS LONG) DIV 1000000000")
+    sec = event_epoch_seconds_long(ev)
     w = Window.partitionBy("user_id").orderBy("sec")
     prev = F.lag("sec").over(w)
     with_flag = (ev.select("user_id", sec.alias("sec"))
@@ -583,9 +591,11 @@ def _q_asof_click_purchase(spark, sf_dir):
     from dotnetvectorsearch_spark.operators.temporal import (
         prior_event_attribution,
     )
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
     ev = load_table(spark, sf_dir, "events")
     base = ev.select("event_id", "user_id", "event_type",
-                     F.expr("CAST(ts AS LONG) DIV 1000000000").alias("sec"))
+                     event_epoch_seconds_long(ev).alias("sec"))
     out = prior_event_attribution(base, "user_id", "sec",
                                   target_type="purchase",
                                   source_type="click",
@@ -1739,12 +1749,15 @@ def _q_session_windows(spark, sf_dir):
     exactly gap distance still MERGES (the [start, last+gap] overlap test
     is closed); only a strictly larger gap starts a new session. Outputs
     epoch seconds (long), not timestamps, so the comparison is
-    timezone-proof. events.ts arrives as long nanos (nanosAsLong)."""
+    timezone-proof. events.ts dtype varies by runtime (long nanos or
+    timestamp_ntz) — event_epoch_seconds_long handles both."""
     from dotnetvectorsearch_spark.streaming.ingest import session_rollup
-    ev = load_table(spark, sf_dir, "events").select(
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
         "user_id",
-        F.timestamp_seconds(F.expr("CAST(ts AS LONG) DIV 1000000000"))
-        .alias("ts"))
+        F.timestamp_seconds(event_epoch_seconds_long(raw)).alias("ts"))
     out = session_rollup(ev, gap="30 minutes")
     return out.select(
         "user_id",
@@ -1758,9 +1771,11 @@ def _q_events_sliding(spark, sf_dir):
     1-hour windows every 30 minutes — each event lands in exactly 2
     windows. Epoch-second window starts for timezone-proof comparison."""
     from dotnetvectorsearch_spark.streaming.ingest import sliding_rollup
-    ev = load_table(spark, sf_dir, "events").select(
-        F.timestamp_seconds(F.expr("CAST(ts AS LONG) DIV 1000000000"))
-        .alias("ts"),
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        F.timestamp_seconds(event_epoch_seconds_long(raw)).alias("ts"),
         "event_type",
         # decimal in -> exact decimal sum inside the operator -> the
         # aggregate is order-independent and engine-exact
@@ -2000,11 +2015,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             SELECT vec_id, round(scale, 6) AS scale,
-                   CASE WHEN scale = 0
+                   CAST(to_json(CASE WHEN scale = 0
                         THEN list_transform(e, x -> 0)
                         ELSE list_transform(
                             e, x -> CAST(round(x / scale) AS INT))
-                   END AS q
+                   END) AS VARCHAR) AS q_json
             FROM s
         """,
         "json_codec_roundtrip": f"""
@@ -2058,7 +2073,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, term, count(*) AS tf
                 FROM toks WHERE term <> '' GROUP BY 1, 2
             )
-            SELECT term, SUM(tf) AS n_occurrences, count(*) AS n_docs
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+                   count(*) AS n_docs
             FROM tf GROUP BY term
             ORDER BY n_occurrences DESC, term ASC
             LIMIT 100
@@ -2862,7 +2878,8 @@ def oracle_sql() -> dict[str, str]:
         "props_json_stats": """
             SELECT event_type,
                    count(*) AS n,
-                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k,
                    MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -2922,7 +2939,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(floor(nt / 50) * 50 AS BIGINT) AS bucket_lo,
                    count(*) AS n_docs,
-                   SUM(length(text)) AS total_chars
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM t GROUP BY 1
         """,
         "bm25_topk": """
@@ -3145,7 +3162,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
                         ELSE 'video/mp4' END AS mime_type,
                    count(*) AS n_assets,
-                   SUM(octet_length(encode(text))) AS total_bytes,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes,
                    MAX(octet_length(encode(text))) AS max_bytes
             FROM documents
             GROUP BY 1, 2

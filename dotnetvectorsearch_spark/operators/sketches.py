@@ -87,12 +87,14 @@ def hll_daily_distinct(events: DataFrame, ts_col: str = "ts",
     `(day, est_distinct)` plus a `day=NULL` row holding the all-time
     union estimate (grouping-sets style).
 
-    `ts_col` is the test tables' long-nanos epoch (TIMESTAMP(NANOS) read
-    via nanosAsLong — see session.py); day bucketing is integer floor
-    division, timezone-proof.
+    `ts_col` is the test tables' parquet TIMESTAMP(NANOS) column, which
+    the runtime surfaces either as long nanos or timestamp_ntz — the
+    bucketing branches on the actual dtype (functions.time); day
+    bucketing is integer floor division, timezone-proof.
     """
-    day = (F.col(ts_col).cast("long") / F.lit(86_400_000_000_000)) \
-        .cast("long")
+    from dotnetvectorsearch_spark.functions.time import event_bucket_seconds
+    day = (event_bucket_seconds(events, 86_400, ts_col)
+           / F.lit(86_400)).cast("long")
     daily = (events
              .groupBy(day.alias("day"))
              .agg(F.hll_sketch_agg(key_col, lg_k).alias("sk")))

@@ -34,7 +34,10 @@ def get_spark(app_name: str = "dotnetvectorsearch-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # read INT64 TIMESTAMP(NANOS) parquet columns (events.ts) as long
+        # Best-effort: ask for INT64 TIMESTAMP(NANOS) parquet columns
+        # (events.ts) as long. Spark 4.1 IGNORES this flag and reads
+        # timestamp_ntz instead — nothing may rely on it; all event-time
+        # code branches on the actual column dtype (functions/time.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

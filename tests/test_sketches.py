@@ -74,8 +74,8 @@ def test_hll_daily_distinct_matches_exact(spark, sf_dir):
     out = hll_daily_distinct(ev).collect()
     per_day = {r.day: r.est_distinct for r in out if r.day is not None}
     total_est = [r.est_distinct for r in out if r.day is None][0]
-    day = (F.col("ts").cast("long") / F.lit(86_400_000_000_000)) \
-        .cast("long")
+    from dotnetvectorsearch_spark.functions.time import event_bucket_seconds
+    day = (event_bucket_seconds(ev, 86_400) / F.lit(86_400)).cast("long")
     exact = {r.day: r.n for r in
              ev.groupBy(day.alias("day"))
              .agg(F.countDistinct("user_id").alias("n")).collect()}

@@ -34,18 +34,23 @@ def normalize(df) -> tuple[int, list[str], int]:
 
 
 def _norm_val(v):
+    # Type-tag ints vs floats: the driver's canonicalizer stringifies
+    # values, so DuckDB HUGEINT->float64 (7.0) vs Spark int64 (7) is a
+    # real hash mismatch there — hash(7)==hash(7.0) must not mask it.
     import datetime
     import numpy as np
-    if isinstance(v, (np.integer,)):
-        return int(v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, (np.floating,)):
         v = float(v)
     if isinstance(v, float):
         if v != v:
-            return "nan"
+            return ("f", "nan")
         if v == 0.0:
-            return 0.0  # -0.0 == 0.0
-        return v
+            return ("f", 0.0)  # -0.0 == 0.0
+        return ("f", v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, np.ndarray)):
