@@ -619,11 +619,21 @@ def _q_props_json_stats(spark, sf_dir):
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints (char-5-gram md5, window 8):
-    position-robust substring fingerprints per document."""
+    """Rolling-hash winnowing fingerprints, engine path (char-5-gram
+    xxhash64, window 8): position-robust substring fingerprints per
+    document; long hashes keep the window/shuffle payload small."""
     from dotnetvectorsearch_spark.operators.dedup import winnow_fingerprints
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "doc_id", "text", k=5, w=8)
+
+
+def _q_winnow_fingerprints_md5(spark, sf_dir):
+    """Winnowing fingerprints, portable md5 twin — byte-identical in any
+    engine, so it carries the DuckDB oracle for the winnow shape."""
+    from dotnetvectorsearch_spark.operators.dedup import winnow_fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, w=8,
+                               portable=True)
 
 
 def _q_sql_grouping_sets(spark, sf_dir):
@@ -1859,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_purchase_interval": _q_click_purchase_interval,
     "props_json_stats": _q_props_json_stats,
     "winnow_fingerprints": _q_winnow_fingerprints,
+    "winnow_fingerprints_md5": _q_winnow_fingerprints_md5,
     "media_stats": _q_media_stats,
     "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
@@ -2884,7 +2895,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
-        "winnow_fingerprints": """
+        "winnow_fingerprints_md5": """
             WITH n AS (
                 SELECT doc_id,
                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

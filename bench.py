@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "asof_click_purchase",
     "click_purchase_interval",
     "winnow_fingerprints",
+    "winnow_fingerprints_md5",
     "media_stats",
     "pack_documents",
     "chunk_documents",

@@ -218,9 +218,14 @@ def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
             .filter(F.col("rank") <= k))
 
 
+KNN_GRAPH_MAX_BROADCAST_ROWS = 2_000_000
+
+
 def knn_graph(docs: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              round_digits: int | None = None) -> DataFrame:
+              round_digits: int | None = None,
+              max_broadcast_rows: int = KNN_GRAPH_MAX_BROADCAST_ROWS
+              ) -> DataFrame:
     """Exact k-nearest-neighbor graph: for EVERY row, its k most-cosine-similar
     other rows. Output: (id, neighbor_id, similarity), k rows per id.
 
@@ -233,22 +238,36 @@ def knn_graph(docs: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     Scale bounds: broadcast-side is O(N*d) floats — exact kNN this way is
     for corpora that fit an executor (~10^7 x 384-d = ~15 GB is the edge).
-    Past that, the blocked approximate paths are the tool:
-    ``dedup.embedding_neardup_pairs`` (LSH-blocked) or ``ann.IVFIndex``
-    cell-join — same output contract, candidate-bounded.
+    The bound is ENFORCED, not advisory: the corpus is counted before any
+    collect, and past ``max_broadcast_rows`` this raises instead of
+    silently OOMing the driver at scale. Past the bound, the blocked
+    approximate paths are the tool: ``dedup.embedding_neardup_pairs``
+    (LSH-blocked) or ``ann.IVFIndex`` cell-join — same output contract,
+    candidate-bounded.
     """
     import numpy as np
     import pandas as pd
 
     validate_top_k(k)
+    n_rows = docs.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph is an exact broadcast kNN bounded at "
+            f"{max_broadcast_rows} rows (got {n_rows}); past executor-fit "
+            f"use dedup.embedding_neardup_pairs (LSH-blocked) or "
+            f"ann.IVFIndex (cell-partitioned) instead")
     rows = docs.select(id_col, vec_col).collect()
     all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    id_order = np.argsort(all_ids)  # sorted ids => column index IS the
+    all_ids = all_ids[id_order]     # id-asc tiebreak rank
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat[id_order]
     norms = np.linalg.norm(mat, axis=1)
     bc = docs.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
 
     def score(batches):
         ids_c, mat_c, norms_c = bc.value
+        n = len(ids_c)
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bn = np.linalg.norm(m, axis=1)
@@ -259,6 +278,34 @@ def knn_graph(docs: DataFrame, k: int = 5, id_col: str = "vec_id",
             if round_digits is not None:
                 sims = np.round(sims, round_digits)
             bids = pdf[id_col].to_numpy()
+            kk = min(k, n - 1)
+            if kk <= 0:
+                yield pd.DataFrame({id_col: [], "neighbor_id": [],
+                                    "similarity": []})
+                continue
+            if round_digits is not None and round_digits <= 8 \
+                    and n < (1 << 33):  # key fits int64: 10^8 * 2^33 < 2^63
+                # Vectorized top-k: rounded sims fit an integer scale, so
+                # (similarity desc, neighbor-id asc) collapses into ONE
+                # int64 key = -sim_scaled * 2^33 + column-rank, selected
+                # with argpartition — O(B*N) instead of a full per-row
+                # lexsort (O(B*N log N) with huge constants at N=10^5+).
+                si = np.rint(sims * 10.0 ** round_digits).astype(np.int64)
+                key = -si * (1 << 33) + np.arange(n, dtype=np.int64)
+                pos = np.searchsorted(ids_c, bids)
+                pos_ok = (pos < n) & (ids_c[np.minimum(pos, n - 1)] == bids)
+                rr = np.arange(len(bids))
+                key[rr[pos_ok], pos[pos_ok]] = np.iinfo(np.int64).max
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                ordered = np.take_along_axis(
+                    part, np.argsort(np.take_along_axis(key, part, axis=1),
+                                     axis=1), axis=1)
+                yield pd.DataFrame({
+                    id_col: np.repeat(bids, kk),
+                    "neighbor_id": ids_c[ordered].ravel(),
+                    "similarity": np.take_along_axis(sims, ordered,
+                                                     axis=1).ravel()})
+                continue
             out_id, out_nb, out_s = [], [], []
             for r in range(len(bids)):
                 mask = ids_c != bids[r]

@@ -119,6 +119,28 @@ def test_winnow_fingerprints_position_invariant(spark):
     assert len(a & b) / len(a | b) > 0.5
 
 
+def test_winnow_portable_twin_same_guarantees(spark):
+    # The md5 portable twin must give the same structural guarantees as
+    # the xxhash64 engine path (fp VALUES differ by construction).
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"PREFIX AAA {shared}"),
+        Row(doc_id=2, text=f"{shared} SUFFIX ZZZ BBB"),
+        Row(doc_id=3, text="completely different content with zero overlap"),
+    ])
+    fps = D.winnow_fingerprints(docs, k=5, w=8, portable=True).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # engine path emits longs, portable path emits md5 hex strings
+    fast = D.winnow_fingerprints(docs, k=5, w=8)
+    assert dict(fast.dtypes)["fp"] == "bigint"
+    assert dict(D.winnow_fingerprints(docs, k=5, w=8, portable=True)
+                .dtypes)["fp"] == "string"
+
+
 def test_cross_corpus_contamination(spark):
     train = spark.createDataFrame([
         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),

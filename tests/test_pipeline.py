@@ -42,6 +42,30 @@ def test_csv_read_drops_malformed(spark, csv_path):
     assert rows[2].question == "Can I get a refund, please?"
 
 
+def test_csv_malformed_and_quote_semantics(spark, tmp_path):
+    """End-to-end pin of the reference CSV policy
+    (Prepare/Program.cs:43-50,135-160): rows with <3 fields are silently
+    dropped, quoted fields keep embedded commas, and RFC-4180 escaped
+    quotes ("" inside a quoted field) decode to a literal quote — a
+    deliberate superset: the reference's hand-rolled parser toggles on
+    every '"' and would mangle that row, univocity parses it."""
+    csv = (
+        'id,question,answer\n'
+        '1,"plain question","plain answer"\n'
+        'onlyonefield\n'
+        'two,fields\n'
+        '2,"has, commas, inside","and ""escaped"" quotes"\n'
+        'notanint,"q","a"\n'
+        '3,"ok","ok"\n'
+    )
+    p = tmp_path / "malformed.csv"
+    p.write_text(csv)
+    rows = read_documents_csv(spark, str(p)).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[1].question == "has, commas, inside"
+    assert rows[1].answer == 'and "escaped" quotes'
+
+
 def test_prepare_documents_schema_and_content(spark, csv_path):
     raw = read_documents_csv(spark, csv_path)
     docs = prepare_documents(raw, DeterministicEmbedder(dim=16))

@@ -125,6 +125,18 @@ def test_knn_graph_k_rows_per_id_and_no_self(spark, sf_dir):
     assert g.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
 
 
+def test_knn_graph_guard_refuses_oversized_corpus(spark, sf_dir):
+    # The exact-kNN broadcast is bounded: past max_broadcast_rows it must
+    # raise (pointing at the blocked LSH/IVF paths) BEFORE any collect —
+    # a driver OOM at 100x scale must never be silent.
+    import pytest
+
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        S.knn_graph(emb, k=3, id_col="vec_id", max_broadcast_rows=10)
+
+
 # ------------------------------------------------------------- MMR rerank
 
 def test_mmr_first_pick_is_top1_and_k_rows(spark, sf_dir):
