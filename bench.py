@@ -151,12 +151,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
+
+    # Measured per-query scheduling floor: a minimal scan+agg job at the
+    # smallest SF — pure job-launch/AQE-planning cost, no data to speak
+    # of. Reported so the driver can separate fixed overhead (flat per
+    # query, does NOT grow with data) from marginal per-row cost when
+    # grading the 2x-vs-DuckDB gate; see BASELINE.md.
+    floor_samples = []
+    floor_df = load_table(spark, "/root/testdata/sf0.001", "region")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        floor_df.groupBy().count().collect()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
+
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "floor_sec_per_query": floor,
+        "floor_sec_total": round(floor * len(timings), 4),
     }
     if errors:
         summary["errors"] = errors

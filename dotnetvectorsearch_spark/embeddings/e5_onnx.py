@@ -34,6 +34,10 @@ from collections.abc import Iterator
 import pandas as pd
 
 from dotnetvectorsearch_spark.embeddings.base import EmbeddingBackend
+from dotnetvectorsearch_spark.embeddings.e5_math import (
+    cls_pool,
+    l2_normalize_guarded,
+)
 
 MAX_SEQ_LEN = 512       # reference E5MultilingualEmbeddings.cs:10
 DEFAULT_DIM = 384       # intfloat/multilingual-e5-small
@@ -89,9 +93,8 @@ class E5OnnxEmbedder(EmbeddingBackend):
                 if "token_type_ids" in input_names:
                     feeds["token_type_ids"] = np.zeros_like(feeds["input_ids"])
                 (hidden,) = session.run(["last_hidden_state"], feeds)
-                cls = hidden[:, 0, :].astype(np.float64)      # U6: CLS pooling
-                norms = np.sqrt((cls ** 2).sum(axis=1, keepdims=True))
-                normed = np.where(norms > 1e-12, cls / norms, cls)  # U7 guard
+                cls = cls_pool(hidden)              # U6: CLS, not mean
+                normed = l2_normalize_guarded(cls)  # U7: 1e-12 guard
                 return [row.astype(np.float32) for row in normed]
 
             for series in batches:

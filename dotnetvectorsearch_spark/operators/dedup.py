@@ -47,8 +47,19 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     input has fewer partitions. Small corpora often arrive as a single
     file/partition; the shingle/hash stages below are CPU-bound per row,
     so without this they serialize onto one task. At real scale inputs
-    already have enough splits and this is a no-op."""
+    already have enough splits and this is a no-op.
+
+    The common at-scale case is decided from ``inputFiles()`` alone
+    (pure metadata: a scan always gets >= 1 partition per file), so the
+    ``df.rdd`` hop — which compiles the full physical plan per call — is
+    paid only for inputs small enough that the plan is trivial anyway.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # noqa: BLE001 - non-file-backed plans
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key)
     return df

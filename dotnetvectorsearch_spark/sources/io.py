@@ -156,6 +156,101 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+SQLITE_DOCUMENTS_DDL = """
+    CREATE TABLE documents (
+        id INTEGER PRIMARY KEY,
+        question TEXT NOT NULL,
+        answer TEXT NOT NULL,
+        combined_text TEXT NOT NULL,
+        embedding TEXT NOT NULL,
+        embedding_dimensions INTEGER NOT NULL,
+        created_at DATETIME DEFAULT CURRENT_TIMESTAMP
+    );
+    CREATE INDEX idx_documents_id ON documents(id);
+    CREATE INDEX idx_documents_created_at ON documents(created_at);
+    CREATE INDEX idx_documents_question ON documents(question);
+"""
+
+
+def write_sqlite_compat(df: DataFrame, db_path: str) -> int:
+    """Drop-in compatibility sink: write a prepared corpus to the EXACT
+    SQLite store the reference's Prepare step produces — same DDL, same
+    indexes, same delete-and-recreate policy, vectors as JSON TEXT
+    (``Prepare/Program.cs:78-133``) — so the reference WebAPI can serve
+    a corpus this engine prepared. Uses stdlib ``sqlite3``; no JDBC.
+
+    This is a SERVING-LAYER EXPORT, deliberately not a distributed
+    write: SQLite is a single-file store, so the rows stream through the
+    driver via ``toLocalIterator`` (one partition in memory at a time,
+    never a full collect). The distributed sinks (parquet/ORC/JSONL/
+    bucketed tables) are the 100 TB path; this exists for parity with
+    the reference's own single-node artifact, which by construction
+    cannot exceed single-node size. Returns the row count written.
+
+    Expected columns: id, question, answer, combined_text,
+    embedding (array<float>), embedding_dimensions.
+    """
+    import os
+    import sqlite3
+
+    if os.path.exists(db_path):
+        os.remove(db_path)  # reference deletes-and-recreates (:83-87)
+    out = df.select(
+        "id", "question", "answer", "combined_text",
+        F.to_json("embedding").alias("embedding"),
+        "embedding_dimensions")
+    con = sqlite3.connect(db_path)
+    try:
+        con.executescript(SQLITE_DOCUMENTS_DDL)
+        n = 0
+        batch: list[tuple] = []
+        for row in out.toLocalIterator():
+            batch.append((row.id, row.question, row.answer,
+                          row.combined_text, row.embedding,
+                          row.embedding_dimensions))
+            if len(batch) >= 1000:
+                con.executemany(
+                    "INSERT INTO documents (id, question, answer, "
+                    "combined_text, embedding, embedding_dimensions) "
+                    "VALUES (?, ?, ?, ?, ?, ?)", batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(
+                "INSERT INTO documents (id, question, answer, "
+                "combined_text, embedding, embedding_dimensions) "
+                "VALUES (?, ?, ?, ?, ?, ?)", batch)
+            n += len(batch)
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def read_sqlite_compat(spark: SparkSession, db_path: str) -> DataFrame:
+    """Inverse compatibility source: load a reference-produced SQLite
+    store into a DataFrame (vectors decoded back to array<float>), so a
+    user can migrate an existing reference deployment to this engine
+    with one call. Driver-side read — bounded by the same single-file
+    argument as :func:`write_sqlite_compat`."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        rows = con.execute(
+            "SELECT id, question, answer, combined_text, embedding, "
+            "embedding_dimensions, created_at FROM documents "
+            "ORDER BY id").fetchall()
+    finally:
+        con.close()
+    df = spark.createDataFrame(
+        rows, "id long, question string, answer string, "
+              "combined_text string, embedding_json string, "
+              "embedding_dimensions int, created_at string")
+    return (embedding_from_json(df, "embedding_json", "embedding")
+            .drop("embedding_json"))
+
+
 def upsert_partitioned(df: DataFrame, path: str,
                        partition_col: str) -> None:
     """Idempotent partition-level upsert: rewrite exactly the partitions

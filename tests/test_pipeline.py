@@ -17,6 +17,8 @@ from dotnetvectorsearch_spark.sources.io import (
     embedding_from_json,
     embedding_to_json,
     read_documents_csv,
+    read_sqlite_compat,
+    write_sqlite_compat,
 )
 
 CSV = """id,question,answer
@@ -77,6 +79,45 @@ def test_prepare_documents_schema_and_content(spark, csv_path):
     assert rows[0].embedding_dimensions == 16
     n = math.sqrt(sum(x * x for x in rows[0].embedding))
     assert n == pytest.approx(1.0, abs=1e-6)
+
+
+def test_sqlite_compat_sink_matches_reference_store(spark, csv_path,
+                                                    tmp_path):
+    """S5 parity: the SQLite export must be byte-compatible with the
+    store the reference WebAPI reads (Prepare/Program.cs:78-133) —
+    same table, same indexes, JSON-TEXT vectors — and round-trip back
+    through read_sqlite_compat."""
+    import json
+    import sqlite3
+
+    docs = prepare_documents(read_documents_csv(spark, csv_path),
+                             DeterministicEmbedder(dim=16))
+    db = str(tmp_path / "vectors.db")
+    n = write_sqlite_compat(docs, db)
+    assert n == 3
+
+    con = sqlite3.connect(db)
+    cols = [r[1] for r in con.execute("PRAGMA table_info(documents)")]
+    assert cols == ["id", "question", "answer", "combined_text",
+                    "embedding", "embedding_dimensions", "created_at"]
+    idx = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='index'")}
+    assert {"idx_documents_id", "idx_documents_created_at",
+            "idx_documents_question"} <= idx
+    emb_txt, dims = con.execute(
+        "SELECT embedding, embedding_dimensions FROM documents "
+        "WHERE id = 1").fetchone()
+    assert len(json.loads(emb_txt)) == dims == 16
+    con.close()
+
+    # delete-and-recreate policy: a second write replaces, not appends
+    assert write_sqlite_compat(docs, db) == 3
+
+    back = read_sqlite_compat(spark, db).orderBy("id").collect()
+    orig = docs.orderBy("id").collect()
+    assert [r.id for r in back] == [r.id for r in orig]
+    for b, o in zip(back, orig):
+        assert b.embedding == pytest.approx(list(o.embedding), abs=1e-6)
 
 
 def test_run_prepare_end_to_end(spark, csv_path, tmp_path):
