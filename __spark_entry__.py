@@ -636,6 +636,14 @@ def _q_winnow_fingerprints_md5(spark, sf_dir):
                                portable=True)
 
 
+def _q_dup_span_stats(spark, sf_dir):
+    """Span-level duplicated-text fraction per document (word 10-grams
+    occurring in >=2 docs — Lee et al. ACL'22 span dedup signal)."""
+    from dotnetvectorsearch_spark.operators.dedup import dup_span_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", n=10, min_docs=2)
+
+
 def _q_sql_grouping_sets(spark, sf_dir):
     """SQL dialect surface: GROUPING SETS via spark.sql over a temp view."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -1870,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_stats": _q_props_json_stats,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "winnow_fingerprints_md5": _q_winnow_fingerprints_md5,
+    "dup_span_stats": _q_dup_span_stats,
     "media_stats": _q_media_stats,
     "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
@@ -2894,6 +2903,35 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "dup_span_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, array_to_string(t[i:i+9], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 8)) AS r(i)
+                WHERE len(t) >= 10
+            ), dupg AS (
+                SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+                GROUP BY g HAVING count(*) >= 2
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id
+            ), dup AS (
+                SELECT g.doc_id, count(*) AS n_dup_spans
+                FROM g JOIN dupg USING (g) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(tot.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(dup.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans,
+                   CASE WHEN COALESCE(tot.n_spans, 0) > 0
+                        THEN round(COALESCE(dup.n_dup_spans, 0)
+                                   / CAST(tot.n_spans AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
         """,
         "winnow_fingerprints_md5": """
             WITH n AS (

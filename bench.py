@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "click_purchase_interval",
     "winnow_fingerprints",
     "winnow_fingerprints_md5",
+    "dup_span_stats",
     "media_stats",
     "pack_documents",
     "chunk_documents",

@@ -300,6 +300,17 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     return _sliding_concat(chars, n, "")
 
 
+def ordered_word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """ORDERED, non-distinct word n-grams (position i holds the n-gram
+    starting at token i) — the span input for duplicated-text statistics,
+    where every occurrence counts, unlike the distinct shingle sets
+    MinHash/Jaccard consume."""
+    toks = F.split(F.trim(_c(text)), WS_PATTERN)
+    if n == 1:
+        return toks
+    return _sliding_concat(toks, n, " ", distinct=False)
+
+
 def ordered_char_kgrams(text: Column | str, k: int = 5) -> Column:
     """ORDERED, non-distinct char k-grams of the normalized text — the
     rolling-window input for winnowing fingerprints (position i holds the

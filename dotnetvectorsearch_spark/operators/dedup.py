@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from dotnetvectorsearch_spark.functions.text import (
     fingerprint,
     ordered_char_kgrams,
+    ordered_word_ngrams,
     word_shingles,
 )
 from dotnetvectorsearch_spark.functions.vector import cosine_similarity
@@ -108,6 +109,60 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (hashed.select(F.col(id_col), F.min("h").over(win).alias("fp"))
             .distinct())
+
+
+def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 10,
+                   min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    word n-gram spans that also occur in at least ``min_docs - 1`` OTHER
+    documents — the span-level dedup signal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL'22),
+    used both to filter boilerplate-heavy docs and to locate the exact
+    repeated substrings. Returns ``(id, n_spans, n_dup_spans,
+    dup_frac)`` with one row per input document (docs with fewer than
+    ``n`` tokens have 0 spans and dup_frac 0).
+
+    Shape: posexplode ordered n-grams -> per-doc-distinct gram list ->
+    gram-keyed count of containing docs (>= min_docs marks the gram
+    duplicated) -> left-semi join back to the span instances -> two
+    per-doc aggregations. Every shuffle is keyed on gram or doc id and
+    proportional to token count — the suffix-array formulation the paper
+    uses is single-node; this equi-join formulation distributes.
+    Beyond-reference (north-star LLM-pipeline dedup; SURVEY §2.5).
+    """
+    docs = _spread(docs, id_col)
+    grams = (docs.select(F.col(id_col),
+                         F.explode(ordered_word_ngrams(text_col, n))
+                         .alias("g"))
+             .persist())
+    dup_grams = (grams.select(id_col, "g").distinct()
+                 .groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("nd"))
+                 .filter(F.col("nd") >= min_docs)
+                 .select("g"))
+    per_doc_total = (grams.groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_spans")))
+    per_doc_dup = (grams.join(dup_grams, "g", "left_semi")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    out = (docs.select(id_col)
+           .join(per_doc_total, id_col, "left")
+           .join(per_doc_dup, id_col, "left")
+           .select(
+               F.col(id_col),
+               F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+               F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"))
+           .withColumn(
+               "dup_frac",
+               F.when(F.col("n_spans") > 0,
+                      F.round(F.col("n_dup_spans")
+                              / F.col("n_spans"), 6))
+               .otherwise(F.lit(0.0))))
+    # grams stays persisted until evicted/session end (the established
+    # pattern here): unpersisting before the caller executes the plan
+    # would silently undo the share across the three consumers above.
+    return out
 
 
 # --------------------------------------------------------------- minhash

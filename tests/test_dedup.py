@@ -141,6 +141,30 @@ def test_winnow_portable_twin_same_guarantees(spark):
                 .dtypes)["fp"] == "string"
 
 
+def test_dup_span_stats_flags_shared_spans_only(spark):
+    # Docs 1 and 2 share an exact 12-token run -> three 10-gram spans
+    # each are duplicated; doc 3 shares nothing -> dup_frac 0; doc 4 is
+    # too short for any span.
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{shared} tail_a_1 tail_a_2"),
+        Row(doc_id=2, text=f"head_b {shared}"),
+        Row(doc_id=3, text="totally different words with no overlap at all "
+                           "spanning more than ten tokens here yes"),
+        Row(doc_id=4, text="short doc"),
+    ])
+    out = {r.doc_id: r for r in
+           D.dup_span_stats(docs, n=10, min_docs=2).collect()}
+    assert len(out) == 4
+    # doc 1: 14 tokens -> 5 spans, of which the 3 inside `shared` repeat
+    assert out[1].n_spans == 5 and out[1].n_dup_spans == 3
+    assert out[1].dup_frac == pytest.approx(0.6)
+    # doc 2: 13 tokens -> 4 spans, the 3 `shared` ones repeat
+    assert out[2].n_spans == 4 and out[2].n_dup_spans == 3
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_spans == 0 and out[4].dup_frac == 0.0
+
+
 def test_cross_corpus_contamination(spark):
     train = spark.createDataFrame([
         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
