@@ -78,9 +78,21 @@ def test_tpch_q18_broadcasts_having_result(spark, sf_dir):
 def test_no_cartesian_anywhere_but_search(spark, sf_dir):
     # every non-search oracle query must avoid cartesian products
     for name in ("tpch_q1", "tpch_q3", "tpch_q5", "jaccard_pairs",
-                 "embedding_neardup", "sessionize", "rollup_revenue"):
+                 "embedding_neardup", "sessionize", "rollup_revenue",
+                 "dup_span_stats"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_dup_span_stats_gram_frame_computed_once(spark, sf_dir):
+    """The exploded n-gram frame feeds three consumers (gram counts,
+    per-doc totals, per-doc dup counts) — it must come from one persisted
+    scan, and the dup-gram membership must be a [semi-]join, never a
+    cartesian."""
+    plan = _plan(spark, sf_dir, "dup_span_stats")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_tpch_q7_q8_never_shuffle_fact_on_dim_keys(spark, sf_dir):
