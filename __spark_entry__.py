@@ -636,6 +636,18 @@ def _q_winnow_fingerprints_md5(spark, sf_dir):
                                portable=True)
 
 
+def _q_shuffled_export(spark, sf_dir):
+    """Deterministic training-data shuffle: every doc gets a stable
+    (shard, pos) address in a seeded pseudo-random order — the epoch-0
+    export ordering, reproducible in any engine (md5-keyed)."""
+    from dotnetvectorsearch_spark.operators.sampling import (
+        deterministic_shuffle)
+    docs = load_table(spark, sf_dir, "documents")
+    return (deterministic_shuffle(docs.select("doc_id"), "doc_id",
+                                  shards=8, seed="epoch0")
+            .select("doc_id", "shard", "pos"))
+
+
 def _q_dup_span_stats(spark, sf_dir):
     """Span-level duplicated-text fraction per document (word 10-grams
     occurring in >=2 docs — Lee et al. ACL'22 span dedup signal)."""
@@ -1879,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": _q_winnow_fingerprints,
     "winnow_fingerprints_md5": _q_winnow_fingerprints_md5,
     "dup_span_stats": _q_dup_span_stats,
+    "shuffled_export": _q_shuffled_export,
     "media_stats": _q_media_stats,
     "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
@@ -2903,6 +2916,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "shuffled_export": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, h,
+                       CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8
+                           AS shard
+                FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM s
         """,
         "dup_span_stats": """
             WITH toks AS (

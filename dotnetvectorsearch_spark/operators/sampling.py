@@ -195,3 +195,33 @@ def hash_split(df: DataFrame, key_col: str,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          shards: int = 8,
+                          seed: str = "shuffle-v1") -> DataFrame:
+    """Deterministic global shuffle for training-data export: assign
+    every row a ``(shard, pos)`` address in a pseudo-random order that
+    depends only on ``(key, seed)`` — stable across runs, machines, and
+    input partitioning, unlike ``orderBy(rand())``. Training loaders
+    read shards in filename order and rows in ``pos`` order and get the
+    same epoch-0 ordering everywhere; changing ``seed`` yields an
+    independent permutation for the next epoch.
+
+    Shape for 100 TB: shard assignment is a narrow codegen'd projection
+    (md5 prefix mod shards); ``pos`` is a ``row_number`` window
+    PARTITIONED by shard — the global sort this replaces would be a
+    single total-order exchange, while this is one hash exchange on
+    shard with per-shard local sorts (shards sized to executor memory).
+    md5 keeps every value engine-portable (oracle-checkable), matching
+    the hash_split convention above.
+    """
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % F.lit(shards))
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (df.withColumn("h", h)
+            .withColumn("shard", shard)
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("h"))

@@ -52,6 +52,31 @@ def test_hash_split_stable_and_partition_invariant(spark, sf_dir):
     assert frac["val"] > 0 and frac["test"] > 0
 
 
+def test_deterministic_shuffle_stable_balanced_and_seeded(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        deterministic_shuffle)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in deterministic_shuffle(docs, "doc_id", shards=4).collect()}
+    # partition-invariant (orderBy(rand()) would NOT survive this)
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in deterministic_shuffle(docs.repartition(7), "doc_id",
+                                        shards=4).collect()}
+    assert a == b
+    # every (shard, pos) address is unique and pos is dense per shard
+    assert len(set(a.values())) == len(a)
+    from collections import Counter
+    per_shard = Counter(s for s, _ in a.values())
+    assert set(per_shard) == {0, 1, 2, 3}
+    for s, n in per_shard.items():
+        assert {p for sh, p in a.values() if sh == s} == set(range(n))
+    # a different seed yields a different permutation
+    c = {r.doc_id: (r.shard, r.pos)
+         for r in deterministic_shuffle(docs, "doc_id", shards=4,
+                                        seed="epoch1").collect()}
+    assert c != a
+
+
 def test_hash_split_weight_normalization(spark):
     from dotnetvectorsearch_spark.operators.sampling import hash_split
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
