@@ -636,6 +636,22 @@ def _q_winnow_fingerprints_md5(spark, sf_dir):
                                portable=True)
 
 
+def _q_rolling_user_features(spark, sf_dir):
+    """Trailing-1-hour per-user activity features (bounded RANGE-frame
+    window): event count + exact value sum over [t-3600, t]."""
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
+    from dotnetvectorsearch_spark.operators.temporal import (
+        rolling_window_features)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "value",
+                     event_epoch_seconds_long(ev).alias("sec"))
+    return (rolling_window_features(base, "user_id", "sec", "value",
+                                    trailing_sec=3600)
+            .select("event_id", "user_id", "sec",
+                    "n_trailing", "sum_trailing"))
+
+
 def _q_shuffled_export(spark, sf_dir):
     """Deterministic training-data shuffle: every doc gets a stable
     (shard, pos) address in a seeded pseudo-random order — the epoch-0
@@ -1892,6 +1908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints_md5": _q_winnow_fingerprints_md5,
     "dup_span_stats": _q_dup_span_stats,
     "shuffled_export": _q_shuffled_export,
+    "rolling_user_features": _q_rolling_user_features,
     "media_stats": _q_media_stats,
     "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
@@ -2916,6 +2933,20 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "rolling_user_features": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_ms(ts) // 1000 AS sec,
+                       value
+                FROM events
+            )
+            SELECT event_id, user_id, sec,
+                   count(*) OVER w AS n_trailing,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+                         AS DOUBLE), 6) AS sum_trailing
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "shuffled_export": """
             WITH h AS (

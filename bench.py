@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints_md5",
     "dup_span_stats",
     "shuffled_export",
+    "rolling_user_features",
     "media_stats",
     "pack_documents",
     "chunk_documents",

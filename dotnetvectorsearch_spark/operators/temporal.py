@@ -52,6 +52,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return resolved.select(*out_cols)
 
 
+def rolling_window_features(events: DataFrame, key: str,
+                            time_col: str, value_col: str,
+                            trailing_sec: int = 3600) -> DataFrame:
+    """Trailing-time-window feature columns per event row: the count and
+    exact (decimal-accumulated) sum of the key's events inside
+    ``[t - trailing_sec, t]`` — the standard online-feature backfill
+    shape ("events in the last hour", "spend in the last day").
+
+    A bounded RANGE frame, not ROWS: peers at the same timestamp all see
+    the same frame, so results are deterministic under ties and engine-
+    portable. One hash exchange on ``key`` + one per-partition sort;
+    Spark evaluates the sliding frame incrementally (add/remove at the
+    frame edges), so cost is O(n log n) per key for the sort, not
+    O(n * frame). At 100 TB this is the same single-shuffle contract as
+    every other keyed window here.
+
+    ``time_col`` must be numeric epoch seconds (see
+    :mod:`functions.time` for the dtype-robust extraction).
+    """
+    w = (Window.partitionBy(key).orderBy(time_col)
+         .rangeBetween(-trailing_sec, Window.currentRow))
+    return events.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,6)")).over(w)
+                .cast("double"), 6).alias("sum_trailing"))
+
+
 def prior_event_attribution(events: DataFrame, key: str, ts: Column | str,
                             event_type_col: str = "event_type",
                             target_type: str = "purchase",

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from dotnetvectorsearch_spark.operators.temporal import (
     asof_join,
     prior_event_attribution,
+    rolling_window_features,
 )
 
 
@@ -50,3 +51,21 @@ def test_prior_event_attribution_tie_inclusive(spark):
     out = prior_event_attribution(ev, "user_id", "sec",
                                   out_prefix="last_click")
     assert out.collect()[0].last_click_ts == 10
+
+
+def test_rolling_window_features_trailing_range(spark):
+    # User 1: events at t=0, 100, 3700 with values 1, 2, 4. The trailing
+    # 3600s frame at t=3700 contains t=100 and t=3700 but NOT t=0
+    # (3700-3600=100 inclusive). User 2 ties at the same timestamp: RANGE
+    # peers must both see both rows.
+    ev = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 100, 2.0), (3, 1, 3700, 4.0),
+         (4, 2, 50, 10.0), (5, 2, 50, 20.0)],
+        "event_id long, user_id long, sec long, value double")
+    out = {r.event_id: (r.n_trailing, r.sum_trailing)
+           for r in rolling_window_features(ev, "user_id", "sec",
+                                            "value").collect()}
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 3.0)
+    assert out[3] == (2, 6.0)          # t=0 aged out, t=100 inside
+    assert out[4] == (2, 30.0) and out[5] == (2, 30.0)  # tie peers
