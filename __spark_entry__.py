@@ -636,6 +636,19 @@ def _q_winnow_fingerprints_md5(spark, sf_dir):
                                portable=True)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest exact dedup: docs with doc_id % 5 == 0 arrive
+    as the new batch; survivors are batch rows whose fingerprint is not
+    already in the corpus (the other 80%), keep-first within batch."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        exact_dedup_incremental)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return (exact_dedup_incremental(batch, corpus)
+            .select("doc_id").orderBy("doc_id"))
+
+
 def _q_rolling_user_features(spark, sf_dir):
     """Trailing-1-hour per-user activity features (bounded RANGE-frame
     window): event count + exact value sum over [t-3600, t]."""
@@ -1909,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_stats": _q_dup_span_stats,
     "shuffled_export": _q_shuffled_export,
     "rolling_user_features": _q_rolling_user_features,
+    "incremental_dedup": _q_incremental_dedup,
     "media_stats": _q_media_stats,
     "media_resized": _q_media_resized,
     "sql_grouping_sets": _q_sql_grouping_sets,
@@ -2933,6 +2947,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fp
+                FROM documents
+            ), batch AS (
+                SELECT * FROM fp WHERE doc_id % 5 = 0
+            ), corpus AS (
+                SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0
+            ), fresh AS (
+                SELECT b.doc_id, b.fp FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+            )
+            SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+            ORDER BY doc_id
         """,
         "rolling_user_features": """
             WITH e AS (

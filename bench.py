@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dup_span_stats",
     "shuffled_export",
     "rolling_user_features",
+    "incremental_dedup",
     "media_stats",
     "pack_documents",
     "chunk_documents",

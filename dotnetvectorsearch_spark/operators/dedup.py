@@ -80,6 +80,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="leftsemi")
 
 
+def exact_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            corpus_is_fps: bool = False) -> DataFrame:
+    """Incremental exact dedup for continuous ingest: from a new batch,
+    drop every row whose normalized-text fingerprint already exists in
+    the corpus, then keep-first within the batch itself — the daily
+    shape of a training-data pipeline, where re-deduping the full corpus
+    per ingest would be a 100 TB scan for a 100 GB batch.
+
+    ``corpus`` is either the raw corpus (fingerprints computed here) or,
+    with ``corpus_is_fps=True``, an already-distinct one-column ``fp``
+    frame — in production you MAINTAIN that fingerprint table
+    incrementally (append each accepted batch's fps), so the per-batch
+    cost is one left-anti hash join against a compact 32-char-key table,
+    proportional to |batch| + |fps|, never to corpus text size.
+    """
+    fp = fingerprint(text_col).alias("fp")
+    if corpus_is_fps:
+        known = corpus.select("fp").distinct()
+    else:
+        known = corpus.select(fp).distinct()
+    batch = new_docs.select(F.col(id_col), fp)
+    fresh = batch.join(known, "fp", "left_anti")
+    keep = (fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return new_docs.join(keep, id_col, "leftsemi")
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5,
                         w: int = 8, portable: bool = False) -> DataFrame:

@@ -89,6 +89,29 @@ def test_lsh_bucket_cap_drops_megabuckets(spark):
     assert uncapped.count() == 30 * 29 // 2
 
 
+def test_exact_dedup_incremental_against_corpus(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="already known document"),
+        Row(doc_id=2, text="another known one"),
+    ])
+    batch = spark.createDataFrame([
+        Row(doc_id=10, text="Already   KNOWN document"),   # norm-dup of 1
+        Row(doc_id=11, text="brand new content"),
+        Row(doc_id=12, text="brand new content"),          # in-batch dup
+        Row(doc_id=13, text="other new content"),
+    ])
+    kept = sorted(r.doc_id for r in
+                  D.exact_dedup_incremental(batch, corpus).collect())
+    assert kept == [11, 13]
+    # precomputed fingerprint-table path gives the same answer
+    from dotnetvectorsearch_spark.functions.text import fingerprint
+    fps = corpus.select(fingerprint("text").alias("fp")).distinct()
+    kept2 = sorted(r.doc_id for r in
+                   D.exact_dedup_incremental(batch, fps,
+                                             corpus_is_fps=True).collect())
+    assert kept2 == kept
+
+
 def test_winnow_fingerprints_shared_substring(spark):
     # Docs sharing a long substring must share >= 1 winnow fingerprint
     # (guarantee: any shared run of length >= k+w-1 = 12 chars).
