@@ -1736,6 +1736,48 @@ def _q_ann_pq_recall(spark, sf_dir):
     return spark.createDataFrame([(recall,)], "recall_at_10 double")
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+def _fitted_ivfpq(spark, sf_dir):
+    """Memoized build (same rationale as _fitted_pq): cells + codebooks
+    are index-build-time costs; queries measure the probe+ADC+rescore
+    path."""
+    from dotnetvectorsearch_spark.operators.ann import IVFPQIndex
+    if sf_dir not in _IVFPQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVFPQ_CACHE[sf_dir] = IVFPQIndex(
+            n_cells=16, nprobe=4, m=16, n_codes=64).fit(
+            emb, max_sample=20_000)
+    return _IVFPQ_CACHE[sf_dir]
+
+
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """Three-stage IVF+PQ search: probe-cell pruning (reads
+    nprobe/n_cells of the index) -> ADC over 32x-compressed codes ->
+    exact rescore of the shortlist only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    idx = _fitted_ivfpq(spark, sf_dir)
+    return idx.search(idx.transform(emb), qv, 10, rescore=emb,
+                      shortlist=200)
+
+
+def _q_ann_ivfpq_recall(spark, sf_dir):
+    """IVF+PQ quality metric: recall@10 vs brute force — the
+    (n_cells, nprobe, m, shortlist) tuning loop."""
+    from dotnetvectorsearch_spark.operators.ann import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _collect_query_vec(spark, sf_dir)
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, 10).collect()}
+    idx = _fitted_ivfpq(spark, sf_dir)
+    approx = {r.vec_id
+              for r in idx.search(idx.transform(emb), qv, 10, rescore=emb,
+                                  shortlist=200).collect()}
+    recall = len(exact & approx) / 10.0
+    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher/C4 repetition heuristics per doc: distinct-token ratio and
     top-token share — the boilerplate/keyword-stuffing filters a corpus
@@ -1958,6 +2000,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_pq_topk": _q_ann_pq_topk,
     "ann_pq_recall": _q_ann_pq_recall,
+    "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+    "ann_ivfpq_recall": _q_ann_ivfpq_recall,
     "approx_distinct_users": _q_approx_distinct_users,
     "approx_value_percentiles": _q_approx_value_percentiles,
     "embed_documents": _q_embed_documents,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "topk_batch",
     "topk_batch_arrow",
     "value_band_join",

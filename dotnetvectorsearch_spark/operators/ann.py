@@ -354,6 +354,68 @@ class PQIndex:
         return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+class IVFPQIndex:
+    """Composed IVF + PQ index — the 100 TB ANN architecture: coarse
+    k-means cells give Parquet PARTITION PRUNING (a query reads
+    nprobe/n_cells of the index), product-quantized codes give 32x
+    COMPRESSED in-cell scoring (m byte-lookups per row, float vectors
+    never scanned), and an exact rescore touches only the shortlist —
+    the three-stage funnel every billion-scale deployment uses
+    (IVF-PQ a la Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11).
+
+    This variant quantizes RAW unit-normalized vectors (not per-cell
+    residuals): the ADC table then approximates cosine directly and is
+    shared across cells, at a small recall cost vs residual coding that
+    the exact-rescore stage absorbs. fit -> transform -> write ->
+    search, same contract as the single-strategy indexes.
+    """
+
+    def __init__(self, n_cells: int = 64, nprobe: int = 4, m: int = 8,
+                 n_codes: int = 256, seed: int = 42):
+        self.ivf = IVFIndex(n_cells=n_cells, nprobe=nprobe, seed=seed)
+        self.pq = PQIndex(m=m, n_codes=n_codes, seed=seed)
+
+    def fit(self, emb: DataFrame, vec_col: str = "embedding",
+            max_sample: int = 100_000,
+            refine_iters: int = 0) -> IVFPQIndex:
+        self.ivf.fit(emb, vec_col, max_sample)
+        if refine_iters:
+            self.ivf.refine(emb, vec_col, iters=refine_iters)
+        self.pq.fit(emb, vec_col, max_sample)
+        return self
+
+    def transform(self, emb: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+        """Attach cell + pq_codes — two narrow Arrow-batched passes, no
+        shuffle."""
+        return self.pq.transform(self.ivf.transform(emb, vec_col), vec_col)
+
+    def write(self, emb: DataFrame, path: str,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        """Materialize (id, cell, codes) partitioned by cell: probe-set
+        pruning AND compressed scan compose — a query reads
+        ~(nprobe/n_cells) x (m bytes/row) of the corpus."""
+        (self.transform(emb.select(id_col, vec_col), vec_col)
+         .drop(vec_col).write.mode("overwrite")
+         .partitionBy("cell").parquet(path))
+
+    def search(self, indexed: DataFrame, query_vec: list[float],
+               k: int = 5, id_col: str = "vec_id",
+               codes_col: str = "pq_codes", cell_col: str = "cell",
+               rescore: DataFrame | None = None,
+               vec_col: str = "embedding",
+               shortlist: int | None = None) -> DataFrame:
+        """Probe-cells filter (partition pruning on a written index) ->
+        ADC top-shortlist over codes -> exact rescore of the shortlist
+        (when ``rescore`` float vectors are supplied)."""
+        cells = self.ivf.probe_cells(query_vec)
+        cand = indexed.filter(F.col(cell_col).isin(cells))
+        return self.pq.search(cand, query_vec, k, id_col, codes_col,
+                              rescore=rescore, vec_col=vec_col,
+                              shortlist=shortlist)
+
+
 class HyperplaneLSH:
     """Sign-random-projection LSH: bucket = bit pattern of sign(V @ planes)."""
 

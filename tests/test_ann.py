@@ -55,6 +55,30 @@ def test_ivf_partition_pruned_index(emb, qvec, tmp_path, spark):
     assert res.count() == 5
 
 
+def test_ivfpq_recall_and_self_hit(emb, qvec, exact_top10):
+    idx = A.IVFPQIndex(n_cells=8, nprobe=4, m=16, n_codes=32).fit(emb)
+    got = [r.vec_id for r in
+           idx.search(idx.transform(emb), qvec, 10, rescore=emb,
+                      shortlist=100).collect()]
+    assert got[0] == 0                       # exact rescore finds self
+    assert len(set(got) & set(exact_top10)) / 10 >= 0.5
+
+
+def test_ivfpq_written_index_prunes_partitions_and_columns(
+        emb, qvec, tmp_path, spark):
+    idx = A.IVFPQIndex(n_cells=8, nprobe=2, m=16, n_codes=32).fit(emb)
+    path = str(tmp_path / "ivfpq")
+    idx.write(emb, path)
+    indexed = spark.read.parquet(path)
+    assert set(indexed.columns) == {"vec_id", "pq_codes", "cell"}
+    res = idx.search(indexed, qvec, 5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # probe-set pruning reaches the scan as a partition filter, and the
+    # scan reads only id+codes (the float vectors are not in the index)
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert res.count() == 5
+
+
 def test_lsh_recall(emb, qvec, exact_top10):
     lsh = A.HyperplaneLSH(num_planes=8).fit(dim=len(qvec))
     got = [r.vec_id
