@@ -115,8 +115,10 @@ class VectorSearchEngine:
         ``"brute"``; the rest are the beyond-reference scale paths):
         ``"brute"`` exact scan, ``"ivf"`` partition-pruned nprobe search,
         ``"lsh"`` multi-probe hyperplane buckets, ``"pq"`` ADC over
-        compressed codes + exact rescore. ANN indexes are built lazily on
-        first use and cached on the engine (build-time artifacts)."""
+        compressed codes + exact rescore, ``"ivfpq"`` the composed
+        three-stage funnel (probe pruning x ADC x rescore). ANN indexes
+        are built lazily on first use and cached on the engine
+        (build-time artifacts)."""
         validate_top_k(top_k)
         qvec = self._embed_texts([query_text], prefix=QUERY_PREFIX)[0]
         if method == "brute":
@@ -169,6 +171,15 @@ class VectorSearchEngine:
                 self._ann["pq"] = (idx, idx.transform(vecs).persist())
             idx, encoded = self._ann["pq"]
             return idx.search(encoded, qvec, top_k, id_col=self.id_col,
+                              rescore=vecs, shortlist=max(10 * top_k, 50))
+        if method == "ivfpq":
+            from dotnetvectorsearch_spark.operators.ann import IVFPQIndex
+            if "ivfpq" not in self._ann:
+                idx = IVFPQIndex(n_cells=16, nprobe=4, m=16,
+                                 n_codes=64).fit(vecs)
+                self._ann["ivfpq"] = (idx, idx.transform(vecs).persist())
+            idx, indexed = self._ann["ivfpq"]
+            return idx.search(indexed, qvec, top_k, id_col=self.id_col,
                               rescore=vecs, shortlist=max(10 * top_k, 50))
         raise ValueError(f"unknown search method: {method!r}")
 

@@ -113,7 +113,7 @@ def test_search_method_selection(spark):
     brute = eng.search("cancel my booking", top_k=2)
     assert brute["method"] == "brute"
     assert {r["id"] for r in brute["results"]} == {1, 3}
-    for method in ("ivf", "pq"):
+    for method in ("ivf", "pq", "ivfpq"):
         out = eng.search("cancel my booking", top_k=2, method=method)
         assert out["method"] == method
         assert {r["id"] for r in out["results"]} == {1, 3}, method
