@@ -64,6 +64,20 @@ def _q_search_topk(spark, sf_dir):
     return S.top_k_similar(emb, q, top_k=10, id_col="vec_id", round_digits=6)
 
 
+def _q_search_topk_filtered(spark, sf_dir):
+    """Filtered vector search: metadata predicate + cosine top-k in one
+    plan — the filter reaches the parquet scan as a pushed filter
+    (test_plans pins it), so the corpus rows outside the predicate are
+    never scored. The everyday production search shape (tenant/label/
+    language scoping) the reference cannot express at all."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("label") == 3)
+           .select("vec_id", "embedding"))
+    q = _query_vec(spark, sf_dir)
+    return S.top_k_similar(emb, q, top_k=10, id_col="vec_id",
+                           round_digits=6)
+
+
 def _q_search_topk_arrow(spark, sf_dir):
     """Arrow/BLAS physical variant of the flagship search — same logical
     result as search_topk, vectorized scan for big corpora."""
@@ -1890,6 +1904,7 @@ def _q_events_sliding(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
+    "search_topk_filtered": _q_search_topk_filtered,
     "search_topk_arrow": _q_search_topk_arrow,
     "search_threshold": _q_search_threshold,
     "pairwise_similarity": _q_pairwise_similarity,
@@ -2059,6 +2074,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity
             FROM embeddings e CROSS JOIN q
+            ORDER BY similarity DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "search_topk_filtered": f"""
+            WITH q AS {qvec}
+            SELECT e.vec_id,
+                   round({cos.format(a='e.embedding', b='q.qe')}, 6) AS similarity
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label = 3
             ORDER BY similarity DESC, e.vec_id ASC
             LIMIT 10
         """,

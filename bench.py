@@ -21,6 +21,7 @@ from dotnetvectorsearch_spark.session import get_spark
 
 BENCH_QUERIES = [
     "search_topk",
+    "search_topk_filtered",
     "search_topk_arrow",
     "search_threshold",
     "vector_norms",

@@ -84,6 +84,16 @@ def test_no_cartesian_anywhere_but_search(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_filtered_search_pushes_predicate_to_scan(spark, sf_dir):
+    """Metadata-scoped vector search: the label predicate must reach the
+    parquet scan (PushedFilters) so out-of-scope rows are never scored,
+    and the plan stays the broadcast top-k shape."""
+    plan = _plan(spark, sf_dir, "search_topk_filtered")
+    assert "PushedFilters" in plan and "label" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dup_span_stats_gram_frame_computed_once(spark, sf_dir):
     """The exploded n-gram frame feeds three consumers (gram counts,
     per-doc totals, per-doc dup counts) — it must come from one persisted
