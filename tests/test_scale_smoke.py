@@ -52,7 +52,10 @@ def test_connected_components_300k_chain_clusters(spark):
              .filter((F.col("id") % 6) != 5)
              .select(F.col("id").alias("id_a"),
                      (F.col("id") + 1).alias("id_b")))
-    comp = connected_components(edges)
+    # driver_fast_path_edges=0: this test exists to exercise the
+    # DISTRIBUTED iterative plan (the 100 TB path), which the bounded
+    # union-find fast path would otherwise absorb at this size.
+    comp = connected_components(edges, driver_fast_path_edges=0)
     agg = comp.agg(
         F.countDistinct("component").alias("n_comp"),
         F.sum(F.when(F.col("component")
@@ -60,3 +63,25 @@ def test_connected_components_300k_chain_clusters(spark):
               .otherwise(1)).alias("n_wrong")).collect()[0]
     assert agg.n_comp == 50_000
     assert agg.n_wrong == 0
+
+
+def test_deterministic_shuffle_1m_rows_dense_addressing(spark):
+    # The export shuffle at 1M rows: per-shard pos must stay dense
+    # 0..n-1 (row_number over a hash exchange, not a global sort), and
+    # shard sizes must be balanced within a few percent.
+    from dotnetvectorsearch_spark.operators.sampling import (
+        deterministic_shuffle)
+    df = spark.range(1_000_000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", shards=16)
+    stats = (out.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+             .collect())
+    assert len(stats) == 16
+    for r in stats:
+        assert r.lo == 0 and r.hi == r.n - 1          # dense per shard
+        assert abs(r.n - 62_500) < 62_500 * 0.05      # balanced
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "SinglePartition" not in plan              # never a global sort
