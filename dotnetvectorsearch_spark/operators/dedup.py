@@ -579,11 +579,23 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 
 
 def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
-    """Union-find with path compression over a BOUNDED collected edge
-    list (callers enforce the bound) — the small-graph fast path of
-    :func:`connected_components`. Returns the same ``(node, component)``
-    min-id contract as the distributed loop."""
-    parent: dict[int, int] = {}
+    """Union-find with path compression over a BOUNDED edge list
+    (callers enforce the bound) — the small-graph fast path of
+    :func:`connected_components`. Edges arrive via Arrow ``toPandas``
+    (two int64 columns, ~16 MB/M edges — not py4j Row objects), node
+    ids are remapped to dense indices, and the min-id component label
+    is assigned in a final vectorized pass. Same ``(node, component)``
+    contract as the distributed loop."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    if len(nodes) == 0:   # no edges: empty pandas can't infer a schema
+        return edges.sparkSession.createDataFrame(
+            [], "node long, component long")
+    parent = np.arange(len(nodes))
 
     def find(x: int) -> int:
         root = x
@@ -593,19 +605,17 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
-        u, v = row["u"], row["v"]
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:                      # union by min id keeps the
-            lo, hi = min(ru, rv), max(ru, rv)   # component label contract
-            parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
-    return edges.sparkSession.createDataFrame(
-        rows, "node long, component long")
+    for a, b in zip(inv[:len(u)].tolist(), inv[len(u):].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    comp_min = np.full(len(nodes), np.iinfo(np.int64).max)
+    np.minimum.at(comp_min, roots, nodes)   # min node id per component
+    import pandas as pd
+    out = pd.DataFrame({"node": nodes, "component": comp_min[roots]})
+    return edges.sparkSession.createDataFrame(out)
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",

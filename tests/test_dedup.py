@@ -245,6 +245,20 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_empty_edges(spark):
+    # A clean corpus has zero candidate pairs — both CC paths must
+    # return an empty, correctly-typed frame and dedup_clusters must
+    # give every doc its own cluster.
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+    assert dict(D.connected_components(empty).dtypes) == {
+        "node": "bigint", "component": "bigint"}
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    cl = {r.doc_id: r.cluster_id
+          for r in D.dedup_clusters(docs, empty).collect()}
+    assert cl == {1: 1, 2: 2}
+
+
 def test_connected_components_paths_agree(spark):
     # The bounded driver fast path and the distributed iterative loop
     # must produce identical components; driver_fast_path_edges=0 forces
