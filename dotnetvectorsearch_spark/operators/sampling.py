@@ -128,6 +128,34 @@ def mixture_rebalance(df: DataFrame, strata_col: str, key_col: str,
     return df.filter(_hash_u(key_col, salt) < bound)
 
 
+def temperature_targets(df: DataFrame, strata_col: str,
+                        alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture targets from observed stratum shares:
+    ``target_k ∝ share_k ** alpha`` — the standard multilingual /
+    multi-domain rebalancing rule (alpha=1 keeps natural proportions,
+    alpha=0 is uniform, alpha≈0.3-0.7 upsamples the tail the way
+    multilingual LM data mixes do; cf. the exponent-smoothed sampling of
+    XLM-R/mT5). Feed the result straight into :func:`mixture_rebalance`:
+
+        targets = temperature_targets(docs, "lang", alpha=0.5)
+        mixed = mixture_rebalance(docs, "lang", "doc_id", targets)
+
+    Cost: one vocabulary-sized count aggregate (strata cardinality is
+    small by definition); pure driver arithmetic after that.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+              .collect() if r[strata_col] is not None}
+    total = sum(counts.values())
+    if not total:
+        return {}
+    raw = {k: (n / total) ** alpha for k, n in counts.items()}
+    z = sum(raw.values())
+    return {k: v / z for k, v in raw.items()}
+
+
 def top_k_per_group(df: DataFrame, group_col: str, k: int,
                     order_by: list[tuple[str, bool]],
                     local_prefilter: bool = True) -> DataFrame:

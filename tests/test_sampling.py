@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dotnetvectorsearch_spark.operators.sampling import (
@@ -75,6 +76,37 @@ def test_deterministic_shuffle_stable_balanced_and_seeded(spark, sf_dir):
          for r in deterministic_shuffle(docs, "doc_id", shards=4,
                                         seed="epoch1").collect()}
     assert c != a
+
+
+def test_temperature_targets_endpoints_and_tail_boost(spark):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        mixture_rebalance,
+        temperature_targets,
+    )
+    # 900 'en' / 90 'de' / 10 'yo': alpha=1 reproduces natural shares,
+    # alpha=0 is uniform, alpha=0.5 boosts the tail share monotonically.
+    rows = ([(i, "en") for i in range(900)]
+            + [(i + 900, "de") for i in range(90)]
+            + [(i + 990, "yo") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    nat = temperature_targets(df, "lang", alpha=1.0)
+    assert nat["en"] == pytest.approx(0.9)
+    assert nat["yo"] == pytest.approx(0.01)
+    uni = temperature_targets(df, "lang", alpha=0.0)
+    assert all(v == pytest.approx(1 / 3) for v in uni.values())
+    mid = temperature_targets(df, "lang", alpha=0.5)
+    assert nat["yo"] < mid["yo"] < uni["yo"]
+    assert uni["en"] < mid["en"] < nat["en"]
+    assert sum(mid.values()) == pytest.approx(1.0)
+    # composes with the rebalancer: output proportions approach the
+    # temperature targets (binding stratum kept whole)
+    mixed = mixture_rebalance(df, "lang", "doc_id", mid)
+    got = {r.lang: r.n for r in
+           mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert got["yo"] == 10                      # scarcest: kept whole
+    ratio = got["en"] / got["yo"]
+    assert ratio == pytest.approx(mid["en"] / mid["yo"], rel=0.25)
 
 
 def test_hash_split_weight_normalization(spark):
