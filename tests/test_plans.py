@@ -84,6 +84,23 @@ def test_no_cartesian_anywhere_but_search(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_rolling_features_single_exchange(spark, sf_dir):
+    """The trailing RANGE-frame window must cost exactly one hash
+    exchange on the key — a second Exchange would mean the frame is
+    being re-partitioned per aggregate."""
+    plan = _plan(spark, sf_dir, "rolling_user_features")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SinglePartition" not in plan
+
+
+def test_shuffled_export_no_global_sort(spark, sf_dir):
+    """Epoch-shuffle addressing must never degenerate to a total-order
+    sort: shard-partitioned window only."""
+    plan = _plan(spark, sf_dir, "shuffled_export")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_filtered_search_pushes_predicate_to_scan(spark, sf_dir):
     """Metadata-scoped vector search: the label predicate must reach the
     parquet scan (PushedFilters) so out-of-scope rows are never scored,
