@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line:
+{"metric": ..., "value": N, "unit": "sec", "n_queries": N, "sf": ...}
+and writes the full per-query timing map to BENCH_DETAIL.json next to
+this file. The final stdout line stays small because the driver keeps
+only a bounded tail of stdout — an 84-entry per-query map on the final
+line gets its head truncated and becomes unparseable.
 
 Each query is executed to completion (count-consumed) after a warm-up of
 the input caches, timing the full plan execution.
@@ -17,6 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from dotnetvectorsearch_spark.caching import release_transient
 from dotnetvectorsearch_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -140,6 +145,8 @@ def main() -> None:
             qs[name](spark, "/root/testdata/sf0.001").count()
         except Exception as exc:  # noqa: BLE001 - harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            release_transient()
 
     # Best-of-2 per query: the container shares the host with other work,
     # and single-shot timings at this scale swing 2-3x on scheduler noise.
@@ -153,9 +160,16 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
+                # Drop the query's transient operator caches so a long
+                # bench run doesn't accumulate token-scale cached frames
+                # (release is inside the timed region for the same reason
+                # the query pays its own persists: it is part of the
+                # query's cost).
+                release_transient()
             timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 - harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            release_transient()
     total = round(sum(timings.values()), 4)
 
     # Measured per-query scheduling floor: a minimal scan+agg job at the
@@ -171,17 +185,34 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     floor = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
 
-    summary = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "floor_sec_per_query": floor,
         "floor_sec_total": round(floor * len(timings), 4),
     }
     if errors:
-        summary["errors"] = errors
+        detail["errors"] = errors
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    # Compact final line only — the driver's tail capture must see the
+    # WHOLE line. Per-query timings live in BENCH_DETAIL.json.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "floor_sec_per_query": floor,
+        "floor_sec_total": round(floor * len(timings), 4),
+        "n_errors": len(errors),
+        "detail_file": detail_path.name,
+    }
     print(json.dumps(summary))
     spark.stop()
 

@@ -41,11 +41,6 @@ def event_epoch_micros(df: DataFrame, col: str = "ts") -> Column:
     raise TypeError(f"column {col!r} has unsupported event-time dtype {dt}")
 
 
-def event_epoch_seconds(df: DataFrame, col: str = "ts") -> Column:
-    """Epoch-seconds (floor) ``Column`` for an event-time column."""
-    return event_epoch_micros(df, col) / F.lit(_US_PER_SEC)
-
-
 def event_epoch_seconds_long(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-seconds floored to LONG — the sessionize/as-of bucket."""
     dt = dict(df.dtypes).get(col)

@@ -30,6 +30,8 @@ module.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -40,6 +42,7 @@ from dotnetvectorsearch_spark.functions.text import (
     ordered_word_ngrams,
     word_shingles,
 )
+from dotnetvectorsearch_spark.caching import transient_persist
 from dotnetvectorsearch_spark.functions.vector import cosine_similarity
 
 
@@ -50,14 +53,32 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     so without this they serialize onto one task. At real scale inputs
     already have enough splits and this is a no-op.
 
-    The common at-scale case is decided from ``inputFiles()`` alone
-    (pure metadata: a scan always gets >= 1 partition per file), so the
-    ``df.rdd`` hop — which compiles the full physical plan per call — is
-    paid only for inputs small enough that the plan is trivial anyway.
+    The common at-scale case is decided from ``inputFiles()`` alone —
+    but file COUNT alone does not give a partition count: Spark packs
+    multiple small files into one FilePartition (up to
+    ``maxPartitionBytes``, charging ``openCostInBytes`` per file), so
+    ``files >= target`` can still scan as a handful of tasks. The
+    metadata shortcut therefore requires the file count to clear the
+    target with a wide margin (every FilePartition holds at most
+    ``maxPartitionBytes / openCostInBytes`` files, 128 MB / 4 MB = 32 by
+    default, so ``target * 32`` files GUARANTEES >= target partitions).
+    Below that, pay the ``df.rdd`` hop — which compiles the physical
+    plan — and check the scan's actual partition count.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        def _bytes(conf: str, default: int) -> int:
+            m = re.fullmatch(
+                r"(\d+)\s*([kmgt]?)b?",
+                str(spark.conf.get(conf, str(default))).strip().lower())
+            if not m:
+                return default
+            return int(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " ")
+        pack = max(1, _bytes("spark.sql.files.maxPartitionBytes", 2 ** 27)
+                   // max(1, _bytes("spark.sql.files.openCostInBytes",
+                                    2 ** 22)))
+        if len(df.inputFiles()) >= target * pack:
             return df
     except Exception:  # noqa: BLE001 - non-file-backed plans
         pass
@@ -164,7 +185,8 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
     grams = (docs.select(F.col(id_col),
                          F.explode(ordered_word_ngrams(text_col, n))
                          .alias("g"))
-             .persist())
+             )
+    grams = transient_persist(grams)
     dup_grams = (grams.select(id_col, "g").distinct()
                  .groupBy("g")
                  .agg(F.count(F.lit(1)).alias("nd"))
@@ -188,9 +210,11 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
                       F.round(F.col("n_dup_spans")
                               / F.col("n_spans"), 6))
                .otherwise(F.lit(0.0))))
-    # grams stays persisted until evicted/session end (the established
-    # pattern here): unpersisting before the caller executes the plan
-    # would silently undo the share across the three consumers above.
+    # grams is a TRANSIENT cache: unpersisting before the caller executes
+    # the plan would silently undo the share across the three consumers
+    # above, so it is registered with caching.transient_persist and the
+    # session owner drops it via caching.release_transient() after the
+    # query's action.
     return out
 
 
@@ -209,7 +233,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_n: int = 3,
                        out: str = "minhash",
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None,
+                       include_empty: bool = True) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(salt_k || s).
 
     Shape: explode(shingles) -> K hash columns -> groupBy(id).agg(K mins)
@@ -220,7 +245,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     hash because Catalyst collapses projections; measured ~10x slower.)
 
     Docs with fewer than shingle_n tokens get an all-MAX_LONG signature
-    (no shingles -> no LSH candidates), preserved via left join.
+    (no shingles -> no LSH candidates), preserved via left join. Pass
+    ``include_empty=False`` to drop such docs instead — skips the ids
+    left-join stage entirely; correct whenever downstream verification
+    uses a positive similarity threshold (an empty doc can never reach
+    it).
 
     ``shingles`` (a frame of (id_col, "sh" array<string>)) lets callers
     reuse an already-computed — typically persisted — shingle set.
@@ -249,6 +278,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.array(*[F.col(f"__mh_{k}")
                               for k in range(num_hashes)]).alias(out)))
+    if not include_empty:
+        return sigs
     empty_sig = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"),
                                num_hashes)
     return (ids.join(sigs, id_col, "left")
@@ -275,17 +306,23 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     exploded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                 .select(id_col, F.col("bb.band").alias("band"),
                         F.col("bb.bucket").alias("bucket")))
+    if max_bucket_size:
+        # Window count over the SAME (band, bucket) partitioning the
+        # self-join below needs: one exchange serves the cap filter and
+        # the join (vs a groupBy+semi-join formulation, which costs two
+        # extra stages).
+        w = Window.partitionBy("band", "bucket")
+        exploded = (exploded
+                    .withColumn("__n", F.count(F.lit(1)).over(w))
+                    .filter(F.col("__n") <= max_bucket_size)
+                    .drop("__n"))
     # Self-joined plans re-execute both sides; persist the (skinny) banded
     # rows so the signature computation upstream runs once, not 2-3 times.
     # At real scale this materialization is the signature table you would
-    # checkpoint to storage anyway.
-    exploded = exploded.persist()
-    if max_bucket_size:
-        counts = (exploded.groupBy("band", "bucket")
-                  .agg(F.count(F.lit(1)).alias("__n"))
-                  .filter(F.col("__n") <= max_bucket_size)
-                  .drop("__n"))
-        exploded = exploded.join(counts, ["band", "bucket"], "leftsemi")
+    # checkpoint to storage anyway. The cache also preserves the window's
+    # (band, bucket) hash partitioning, so the self-join plans without a
+    # fresh exchange.
+    exploded = transient_persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -300,25 +337,61 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_n: int = 3, threshold: float = 0.5,
                    shingles: DataFrame | None = None) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (broadcast-free:
-    two equi-joins on the id key to attach each side's shingle set)."""
+    """Exact-Jaccard verification of candidate pairs via pair-level
+    intersect COUNTS over the exploded (distinct-)shingle index.
+
+    Shingle ARRAYS never flow through a join: a former formulation
+    attached both sides' full arrays to every pair and ran
+    array_intersect/array_union per row — a payload-heavy exchange that
+    dominated the pipeline. Here the corpus is first restricted to docs
+    that actually appear in a candidate pair (|candidates| << corpus at
+    scale), exploded to narrow (id, shingle) rows, and the common-shingle
+    count per pair comes from an equi-join on (id_b, shingle) with
+    map-side combine. |A ∪ B| = |A| + |B| - |A ∩ B| recovers the exact
+    set-semantics Jaccard the array formulation produced.
+    """
     if shingles is None:
         docs = _spread(docs, id_col)
         shingles = docs.select(F.col(id_col),
                                word_shingles(text_col, shingle_n).alias("sh"))
-        # Joined twice (id_a side, id_b side): persist so shingling runs once.
-        shingles = shingles.persist()
-    sh = shingles
-    out = (pairs
-           .join(sh.select(F.col(id_col).alias("id_a"),
-                           F.col("sh").alias("sh_a")), "id_a")
-           .join(sh.select(F.col(id_col).alias("id_b"),
-                           F.col("sh").alias("sh_b")), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (out.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
+    # The candidate set is referenced three times below; without a
+    # persist each reference would RE-EXECUTE the whole upstream
+    # candidate pipeline (sign -> band -> join -> distinct). It is small
+    # by construction — LSH banding with a bucket-size cap.
+    pairs = transient_persist(pairs)
+    ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+    # One row per (candidate doc, distinct shingle), with the doc's
+    # distinct-shingle COUNT carried inline — so a single aggregation at
+    # the end produces intersect size and Jaccard with no separate size
+    # joins. Restricted to candidate docs first (|candidates| << corpus
+    # at scale; semi-join dedups ids by itself).
+    uniq = (shingles.join(ids, id_col, "leftsemi")
+            .select(F.col(id_col), F.array_distinct("sh").alias("__d"))
+            .select(F.col(id_col), F.size("__d").alias("__n"),
+                    F.explode("__d").alias("__s"))
+            )
+    uniq = transient_persist(uniq)
+    a = uniq.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"),
+                    "__s")
+    b = uniq.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"),
+                    "__s")
+    common = (pairs.join(a, "id_a").join(b, ["id_b", "__s"])
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__i"),
+                   F.first("__na").alias("__na"),
+                   F.first("__nb").alias("__nb")))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    jac = F.col("__i").cast("double") / union  # __i >= 1 here, union > 0
+    out = common.withColumn("jaccard", F.round(jac, 6))
+    if threshold <= 0:
+        # zero-intersection pairs fell out of the inner join above; only
+        # a non-positive threshold can observe them — restore via the
+        # candidate set
+        zeros = (pairs.join(common.select("id_a", "id_b"),
+                            ["id_a", "id_b"], "left_anti")
+                 .withColumn("jaccard", F.lit(0.0)))
+        out = out.select("id_a", "id_b", "jaccard").unionByName(zeros)
+    return (out.filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -332,9 +405,11 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = (_spread(docs, id_col)
           .select(F.col(id_col),
                   word_shingles(text_col, shingle_n).alias("sh"))
-          .persist())
+          )
+    sh = transient_persist(sh)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
-                              shingles=sh)
+                              shingles=sh,
+                              include_empty=not threshold > 0)
     cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands,
                                 num_hashes // bands)
     return verify_jaccard(cands, docs, id_col, text_col, shingle_n, threshold,
@@ -397,7 +472,7 @@ def simhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                             F.explode(F.array(*chunk_cols)).alias("c"))
                 .select(id_col, "sig", F.col("c.ci").alias("ci"),
                         F.col("c.cv").alias("cv")))
-    exploded = exploded.persist()  # self-joined below; compute sigs once
+    exploded = transient_persist(exploded)  # self-joined below; sigs once
     if max_bucket_size:
         counts = (exploded.groupBy("ci", "cv")
                   .agg(F.count(F.lit(1)).alias("__n"))
@@ -471,7 +546,7 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                        word_shingles(text_col, shingle_n).alias("sh"))
     # base feeds sizes once and the self-joined inverted index twice;
     # persist so shingling runs once instead of three times.
-    base = base.persist()
+    base = transient_persist(base)
     sizes = base.select(id_col, F.size("sh").alias("n_sh"))
     inv = base.select(id_col, *(block_cols or []),
                       F.explode("sh").alias("s"))
@@ -518,7 +593,8 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
     te = (_spread(test, id_col)
           .select(F.col(id_col).alias("test_id"),
                   word_shingles(text_col, shingle_n).alias("sh"))
-          .persist())  # feeds sizes + the inverted index
+          )
+    te = transient_persist(te)  # feeds sizes + the inverted index
     te_sizes = te.select("test_id", F.size("sh").alias("n_te"))
     tr_inv = tr.select("train_id", F.explode("sh").alias("s"))
     te_inv = te.select("test_id", F.explode("sh").alias("s"))
@@ -540,16 +616,33 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             block_col: str | None = None,
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            allow_unblocked: bool = False,
+                            max_unblocked_rows: int = 100_000) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
     The blocking key (cluster label, LSH bucket, IVF cell — see
     operators.ann for producers) turns the quadratic all-pairs cosine into
     per-block quadratic, which is the only shape that survives at scale.
-    With block_col=None this is the small-corpus exact fallback.
+
+    With ``block_col=None`` the plan is a full O(N²) cross product — the
+    small-corpus exact fallback. The bound is ENFORCED, not advisory
+    (same doctrine as ``search.knn_graph``): unless
+    ``allow_unblocked=True``, the input is counted first and more than
+    ``max_unblocked_rows`` rows raise instead of silently planning a
+    quadratic join that would never finish at scale.
     """
     from dotnetvectorsearch_spark.functions.vector import dot, l2_norm
 
+    if block_col is None and not allow_unblocked:
+        n_rows = emb.count()
+        if n_rows > max_unblocked_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs with block_col=None is an exact "
+                f"all-pairs cosine bounded at {max_unblocked_rows} rows "
+                f"(got {n_rows}); pass a block_col (cluster label, LSH "
+                f"bucket, IVF cell — see operators.ann), or force the "
+                f"cross product with allow_unblocked=True")
     emb = _spread(emb, id_col)
     cols = [F.col(id_col), F.col(vec_col),
             l2_norm(vec_col).alias("__norm")]
@@ -663,7 +756,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
              .distinct()
              .persist())
-    if driver_fast_path_edges and edges.count() <= driver_fast_path_edges:
+    # The driver fast path coerces ids to int64 — valid only for integral
+    # id columns. Any other id type (strings, floats — floats would be
+    # silently TRUNCATED and could merge distinct nodes) takes the
+    # distributed loop, which only needs ids to be orderable.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ids_integral = all(t in integral for _, t in edges.dtypes)
+    if (driver_fast_path_edges and ids_integral
+            and edges.count() <= driver_fast_path_edges):
         out = _cc_driver_union_find(edges)
         edges.unpersist()
         return out
@@ -680,6 +780,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # truncate lineage through the convergence agg's separate plan, and
     # the un-truncated lineage re-executes every prior round (measured
     # 2-4x slower end-to-end).
+    # Non-integral labels can't be decimal-summed (the agg would return
+    # NULL and "converge" instantly); hash-sum is equality-stable for any
+    # type: unchanged labels give an identical sum, changed labels differ
+    # with overwhelming probability, and a vanishing false-converge odds
+    # after a monotone-decreasing round is acceptable for a fixpoint test.
+    def _label_sum(frame):
+        col = F.col("label").cast("decimal(38,0)") if ids_integral \
+            else F.xxhash64("node", "label").cast("decimal(38,0)")
+        return frame.agg(F.sum(col).alias("s")).collect()[0]["s"]
+
     prev_sum = None
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges.v == labels.node)
@@ -692,9 +802,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         new = (labels.union(nbr).union(jump)
                .groupBy("node").agg(F.min("label").alias("label"))
                .localCheckpoint())
-        cur_sum = new.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = _label_sum(new)
         labels = new
         if prev_sum is not None and cur_sum == prev_sum:
             break
@@ -728,7 +836,10 @@ def semantic_contamination(train: DataFrame, test: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            block_col: str | None = None,
-                           threshold: float = 0.9) -> DataFrame:
+                           threshold: float = 0.9,
+                           allow_unblocked: bool = False,
+                           max_unblocked_pairs: int = 10_000_000_000
+                           ) -> DataFrame:
     """Cross-corpus SEMANTIC contamination: (test, train) pairs whose
     embeddings exceed a cosine threshold — catches paraphrased eval
     leakage that n-gram overlap (`cross_corpus_contamination`) misses.
@@ -737,8 +848,24 @@ def semantic_contamination(train: DataFrame, test: DataFrame,
     corpora: with a block key (label / LSH bucket / IVF cell) the join is
     per-block bipartite, shuffle ∝ corpus sizes. Norms are computed once
     per row before the join, not per pair.
+
+    With ``block_col=None`` the plan is a full |test|×|train| bipartite
+    cross product. ENFORCED bound (knn_graph doctrine): unless
+    ``allow_unblocked=True``, both sides are counted first and a product
+    above ``max_unblocked_pairs`` raises instead of silently planning a
+    quadratic join.
     """
     from dotnetvectorsearch_spark.functions.vector import dot, l2_norm
+
+    if block_col is None and not allow_unblocked:
+        n_te, n_tr = test.count(), train.count()
+        if n_te * n_tr > max_unblocked_pairs:
+            raise ValueError(
+                f"semantic_contamination with block_col=None is an exact "
+                f"bipartite all-pairs cosine bounded at "
+                f"{max_unblocked_pairs} pairs (got {n_te} x {n_tr} = "
+                f"{n_te * n_tr}); pass a block_col (label / LSH bucket / "
+                f"IVF cell), or force it with allow_unblocked=True")
 
     def prep(df: DataFrame, prefix: str) -> DataFrame:
         cols = [F.col(id_col).alias(f"{prefix}_id"),
@@ -799,7 +926,8 @@ def minhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
                           F.explode(F.array(*band_cols)).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket"))
-              .persist())
+              )
+    banded = transient_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

@@ -22,7 +22,7 @@ the full hybrid pipeline is oracle-checkable end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -31,6 +31,11 @@ from dotnetvectorsearch_spark.functions.text import WS_PATTERN
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 DEFAULT_RRF_K = 60
+
+# Bump when tokenization / tf / idf semantics change: the version is part
+# of the materialized index table names, so stale on-disk indexes from an
+# older build can never serve a newer query path.
+INDEX_VERSION = 1
 
 
 def _tokens(text_col: str):
@@ -64,22 +69,103 @@ def bm25_topk(tf: DataFrame, idf: DataFrame, avg_doc_len: float,
               round_digits: int | None = 6) -> DataFrame:
     """Top-k docs for a bag of query terms (deduplicated) by BM25.
 
-    The query-term frame is broadcast onto the term-keyed index: only
-    matching postings flow into the per-doc aggregation.
+    The query terms become a literal `IN` FILTER on the term-keyed index
+    (semantically identical to the former broadcast-join on a distinct
+    term set, since scoring sums over matching terms). A filter — unlike
+    a join — pushes all the way into the scan: against the materialized
+    bucketed index (`build_index`) Parquet row-group stats on the sorted
+    `term` column prune everything but the matching postings, so a query
+    reads O(postings of its terms), not the corpus.
     """
-    spark = tf.sparkSession
-    terms = spark.createDataFrame(
-        [(t.lower(),) for t in sorted(set(query_terms))], "term string")
+    qset = sorted({t.lower() for t in query_terms})
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / avg_doc_len))
-    contrib = (tf.join(F.broadcast(terms), "term")
-               .join(F.broadcast(idf), "term")
+    contrib = (tf.filter(F.col("term").isin(qset))
+               .join(F.broadcast(idf.filter(F.col("term").isin(qset))),
+                     "term")
                .select(F.col(id_col), (F.col("idf") * norm).alias("c")))
     score = F.sum("c")
     if round_digits is not None:
         score = F.round(score, round_digits)
     return (contrib.groupBy(id_col).agg(score.alias("bm25"))
             .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
+# -- Materialized index: build once, query many --------------------------
+#
+# At 100 TB the inverted index is a STORED artifact — rebuilding tf/idf
+# per query is a full corpus shuffle per query. `build_index` writes the
+# tf frame as a parquet table bucketed+sorted by `term` (equi-joins and
+# term filters prune buckets / row groups; no shuffle of the index at
+# query time), idf (vocabulary-sized) and a 1-row stats table alongside.
+
+
+def index_table_names(db: str, prefix: str) -> tuple[str, str, str]:
+    base = f"{db}.{prefix}_v{INDEX_VERSION}"
+    return f"{base}_tf", f"{base}_idf", f"{base}_stats"
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS *and* delete any orphaned warehouse location:
+    a fresh session has a fresh in-memory catalog, but the warehouse dir
+    persists on disk — saveAsTable fails with LOCATION_ALREADY_EXISTS on
+    the leftovers of a previous process unless the path is cleared."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    db, _, name = table.rpartition(".")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh.rstrip('/')}/{db}.db/{name}" if db else f"{wh}/{name}"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def build_index(docs: DataFrame, db: str = "bm25idx",
+                prefix: str = "corpus", n_buckets: int = 32,
+                id_col: str = "doc_id", text_col: str = "text",
+                ) -> tuple[DataFrame, DataFrame, float]:
+    """Materialize the BM25 inverted index; returns the loaded frames."""
+    from dotnetvectorsearch_spark.sources.io import write_bucketed
+
+    spark = docs.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tf_name, idf_name, stats_name = index_table_names(db, prefix)
+    for t in (tf_name, idf_name, stats_name):
+        _drop_table_and_location(spark, t)
+    n_docs = docs.count()
+    write_bucketed(term_frequencies(docs, id_col, text_col), tf_name,
+                   "term", n_buckets=n_buckets, sort_col="term")
+    tf_t = spark.table(tf_name)
+    (inverse_doc_frequencies(tf_t, n_docs, id_col)
+     .write.mode("overwrite").format("parquet").saveAsTable(idf_name))
+    avgdl = (tf_t.select(id_col, "doc_len").distinct()
+             .agg(F.avg("doc_len")).first()[0])
+    (spark.createDataFrame([(int(n_docs), float(avgdl))],
+                           "n_docs long, avg_doc_len double")
+     .write.mode("overwrite").format("parquet").saveAsTable(stats_name))
+    return load_index(spark, db, prefix)
+
+
+def load_index(spark: SparkSession, db: str = "bm25idx",
+               prefix: str = "corpus",
+               ) -> tuple[DataFrame, DataFrame, float]:
+    tf_name, idf_name, stats_name = index_table_names(db, prefix)
+    stats = spark.table(stats_name).first()
+    return (spark.table(tf_name), spark.table(idf_name),
+            float(stats.avg_doc_len))
+
+
+def ensure_index(docs: DataFrame, db: str = "bm25idx",
+                 prefix: str = "corpus", **build_kwargs,
+                 ) -> tuple[DataFrame, DataFrame, float]:
+    """Load the materialized index if present, else build it. Safe to
+    reuse across processes: the corpus tables are immutable test data and
+    the table names carry INDEX_VERSION."""
+    spark = docs.sparkSession
+    names = index_table_names(db, prefix)
+    if all(spark.catalog.tableExists(n) for n in names):
+        return load_index(spark, db, prefix)
+    return build_index(docs, db=db, prefix=prefix, **build_kwargs)
 
 
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,

@@ -70,7 +70,8 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         F.explode(bigram_array(tokens(text_col))).alias("bg"))
     # Joined twice (count build + score join): persist so the token-scale
     # explode runs once (same convention as dedup.py self-joins).
-    occ = occ.persist()
+    from dotnetvectorsearch_spark.caching import transient_persist
+    occ = transient_persist(occ)
     c_bg = (occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
             .withColumn("w1", F.substring_index("bg", " ", 1)))
     # Left-context counts derive from the bigram count table — a

@@ -363,3 +363,62 @@ def test_semantic_clusters_consistent_with_edges(spark, sf_dir):
     assert all(labels[a] == labels[b] for a, b in edges)
     # cluster id is an actual member of its cluster
     assert all(labels[c] == c for c in set(labels.values()))
+
+
+# ---------------------------------------------------- round-3 additions
+
+
+def test_unblocked_neardup_raises_past_bound(spark, dup_docs):
+    """block_col=None plans a cross product; past the counted bound the
+    operator must raise with reroute advice, never silently plan it."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(20)])
+    with pytest.raises(ValueError, match="block_col"):
+        D.embedding_neardup_pairs(emb, max_unblocked_rows=10)
+    # explicit opt-in still works
+    out = D.embedding_neardup_pairs(emb, max_unblocked_rows=10,
+                                    allow_unblocked=True)
+    assert out.count() > 0
+
+
+def test_unblocked_semantic_contamination_raises_past_bound(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(20)])
+    tr = emb.filter(F.col("vec_id") % 2 == 0)
+    te = emb.filter(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="block_col"):
+        D.semantic_contamination(tr, te, max_unblocked_pairs=10)
+    assert D.semantic_contamination(
+        tr, te, threshold=0.0, max_unblocked_pairs=10,
+        allow_unblocked=True).count() > 0
+
+
+def test_connected_components_string_ids_take_distributed_path(spark):
+    """The driver fast path would coerce ids to int64 (strings raise,
+    floats truncate); non-integral ids must fall back to the distributed
+    join loop, whose min-label contract only needs orderable ids."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("y", "x")], "id_a string, id_b string")
+    comp = {r.node: r.component
+            for r in D.connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_transient_caches_released_after_action(spark, dup_docs, sf_dir):
+    """VERDICT r02 #8: token-scale operator caches must be releasable so
+    a long-lived session doesn't accumulate them. After a query's action
+    plus release_transient(), no MORE persisted RDDs remain than before
+    the query ran."""
+    from dotnetvectorsearch_spark.caching import release_transient
+    from dotnetvectorsearch_spark.operators import lm as LM
+
+    release_transient()  # start clean of other tests' leftovers
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    D.dup_span_stats(dup_docs, n=3).count()
+    D.minhash_dedup_pairs(dup_docs, num_hashes=16, bands=8,
+                          threshold=0.3).count()
+    LM.bigram_logprob(dup_docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    released = release_transient()
+    assert released >= 4  # grams, sh, banded, pairs/uniq, occ...
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before

@@ -46,6 +46,37 @@ def test_bm25_ranks_term_saturation(spark, corpus):
     assert rows[0].bm25 > rows[1].bm25
 
 
+def test_materialized_index_roundtrip_and_pruned_query_plan(
+        spark, corpus, tmp_path):
+    """The stored index must answer queries identically to the in-memory
+    build, with a query plan that SCANS the bucketed table (no tf-build
+    stages: no Generate/explode) and pushes the term filter to parquet."""
+    tf, idf, avgdl = L.ensure_index(corpus, db="bm25test", prefix="c1")
+    assert avgdl == pytest.approx(3.5)  # (4 + 4 + 3 + 3) / 4
+    # second ensure loads rather than rebuilds (same frames, no error)
+    tf2, idf2, avgdl2 = L.ensure_index(corpus, db="bm25test", prefix="c1")
+    assert avgdl2 == avgdl
+
+    fresh_tf = L.term_frequencies(corpus)
+    fresh_idf = L.inverse_doc_frequencies(fresh_tf, 4)
+    want = L.bm25_topk(fresh_tf, fresh_idf, avgdl, ["vector"], k=4).collect()
+    got = L.bm25_topk(tf, idf, avgdl, ["vector"], k=4).collect()
+    assert [(r.doc_id, r.bm25) for r in got] == \
+        [(r.doc_id, r.bm25) for r in want]
+
+    q = L.bm25_topk(tf, idf, avgdl, ["vector"], k=4)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # zero index-build stages at query time: the explode/groupBy of
+    # term_frequencies would show as Generate + an extra Exchange pair
+    assert "Generate" not in plan
+    # the term predicate reaches the parquet scan of the stored index
+    # (a single-term isin folds to EqualTo; multi-term stays In)
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term" in plan \
+        or "PushedFilters: [IsNotNull(term), In(term" in plan
+
+
 def test_rrf_fusion_rewards_agreement(spark):
     a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
     b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank int")
