@@ -1051,6 +1051,28 @@ def _q_kll_value_quantiles(spark, sf_dir):
     return kll_value_quantiles(ev, "value", "event_type")
 
 
+def _q_ann_ivfpq_coding_gain(spark, sf_dir):
+    """Index-quality metric for IVF+PQ residual vs raw coding at equal
+    (m, n_codes): mean squared reconstruction error of each, distributed
+    (one Arrow pass + scalar agg per coding). Residual coding (Jegou'11
+    IVFADC) spends the PQ budget on unit(v) - centroid[cell]; on
+    clustered corpora its MSE is strictly lower (pinned in
+    tests/test_ann.py), on near-uniform synthetic embeddings the two
+    codings coincide up to sampling noise. Approximate-index metric ->
+    rows-only."""
+    from dotnetvectorsearch_spark.operators.ann import IVFPQIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(n_cells=16, nprobe=4, m=16, n_codes=64)
+    out = {}
+    for coding in ("raw", "residual"):
+        idx = IVFPQIndex(coding=coding, **kw).fit(emb, max_sample=20_000)
+        out[coding] = (idx.reconstruction_mse(idx.transform(emb))
+                       .collect()[0].mse)
+    return spark.createDataFrame(
+        [(float(out["raw"]), float(out["residual"]))],
+        "mse_raw double, mse_residual double")
+
+
 def _q_hll_daily_users(spark, sf_dir):
     """Mergeable per-day distinct users + sketch-union lifetime total —
     the incremental HLL profile. Approximate -> rows-only."""
@@ -2039,6 +2061,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_contamination": _q_theta_contamination,
     "hll_daily_users": _q_hll_daily_users,
     "kll_value_quantiles": _q_kll_value_quantiles,
+    # -- round 3 additions: ALWAYS APPEND BELOW THIS LINE. The driver
+    # verifies a registry-order PREFIX (first 50 entries); inserting
+    # above this point silently pushes an entry out of driver coverage.
+    "ann_ivfpq_coding_gain": _q_ann_ivfpq_coding_gain,
 }
 
 

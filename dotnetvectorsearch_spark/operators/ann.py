@@ -364,17 +364,46 @@ class IVFPQIndex:
     (IVF-PQ a la Jegou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI'11).
 
-    This variant quantizes RAW unit-normalized vectors (not per-cell
-    residuals): the ADC table then approximates cosine directly and is
-    shared across cells, at a small recall cost vs residual coding that
-    the exact-rescore stage absorbs. fit -> transform -> write ->
-    search, same contract as the single-strategy indexes.
+    Two coding modes (``coding=``):
+
+    - ``"residual"`` (default, the Jegou'11 formulation): PQ quantizes
+      the RESIDUAL ``unit(v) - centroid[cell]``. Residuals are much
+      smaller in magnitude than raw vectors, so the same (m, n_codes)
+      budget spends its resolution on the part of the vector the coarse
+      quantizer didn't already explain — better ADC ranking at equal m.
+      The residual base is the per-cell MEAN (``cell_means``), not the
+      unit-normalized assignment centroid (see __init__ comment). The
+      query-time score decomposes exactly as
+      ``q . v ~= q . cell_mean[cell] + q . residual_hat``: a per-cell
+      scalar offset (n_cells dot products on the driver) plus the usual
+      shared m-lookup ADC sum.
+    - ``"raw"``: PQ quantizes the unit vector directly; the ADC table
+      approximates cosine with no per-cell term. Kept for comparison and
+      for corpora where cells carry no structure.
+
+    fit -> transform -> write -> search, same contract as the
+    single-strategy indexes; both modes emit the same (id, cell,
+    pq_codes) index schema.
     """
 
     def __init__(self, n_cells: int = 64, nprobe: int = 4, m: int = 8,
-                 n_codes: int = 256, seed: int = 42):
+                 n_codes: int = 256, seed: int = 42,
+                 coding: str = "residual"):
+        if coding not in ("residual", "raw"):
+            raise ValueError(f"coding must be 'residual' or 'raw': {coding}")
         self.ivf = IVFIndex(n_cells=n_cells, nprobe=nprobe, seed=seed)
         self.pq = PQIndex(m=m, n_codes=n_codes, seed=seed)
+        self.coding = coding
+        # Residual offsets: the actual (non-normalized) per-cell MEAN of
+        # assigned unit vectors — NOT the unit-normalized assignment
+        # centroid. Spherical k-means centroids are renormalized to the
+        # sphere for cosine assignment, but as a residual base a unit
+        # centroid OVERSHOOTS the cloud it summarizes (residual energy
+        # 2-2cos(v,c) > 1 when clusters are loose); the cell mean is the
+        # L2-optimal base, so residual energy <= raw energy always. The
+        # ADC decomposition q.v = q.offset[cell] + q.residual is exact
+        # for ANY per-cell base as long as encode and search agree.
+        self.cell_means: np.ndarray | None = None
 
     def fit(self, emb: DataFrame, vec_col: str = "embedding",
             max_sample: int = 100_000,
@@ -382,14 +411,76 @@ class IVFPQIndex:
         self.ivf.fit(emb, vec_col, max_sample)
         if refine_iters:
             self.ivf.refine(emb, vec_col, iters=refine_iters)
-        self.pq.fit(emb, vec_col, max_sample)
+        if self.coding == "raw":
+            self.pq.fit(emb, vec_col, max_sample)
+            return self
+        # Residual mode: re-draw the same seeded sample, subtract each
+        # point's assigned centroid, and train the PQ codebooks on the
+        # pooled residuals (one shared codebook across cells — the
+        # standard IVFADC layout; per-cell books would need
+        # n_cells x m x n_codes centroids for marginal gain).
+        n = emb.count()
+        fraction = min(1.0, max_sample / max(n, 1))
+        sample = (emb.sample(fraction=fraction, seed=self.pq.seed)
+                  .select(vec_col).toPandas()[vec_col])
+        x = np.stack(sample.to_numpy()).astype(np.float32)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cent = self.ivf.centroids
+        assign = np.argmax(x @ cent.T, axis=1)
+        means = np.zeros_like(cent)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                means[c] = x[mask].mean(axis=0)
+        # cells the sample missed keep a zero base (residual == raw there)
+        self.cell_means = means.astype(np.float32)
+        res = x - self.cell_means[assign]
+        sub = self.pq._split(res)
+        self.pq.codebooks = np.stack([
+            _kmeans_fit_plain(sub[:, j, :], self.pq.n_codes,
+                              self.pq.seed + j)
+            for j in range(self.pq.m)])
         return self
+
+    def _encode_residual_udf(self):
+        """One Arrow pass: unit-normalize -> coarse cell -> residual ->
+        per-subspace code. Cell assignment and coding share the matmul
+        input, so residual mode is not an extra corpus pass."""
+        cent = self.ivf.centroids
+        means = self.cell_means
+        books = self.pq.codebooks
+        m = self.pq.m
+
+        @pandas_udf("struct<cell:int,pq_codes:array<int>>")
+        def enc(vecs: pd.Series) -> pd.DataFrame:
+            mat = np.stack(vecs.to_numpy()).astype(np.float32)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(mat @ cent.T, axis=1)
+            res = (mat - means[cells]).reshape(len(mat), m, -1)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x, cb = res[:, j, :], books[j]
+                d2 = (np.sum(x ** 2, axis=1, keepdims=True)
+                      - 2.0 * (x @ cb.T) + np.sum(cb ** 2, axis=1))
+                codes[:, j] = np.argmin(d2, axis=1)
+            return pd.DataFrame({"cell": cells.astype(np.int32),
+                                 "pq_codes": list(codes)})
+
+        return enc
 
     def transform(self, emb: DataFrame,
                   vec_col: str = "embedding") -> DataFrame:
-        """Attach cell + pq_codes — two narrow Arrow-batched passes, no
-        shuffle."""
-        return self.pq.transform(self.ivf.transform(emb, vec_col), vec_col)
+        """Attach cell + pq_codes — narrow Arrow-batched passes, no
+        shuffle (residual mode fuses both into one pass)."""
+        if self.coding == "raw":
+            return self.pq.transform(self.ivf.transform(emb, vec_col),
+                                     vec_col)
+        enc = self._encode_residual_udf()
+        out = emb.withColumn("__ivfpq", enc(F.col(vec_col)))
+        return (out.withColumn("cell", F.col("__ivfpq.cell"))
+                .withColumn("pq_codes", F.col("__ivfpq.pq_codes"))
+                .drop("__ivfpq"))
 
     def write(self, emb: DataFrame, path: str,
               vec_col: str = "embedding", id_col: str = "vec_id") -> None:
@@ -408,12 +499,77 @@ class IVFPQIndex:
                shortlist: int | None = None) -> DataFrame:
         """Probe-cells filter (partition pruning on a written index) ->
         ADC top-shortlist over codes -> exact rescore of the shortlist
-        (when ``rescore`` float vectors are supplied)."""
+        (when ``rescore`` float vectors are supplied).
+
+        Residual mode scores ``offset[cell] + sum_j lut[j, code_j]``
+        where ``offset[cell] = q . centroid[cell]`` is n_cells driver-side
+        dot products — the per-row cost is identical to raw coding (m
+        lookups + one more)."""
         cells = self.ivf.probe_cells(query_vec)
         cand = indexed.filter(F.col(cell_col).isin(cells))
-        return self.pq.search(cand, query_vec, k, id_col, codes_col,
-                              rescore=rescore, vec_col=vec_col,
-                              shortlist=shortlist)
+        if self.coding == "raw":
+            return self.pq.search(cand, query_vec, k, id_col, codes_col,
+                                  rescore=rescore, vec_col=vec_col,
+                                  shortlist=shortlist)
+        q = np.asarray(query_vec, dtype=np.float32)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        lut = np.einsum("jd,jcd->jc", q.reshape(self.pq.m, -1),
+                        self.pq.codebooks).astype(np.float32)
+        offs = (self.cell_means @ q).astype(np.float32)
+        m = self.pq.m
+
+        @pandas_udf("double")
+        def adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+            c = np.stack(codes.to_numpy()).astype(np.int64)
+            scores = (offs[cell.to_numpy().astype(np.int64)]
+                      + lut[np.arange(m)[None, :], c].sum(axis=1))
+            return pd.Series(scores.astype(np.float64))
+
+        approx = (cand.select(id_col, cell_col, codes_col)
+                  .withColumn("approx_similarity",
+                              F.round(adc(F.col(cell_col),
+                                          F.col(codes_col)), 6))
+                  .select(id_col, "approx_similarity")
+                  .orderBy(F.desc("approx_similarity"), F.asc(id_col)))
+        if rescore is None:
+            return approx.limit(k)
+        ids = approx.limit(shortlist or max(10 * k, 50)).select(id_col)
+        cand_f = rescore.join(F.broadcast(ids), on=id_col, how="left_semi")
+        return brute_force_topk(cand_f, query_vec, k, id_col, vec_col)
+
+    def reconstruction_mse(self, indexed: DataFrame,
+                           vec_col: str = "embedding",
+                           cell_col: str = "cell",
+                           codes_col: str = "pq_codes") -> DataFrame:
+        """Mean squared quantization error ||unit(v) - decode(codes)||^2
+        over the corpus — the index-quality metric residual coding is
+        meant to improve. Distributed (one narrow Arrow pass + a scalar
+        agg); codebooks+centroids ride the UDF closure (m*n_codes*d
+        floats, tiny)."""
+        cent = self.cell_means if self.coding == "residual" \
+            else self.ivf.centroids
+        books = self.pq.codebooks
+        m = self.pq.m
+        residual = self.coding == "residual"
+
+        @pandas_udf("double")
+        def sqerr(vecs: pd.Series, cell: pd.Series,
+                  codes: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float32)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            c = np.stack(codes.to_numpy()).astype(np.int64)
+            dec = np.concatenate(
+                [books[j][c[:, j]] for j in range(m)], axis=1)
+            if residual:
+                dec = dec + cent[cell.to_numpy().astype(np.int64)]
+            return pd.Series(
+                np.sum((mat - dec) ** 2, axis=1).astype(np.float64))
+
+        return (indexed
+                .select(sqerr(F.col(vec_col), F.col(cell_col),
+                              F.col(codes_col)).alias("__e"))
+                .agg(F.round(F.avg("__e"), 6).alias("mse")))
 
 
 class HyperplaneLSH:

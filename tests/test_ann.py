@@ -79,6 +79,65 @@ def test_ivfpq_written_index_prunes_partitions_and_columns(
     assert res.count() == 5
 
 
+def test_ivfpq_residual_coding_beats_raw_quantization(spark):
+    """Residual coding's claim (Jegou'11 IVFADC): at equal (m, n_codes)
+    the PQ budget spent on ``unit(v) - centroid[cell]`` reconstructs
+    better than on the raw vector, because the coarse quantizer already
+    explained the cell-level structure. Pinned on a CLUSTERED corpus
+    (where cells carry real structure; on the near-uniform random
+    fixture centroids are ~0 and the two codings coincide up to noise)."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    d, nc = 64, 8
+    centers = rng.standard_normal((nc, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 80, axis=0) \
+        + 0.15 * rng.standard_normal((nc * 80, d))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    clustered = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>").cache()
+    kw = dict(n_cells=8, nprobe=4, m=8, n_codes=16)
+    raw = A.IVFPQIndex(coding="raw", **kw).fit(clustered)
+    res = A.IVFPQIndex(coding="residual", **kw).fit(clustered)
+    mse_raw = raw.reconstruction_mse(raw.transform(clustered)) \
+        .collect()[0].mse
+    mse_res = res.reconstruction_mse(res.transform(clustered)) \
+        .collect()[0].mse
+    assert mse_res < mse_raw  # with cell-MEAN bases this holds even on
+    # near-uniform data (sf0.01 embeddings: 0.115 vs 0.129); on this
+    # clustered fixture the gap is wider
+    # exact-rescore search still finds self and valid top-k in both modes
+    qv = [float(x) for x in pts[0]]
+    got = [r.vec_id for r in
+           res.search(res.transform(clustered), qv, 5,
+                      rescore=clustered, shortlist=100).collect()]
+    assert got[0] == 0
+    clustered.unpersist()
+
+
+def test_ivfpq_residual_adc_matches_decomposed_score(emb, qvec):
+    """The residual ADC score offset[cell] + sum_j lut[j][code_j] must
+    equal q . (centroid[cell] + decoded_residual) — i.e. the per-cell
+    offset trick is exact, not an approximation on top of PQ."""
+    import numpy as np
+    idx = A.IVFPQIndex(n_cells=8, nprobe=8, m=16, n_codes=32,
+                       coding="residual").fit(emb)
+    t = idx.transform(emb)
+    approx = {r.vec_id: r.approx_similarity
+              for r in idx.search(t, qvec, 5).collect()}
+    rows = {r.vec_id: r for r in
+            t.filter(F.col("vec_id").isin(list(approx))).collect()}
+    q = np.asarray(qvec, dtype=np.float32)
+    q /= np.linalg.norm(q)
+    for vid, score in approx.items():
+        r = rows[vid]
+        dec = np.concatenate([idx.pq.codebooks[j, r.pq_codes[j]]
+                              for j in range(idx.pq.m)])
+        expect = float(q @ (idx.cell_means[r.cell] + dec))
+        assert abs(score - expect) < 1e-4
+
+
 def test_lsh_recall(emb, qvec, exact_top10):
     lsh = A.HyperplaneLSH(num_planes=8).fit(dim=len(qvec))
     got = [r.vec_id
