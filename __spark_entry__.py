@@ -1051,6 +1051,54 @@ def _q_kll_value_quantiles(spark, sf_dir):
     return kll_value_quantiles(ev, "value", "event_type")
 
 
+def _q_span_dedup_docs(spark, sf_dir):
+    """Duplicate-span REMOVAL with reassembly (C4/RefinedWeb-style):
+    non-overlapping 3-token chunks, global keep-first, docs rebuilt from
+    surviving chunks. The removal counterpart of dup_span_stats."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", chunk_tokens=3)
+
+
+def _q_decontaminated_docs(spark, sf_dir):
+    """Eval-set decontamination ENFORCEMENT: drop every train doc whose
+    shingles cover >= 20% of any test doc (same source-parity split and
+    thresholds as contamination_pairs), return survivors' ids."""
+    from dotnetvectorsearch_spark.operators.dedup import decontaminate
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter(src_num % 2 == 0)
+    test = docs.filter(src_num % 2 == 1)
+    return (decontaminate(train, test, shingle_n=3, min_overlap=0.2)
+            .select("doc_id", "n_chars"))
+
+
+def _q_fuzzy_dup_pairs(spark, sf_dir):
+    """Blocked edit-distance near-dup join: share first-2-token block +
+    length band, verify bounded levenshtein over the 40-char prefix."""
+    from dotnetvectorsearch_spark.operators.dedup import fuzzy_dup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_dup_pairs(docs, "doc_id", "text", prefix_chars=40,
+                           block_tokens=2, max_dist=8)
+
+
+def _q_doc_pagerank(spark, sf_dir):
+    """Fixed-iteration (5) PageRank over the undirected word-3-gram
+    Jaccard similarity graph (threshold 0.1) — the authority signal for
+    choosing which near-duplicate copy to keep. Decimal-summed
+    contributions make the doubles engine-portable."""
+    from dotnetvectorsearch_spark.operators.dedup import jaccard_pairs
+    from dotnetvectorsearch_spark.operators.graph import (
+        pagerank_undirected,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                          threshold=0.1)
+    return pagerank_undirected(pairs, "id_a", "id_b", iters=5)
+
+
 def _q_ann_ivfpq_coding_gain(spark, sf_dir):
     """Index-quality metric for IVF+PQ residual vs raw coding at equal
     (m, n_codes): mean squared reconstruction error of each, distributed
@@ -2065,6 +2113,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verifies a registry-order PREFIX (first 50 entries); inserting
     # above this point silently pushes an entry out of driver coverage.
     "ann_ivfpq_coding_gain": _q_ann_ivfpq_coding_gain,
+    "span_dedup_docs": _q_span_dedup_docs,
+    "decontaminated_docs": _q_decontaminated_docs,
+    "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
+    "doc_pagerank": _q_doc_pagerank,
 }
 
 
@@ -3632,4 +3684,97 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN documents d USING (doc_id))
         WHERE rk <= 3
     """
+    oracles["span_dedup_docs"] = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS tk,
+                   generate_subscripts(toks, 1) - 1 AS pos
+            FROM t
+        ), ch AS (
+            SELECT doc_id, pos // 3 AS cid,
+                   string_agg(tk, ' ' ORDER BY pos) AS chunk
+            FROM tok GROUP BY doc_id, pos // 3
+        ), kept AS (
+            SELECT doc_id, cid, chunk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+                FROM ch)
+            WHERE rn = 1
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               string_agg(k.chunk, ' ' ORDER BY k.cid) AS text,
+               any_value(t.n_chunks) AS n_chunks,
+               count(*) AS n_kept
+        FROM kept k JOIN tot t USING (doc_id)
+        GROUP BY k.doc_id
+    """
+    # contamination_pairs reused verbatim as the flag set; NOT IN is safe
+    # (train_id never NULL)
+    oracles["decontaminated_docs"] = f"""
+        WITH cp AS ({oracles["contamination_pairs"]}),
+        d AS (
+            SELECT doc_id, n_chars,
+                   CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS sn
+            FROM documents
+        )
+        SELECT doc_id, n_chars FROM d
+        WHERE sn % 2 = 0
+          AND doc_id NOT IN (SELECT train_id FROM cp)
+    """
+    oracles["fuzzy_dup_pairs"] = """
+        WITH d AS (
+            SELECT doc_id, trim(text) AS tx,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), k AS (
+            SELECT doc_id, t[1] || ' ' || t[2] AS blk,
+                   substr(tx, 1, 40) AS pfx
+            FROM d WHERE len(t) >= 2
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+        FROM k a JOIN k b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE abs(len(a.pfx) - len(b.pfx)) <= 8
+          AND levenshtein(a.pfx, b.pfx) <= 8
+    """
+    # PageRank: the Spark loop unrolled — every arithmetic step mirrors
+    # graph.pagerank_undirected exactly (double division per
+    # contribution, DECIMAL(27,15) order-independent sums, the same
+    # (1.0 - 0.85)/N evaluation order), so rounded doubles are bit-equal.
+    pr = """
+        WITH jp AS ({jp}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jp
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM jp
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ), nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (
+            SELECT src, deg,
+                   CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+            FROM deg
+        ){iters}
+        SELECT src AS node, round(rank, 6) AS pagerank FROM r5
+    """
+    pr_iters = ""
+    for i in range(1, 6):
+        pr_iters += f""", r{i} AS (
+            SELECT d.src, d.deg,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * s.s AS rank
+            FROM deg d JOIN (
+                SELECT e.dst AS src,
+                       CAST(sum(CAST(p.rank / p.deg AS DECIMAL(27,15)))
+                            AS DOUBLE) AS s
+                FROM edges e JOIN r{i - 1} p ON p.src = e.src
+                GROUP BY e.dst) s ON s.src = d.src)"""
+    oracles["doc_pagerank"] = pr.format(jp=oracles["jaccard_pairs"],
+                                        iters=pr_iters)
     return oracles

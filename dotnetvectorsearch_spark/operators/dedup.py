@@ -935,3 +935,135 @@ def minhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
+
+
+# ------------------------------------------------- duplicate-span removal
+
+
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           chunk_tokens: int = 3) -> DataFrame:
+    """Corpus-level duplicate-span REMOVAL with document reassembly —
+    the removal counterpart of ``dup_span_stats``: C4 / RefinedWeb-style
+    pipelines don't just MEASURE repeated spans, they cut all-but-one
+    occurrence out of the corpus before training.
+
+    Semantics: tokens (whitespace split of trimmed text) are grouped
+    into non-overlapping ``chunk_tokens``-token chunks in order; each
+    distinct chunk string survives only at its FIRST corpus occurrence
+    (lowest ``id_col``, then lowest chunk position — deterministic);
+    every other occurrence is deleted. Documents are reassembled from
+    surviving chunks in original order; documents whose every chunk was
+    deleted drop out.
+
+    Returns (id, text, n_chunks, n_kept).
+
+    Scale shape: one token-scale explode; one shuffle keyed by
+    (doc, chunk-pos) to assemble chunks; one shuffle on the chunk string
+    with MAP-SIDE PARTIAL min(struct(id, pos)) — a boilerplate chunk
+    occurring 10^6 times combines to one row per map task before the
+    exchange, so hot chunks don't create hot reducers; then a keep-first
+    semi-join and a doc-keyed reassembly agg. No driver-side state, no
+    cross product — the same inverted-index discipline as the rest of
+    this module. (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22, motivates span-level removal; the
+    non-overlapping-chunk formulation is the one that distributes, vs
+    the paper's single-node suffix array.)
+    """
+    d = _spread(docs, id_col)
+    tok = d.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "tk"))
+    chunks = (tok
+              .withColumn("cid", (F.col("pos") / chunk_tokens)
+                          .cast("int"))
+              .groupBy(id_col, "cid")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                      lambda s: s["tk"]), " ").alias("chunk")))
+    chunks = transient_persist(chunks)  # feeds firsts, totals, reassembly
+    firsts = (chunks.groupBy("chunk")
+              .agg(F.min(F.struct(F.col(id_col), F.col("cid")))
+                   .alias("f"))
+              .select(F.col("f")[id_col].alias(id_col),
+                      F.col("f")["cid"].alias("cid")))
+    kept = chunks.join(firsts, [id_col, "cid"], "leftsemi")
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("cid", "chunk"))),
+                       lambda s: s["chunk"]), " ").alias("text"),
+                   F.count(F.lit(1)).alias("n_kept")))
+    return (rebuilt.join(totals, id_col)
+            .select(id_col, "text", "n_chunks", "n_kept"))
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shingle_n: int = 3,
+                  min_overlap: float = 0.5) -> DataFrame:
+    """Remove from ``train`` every document the eval set contaminates:
+    the enforcement step on top of ``cross_corpus_contamination`` — a
+    benchmark-hygiene pipeline doesn't report overlap pairs, it DROPS
+    the train docs whose content leaks an eval prompt.
+
+    Shape: the contamination equi-join (shuffle ∝ corpus sizes), a
+    distinct over the flagged train ids (small — bounded by |train|),
+    then one LEFT ANTI hash join back against train. Returns the
+    surviving train rows unchanged.
+    """
+    bad = (cross_corpus_contamination(train, test, id_col, text_col,
+                                      shingle_n, min_overlap)
+           .select(F.col("train_id").alias(id_col)).distinct())
+    return train.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------- fuzzy (edit-distance)
+
+
+def fuzzy_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", prefix_chars: int = 40,
+                    block_tokens: int = 2, max_dist: int = 8) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs: (id_a, id_b, dist)
+    with ``levenshtein(prefix_a, prefix_b) <= max_dist`` over the first
+    ``prefix_chars`` characters — the fuzzy-title/lead-paragraph join a
+    curation pipeline runs where token-set measures (Jaccard/MinHash)
+    are blind to character-level edits.
+
+    Blocking: candidates must share their first ``block_tokens`` tokens
+    AND sit within a ``max_dist`` length band (a true edit-distance
+    lower bound: |len(a) - len(b)| <= dist) — an EQUI-join on the block
+    key plus a cheap band predicate, never a cross product. Verification
+    uses Spark's bounded levenshtein(…, threshold): O(max_dist * n) per
+    pair with early exit, not O(n^2).
+
+    At 100 TB: the block key fans the corpus into ~vocab^block_tokens
+    buckets; skewed blocks (a boilerplate lead sentence) are the
+    operator's known hazard — raise ``block_tokens`` or pre-filter the
+    hot key, exactly like the LSH mega-bucket cap above.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    keyed = (docs
+             .filter(F.size(toks) >= block_tokens)
+             .select(
+                 F.col(id_col),
+                 F.array_join(F.slice(toks, 1, block_tokens), " ")
+                 .alias("blk"),
+                 F.substring(F.trim(F.col(text_col)), 1, prefix_chars)
+                 .alias("pfx")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.abs(F.length("a.pfx") - F.length("b.pfx")) <= max_dist))
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
+    return (cand.select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        dist.alias("dist"))
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))

@@ -422,3 +422,77 @@ def test_transient_caches_released_after_action(spark, dup_docs, sf_dir):
     released = release_transient()
     assert released >= 4  # grams, sh, banded, pairs/uniq, occ...
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),       # chunks: "a b c", "d e f"
+        Row(doc_id=2, text="a b c x y z"),       # "a b c" dup -> removed
+        Row(doc_id=3, text="a b c d e f"),       # both chunks dup -> drops
+        Row(doc_id=4, text="p q r"),             # untouched
+    ])
+    out = {r.doc_id: r for r in
+           D.remove_duplicate_spans(docs, chunk_tokens=3).collect()}
+    assert out[1].text == "a b c d e f"
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[2].text == "x y z"
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert 3 not in out                # every chunk deleted -> doc drops
+    assert out[4].text == "p q r"
+
+
+def test_remove_duplicate_spans_partial_tail_chunk(spark):
+    # 4 tokens at k=3 -> chunks "a b c" + "d"; the 1-token tail is a
+    # chunk of its own and dedups independently
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="z z z d"),
+    ])
+    out = {r.doc_id: r for r in
+           D.remove_duplicate_spans(docs, chunk_tokens=3).collect()}
+    assert out[1].text == "a b c d"
+    assert out[2].text == "z z z"      # tail "d" owned by doc 1
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+
+
+def test_decontaminate_drops_flagged_train_docs(spark, dup_docs):
+    test_set = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over")])
+    survivors = sorted(
+        r.doc_id for r in
+        D.decontaminate(dup_docs, test_set, shingle_n=3,
+                        min_overlap=0.5).collect())
+    # docs 1, 2 contain the whole probe and 4 shares most of it; 3 is
+    # the UPPERCASED dup — shingling is case-sensitive (same contract as
+    # cross_corpus_contamination), so it survives along with the
+    # unrelated doc
+    assert survivors == [3, 5]
+    # high threshold with a disjoint probe removes nothing
+    clean_probe = spark.createDataFrame(
+        [Row(doc_id=101, text="totally unrelated probe text here now")])
+    assert D.decontaminate(dup_docs, clean_probe).count() == 5
+
+
+def test_fuzzy_dup_pairs_blocked_levenshtein(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilXn"),   # dist 1
+        Row(doc_id=3, text="alpha beta totally different words here"),
+        Row(doc_id=4, text="omega psi chi phi upsilon"),        # other block
+    ])
+    pairs = {(r.id_a, r.id_b): r.dist
+             for r in D.fuzzy_dup_pairs(
+                 docs, prefix_chars=30, block_tokens=2,
+                 max_dist=3).collect()}
+    assert pairs == {(1, 2): 1}   # 3 shares the block but fails verify;
+    #                               4 is never even a candidate
+
+
+def test_fuzzy_dup_pairs_never_cross_product(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=i, text=f"head{i % 3} tail{i} filler words here")
+        for i in range(30)])
+    plan = (D.fuzzy_dup_pairs(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
