@@ -1099,6 +1099,27 @@ def _q_doc_pagerank(spark, sf_dir):
     return pagerank_undirected(pairs, "id_a", "id_b", iters=5)
 
 
+def _q_moore_lewis_en(spark, sf_dir):
+    """Moore-Lewis contrastive selection: score every doc by
+    avg_lp(target='en' bigram LM) - avg_lp(general corpus LM), both
+    Laplace-smoothed — the classic domain-data mining recipe
+    (Moore & Lewis ACL'10; the CCNet/DSIR shape)."""
+    from dotnetvectorsearch_spark.operators.lm import moore_lewis_scores
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return moore_lewis_scores(docs, target, docs)
+
+
+def _q_label_diversity(spark, sf_dir):
+    """Per-label embedding diversity (mean pairwise cosine) WITHOUT
+    forming pairs: ||sum u||^2 identity over decimal-summed components —
+    the redundancy signal per corpus slice, O(n) where pairwise is
+    O(n^2)."""
+    from dotnetvectorsearch_spark.operators.ann import group_diversity
+    emb = load_table(spark, sf_dir, "embeddings")
+    return group_diversity(emb, "label", "embedding")
+
+
 def _q_ann_ivfpq_coding_gain(spark, sf_dir):
     """Index-quality metric for IVF+PQ residual vs raw coding at equal
     (m, n_codes): mean squared reconstruction error of each, distributed
@@ -2117,6 +2138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminated_docs": _q_decontaminated_docs,
     "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
     "doc_pagerank": _q_doc_pagerank,
+    "moore_lewis_en": _q_moore_lewis_en,
+    "label_diversity": _q_label_diversity,
 }
 
 
@@ -3777,4 +3800,94 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst) s ON s.src = d.src)"""
     oracles["doc_pagerank"] = pr.format(jp=oracles["jaccard_pairs"],
                                         iters=pr_iters)
+    # Moore-Lewis: each Laplace-smoothed term mirrors
+    # lm.bigram_lm_logprob's arithmetic exactly (coalesced DOUBLE counts
+    # + 1.0, denominator + 1.0 * V, ln, avg; round only the difference).
+    ml_term = """
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               avg(ln((CAST(COALESCE(cb.c_bg, 0) AS DOUBLE)
+                       + CAST(1.0 AS DOUBLE))
+                      / (CAST(COALESCE(cw.c_w1, 0) AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) * (SELECT v FROM {vt}))))
+                   AS lp
+        FROM bi b
+        LEFT JOIN {cbt} cb USING (bg)
+        LEFT JOIN {cwt} cw USING (w1)
+        GROUP BY b.doc_id
+    """
+    oracles["moore_lewis_en"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ), tb AS (
+            SELECT bg, count(*) AS c_bg FROM bi WHERE lang = 'en'
+            GROUP BY bg
+        ), tw AS (
+            SELECT w1, count(*) AS c_w1 FROM bi WHERE lang = 'en'
+            GROUP BY w1
+        ), tv AS (
+            SELECT count(DISTINCT tk) AS v FROM (
+                SELECT unnest(t) AS tk FROM toks WHERE lang = 'en')
+            WHERE len(tk) > 0
+        ), gb AS (
+            SELECT bg, count(*) AS c_bg FROM bi GROUP BY bg
+        ), gw AS (
+            SELECT w1, count(*) AS c_w1 FROM bi GROUP BY w1
+        ), gv AS (
+            SELECT count(DISTINCT tk) AS v FROM (
+                SELECT unnest(t) AS tk FROM toks)
+            WHERE len(tk) > 0
+        ), sct AS ({ml_term.format(vt="tv", cbt="tb", cwt="tw")}
+        ), scg AS ({ml_term.format(vt="gv", cbt="gb", cwt="gw")}
+        )
+        SELECT sct.doc_id, sct.n_bigrams,
+               round(sct.lp - scg.lp, 6) AS ml_score
+        FROM sct JOIN scg USING (doc_id)
+    """
+    # group_diversity twin: same double normalization (sequential
+    # left-to-right sum of squares, seeded at 0.0 — list_reduce over a
+    # 0.0-prepended list reproduces Spark's fold order exactly), same
+    # decimal casts on every cross-row sum.
+    oracles["label_diversity"] = """
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), nrm AS (
+            SELECT label,
+                   list_transform(v, x -> x / sqrt(
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_transform(v, y -> y * y)),
+                           (a, b) -> a + b))) AS u
+            FROM e
+        ), ex AS (
+            SELECT label, unnest(u) AS uu,
+                   generate_subscripts(u, 1) AS pos
+            FROM nrm
+        ), pp AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(uu AS DECIMAL(27,15))) AS DOUBLE) AS s,
+                   sum(CAST(uu * uu AS DECIMAL(27,15))) AS usq,
+                   count(*) AS n
+            FROM ex GROUP BY label, pos
+        ), ag AS (
+            SELECT label,
+                   CAST(sum(CAST(s * s AS DECIMAL(27,12))) AS DOUBLE)
+                       AS sumsq,
+                   CAST(sum(usq) AS DOUBLE) AS norms,
+                   max(n) AS n
+            FROM pp GROUP BY label
+        )
+        SELECT label, n,
+               CASE WHEN n >= 2 THEN
+                   round((sumsq - norms)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)), 6)
+               END AS mean_pairwise_cosine
+        FROM ag
+    """
     return oracles

@@ -627,3 +627,55 @@ class HyperplaneLSH:
             F.col(bucket_col).isin(self.probe_buckets(query_vec,
                                                       multiprobe_bits)))
         return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def group_diversity(emb: DataFrame, by: str = "label",
+                    vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """Per-group embedding diversity: the MEAN PAIRWISE COSINE of every
+    group's unit-normalized vectors — the redundancy signal a curation
+    pipeline reads per corpus slice (source/language/cluster): slices
+    near 1.0 are near-duplicates of one message, slices near 0 are
+    diverse.
+
+    Never forms pairs. For unit vectors the identity
+
+        sum_{i != j} u_i . u_j = ||sum_i u_i||^2 - sum_i ||u_i||^2
+
+    turns the O(n^2) pairwise sum into two linear aggregates: the
+    element-wise group sum (posexplode -> decimal-summed per (group,
+    pos), same machinery as ``centroids_by``) and the scalar
+    sum-of-norms. Cost is one narrow explode + a COMPONENT-scale shuffle
+    (n_groups x dim rows) — at 100 TB this runs where any pairwise
+    formulation is impossible.
+
+    Normalization happens in DOUBLE from the raw (float) vectors so an
+    external oracle doing double math reproduces the values bit-for-bit;
+    decimal casts make both sums partition-order independent. Groups
+    with one member emit NULL (pairwise mean undefined).
+
+    Returns (by, n, mean_pairwise_cosine).
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    unit = F.transform(F.col(vec_col),
+                       lambda x: x.cast("double") / norm)
+    expl = emb.select(F.col(by), F.posexplode(unit).alias("pos", "u"))
+    per_pos = (expl.groupBy(by, "pos")
+               .agg(F.sum(F.col("u").cast("decimal(27,15)"))
+                    .cast("double").alias("s"),
+                    F.sum((F.col("u") * F.col("u"))
+                          .cast("decimal(27,15)")).alias("usq"),
+                    F.count(F.lit(1)).alias("n")))
+    agg = (per_pos.groupBy(by)
+           .agg(F.sum((F.col("s") * F.col("s")).cast("decimal(27,12)"))
+                .cast("double").alias("sumsq"),
+                F.sum("usq").cast("double").alias("norms"),
+                F.max("n").alias("n")))
+    n = F.col("n").cast("double")
+    mpc = F.when(F.col("n") >= 2,
+                 F.round((F.col("sumsq") - F.col("norms"))
+                         / (n * (n - 1.0)), round_digits))
+    return agg.select(F.col(by), F.col("n"),
+                      mpc.alias("mean_pairwise_cosine"))

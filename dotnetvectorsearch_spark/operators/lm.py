@@ -131,3 +131,113 @@ def oov_rate(docs: DataFrame, vocab_size: int = 1000,
                  F.round(F.avg(F.when(F.col("in_vocab").isNull(), 1.0)
                                .otherwise(0.0)),
                          round_digits).alias("oov")))
+
+
+def bigram_lm_logprob(score_docs: DataFrame, lm_corpus: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      alpha: float = 1.0,
+                      out_col: str = "avg_logprob") -> DataFrame:
+    """Per-document average bigram log-probability under a model trained
+    on a DIFFERENT corpus, with Laplace smoothing (unlike
+    ``bigram_logprob``, scored bigrams can be unseen in the model):
+
+        P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 .) + alpha * V)
+
+    where V = distinct token count of the LM corpus, c(.) counts come
+    from ``lm_corpus``, and bigrams whose w1 was never seen fall back to
+    the uniform 1/V (both joins LEFT, coalesced to 0).
+
+    Returns (id_col, n_bigrams, out_col) for every scored doc with >= 1
+    bigram. Shape: one token-scale explode per corpus; vocabulary-scale
+    count aggregates (map-side combined) joined back onto the scored
+    occurrence stream; one doc-keyed final agg. The LM count tables are
+    vocabulary-sized, deliberately NOT broadcast at 100 TB.
+    """
+    occ = score_docs.select(
+        F.col(id_col),
+        F.explode(bigram_array(tokens(text_col))).alias("bg"))
+    occ = occ.withColumn("w1", F.substring_index("bg", " ", 1))
+    lm_occ = lm_corpus.select(
+        F.explode(bigram_array(tokens(text_col))).alias("bg"))
+    from dotnetvectorsearch_spark.caching import transient_persist
+    lm_bg = transient_persist(
+        lm_occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+        .withColumn("w1", F.substring_index("bg", " ", 1)))
+    lm_w1 = lm_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    # V = distinct tokens of the LM corpus (left contexts + the final
+    # token of every doc ride in w2 positions too, so count from tokens,
+    # not from w1) — a scalar, crossJoin-broadcast into the stream.
+    v = (lm_corpus.select(F.explode(tokens(text_col)).alias("w"))
+         .filter(F.length("w") > 0)
+         .agg(F.count_distinct("w").alias("v")))
+    scored = (occ
+              .join(lm_bg.select("bg", "c_bg"), "bg", "left")
+              .join(lm_w1, "w1", "left")
+              .crossJoin(F.broadcast(v)))
+    logp = F.log(
+        (F.coalesce(F.col("c_bg"), F.lit(0)).cast("double") + alpha)
+        / (F.coalesce(F.col("c_w1"), F.lit(0)).cast("double")
+           + alpha * F.col("v")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg(logp).alias(out_col)))
+
+
+def moore_lewis_scores(candidates: DataFrame, target: DataFrame,
+                       general: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       alpha: float = 1.0,
+                       round_digits: int = 6) -> DataFrame:
+    """Moore-Lewis contrastive data selection (Moore & Lewis, ACL'10;
+    the CCNet/DSIR-family shape): score every candidate document by
+
+        ml_score = avg_lp(doc | target LM) - avg_lp(doc | general LM)
+
+    High scores = looks like the in-domain ``target`` corpus, unlike the
+    ``general`` background — THE classic recipe for mining domain data
+    out of a web-scale crawl. Select by thresholding or top-k on
+    ``ml_score``.
+
+    Returns (id_col, n_bigrams, ml_score). Both LMs are Laplace-smoothed
+    bigram models with ``bigram_lm_logprob``'s arithmetic, but the
+    candidate occurrence stream is exploded ONCE and carries both LMs'
+    counts through a single chain of vocabulary-scale left joins into
+    one doc-keyed aggregate — half the token-scale work of scoring each
+    LM separately. No cross products, no driver state.
+    """
+    def _lm_tables(corpus: DataFrame, suffix: str):
+        occ = corpus.select(
+            F.explode(bigram_array(tokens(text_col))).alias("bg"))
+        c_bg = (occ.groupBy("bg")
+                .agg(F.count(F.lit(1)).alias(f"c_bg_{suffix}"))
+                .withColumn("w1", F.substring_index("bg", " ", 1)))
+        c_w1 = (c_bg.groupBy("w1")
+                .agg(F.sum(f"c_bg_{suffix}").alias(f"c_w1_{suffix}")))
+        v = (corpus.select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") > 0)
+             .agg(F.count_distinct("w").alias(f"v_{suffix}")))
+        return c_bg.drop("w1"), c_w1, v
+
+    t_bg, t_w1, t_v = _lm_tables(target, "t")
+    g_bg, g_w1, g_v = _lm_tables(general, "g")
+    occ = (candidates.select(
+        F.col(id_col),
+        F.explode(bigram_array(tokens(text_col))).alias("bg"))
+        .withColumn("w1", F.substring_index("bg", " ", 1)))
+    scored = (occ
+              .join(t_bg, "bg", "left").join(g_bg, "bg", "left")
+              .join(t_w1, "w1", "left").join(g_w1, "w1", "left")
+              .crossJoin(F.broadcast(t_v))
+              .crossJoin(F.broadcast(g_v)))
+
+    def _logp(c_bg: str, c_w1: str, v: str):
+        return F.log(
+            (F.coalesce(F.col(c_bg), F.lit(0)).cast("double") + alpha)
+            / (F.coalesce(F.col(c_w1), F.lit(0)).cast("double")
+               + alpha * F.col(v)))
+
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(_logp("c_bg_t", "c_w1_t", "v_t"))
+                         - F.avg(_logp("c_bg_g", "c_w1_g", "v_g")),
+                         round_digits).alias("ml_score")))

@@ -250,3 +250,34 @@ def test_pq_write_read_roundtrip(emb, qvec, tmp_path, spark):
     after = [(r.vec_id, r.approx_similarity)
              for r in loaded.search(codes, qvec, 5).collect()]
     assert before == after
+
+
+def test_group_diversity_matches_bruteforce_pairwise(spark):
+    """The ||sum u||^2 identity must reproduce the literal O(n^2) mean
+    pairwise cosine, and hit the exact endpoints for identical /
+    orthogonal groups."""
+    import itertools
+    import numpy as np
+    rng = np.random.RandomState(3)
+    groups = {
+        "same": [np.array([1.0, 0.0, 0.0, 0.0])] * 4,     # mpc = 1
+        "ortho": [np.eye(4)[i] for i in range(4)],          # mpc = 0
+        "rand": [rng.standard_normal(4) for _ in range(6)],
+        "single": [rng.standard_normal(4)],                 # NULL
+    }
+    rows = [(g, [float(x) for x in v])
+            for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    got = {r.label: r for r in A.group_diversity(df, "label").collect()}
+    assert got["same"].mean_pairwise_cosine == pytest.approx(1.0, abs=1e-6)
+    assert got["ortho"].mean_pairwise_cosine == pytest.approx(0.0, abs=1e-6)
+    assert got["single"].mean_pairwise_cosine is None
+    # float32 storage: compare against pairwise over the ROUND-TRIPPED
+    # float vectors
+    vs = [np.asarray(v, dtype=np.float32).astype(np.float64)
+          for v in groups["rand"]]
+    us = [v / np.linalg.norm(v) for v in vs]
+    expect = np.mean([u @ w for u, w in itertools.combinations(us, 2)])
+    assert got["rand"].mean_pairwise_cosine == pytest.approx(
+        float(expect), abs=1e-6)
+    assert got["rand"].n == 6

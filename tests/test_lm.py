@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dotnetvectorsearch_spark.operators.lm import bigram_logprob, oov_rate
@@ -81,3 +82,40 @@ def test_char_pair_counts_topn_cut_deterministic(spark, sf_dir):
                                             for r in top10[:5]]
     ns = [r.n for r in top10]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_bigram_lm_logprob_smoothing_and_fallbacks(spark):
+    """Unseen bigrams must score finite (Laplace), and a fully-unseen
+    left context must fall back to the uniform 1/V."""
+    import math
+    from dotnetvectorsearch_spark.operators.lm import bigram_lm_logprob
+    lm = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+    # LM corpus: V=2 tokens {a,b}; c("a b")=2, c("b a")=1; c(a .)=2, c(b .)=1
+    score = spark.createDataFrame([
+        Row(doc_id=10, text="a b"),     # seen: ln((2+1)/(2+2)) = ln(3/4)
+        Row(doc_id=11, text="x y"),     # both tokens unseen: ln(1/(0+2)) wait
+    ])
+    got = {r.doc_id: r for r in
+           bigram_lm_logprob(score, lm, alpha=1.0,
+                             out_col="lp").collect()}
+    assert abs(got[10].lp - math.log(3 / 4)) < 1e-9
+    # unseen w1: (0+1)/(0+1*2) = 1/2 — the uniform fallback
+    assert abs(got[11].lp - math.log(1 / 2)) < 1e-9
+    assert got[10].n_bigrams == 1
+
+
+def test_moore_lewis_ranks_target_like_docs_higher(spark):
+    from dotnetvectorsearch_spark.operators.lm import moore_lewis_scores
+    target = spark.createDataFrame([
+        Row(doc_id=i, text="alpha beta gamma alpha beta") for i in range(3)])
+    background = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="delta epsilon zeta delta epsilon")
+         for i in range(3)])
+    general = target.union(background)
+    cands = spark.createDataFrame([
+        Row(doc_id=500, text="alpha beta gamma"),      # target-like
+        Row(doc_id=501, text="delta epsilon zeta"),    # background-like
+    ])
+    got = {r.doc_id: r.ml_score
+           for r in moore_lewis_scores(cands, target, general).collect()}
+    assert got[500] > 0 > got[501]
