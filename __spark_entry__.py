@@ -1110,6 +1110,18 @@ def _q_moore_lewis_en(spark, sf_dir):
     return moore_lewis_scores(docs, target, docs)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich'16): the first 8
+    merge rules learned from the corpus word-frequency table — each
+    iteration is a vocabulary-scale pair count + 1-row argmax + greedy
+    fold rewrite. Iterative/driver-coordinated -> rows-only (the
+    pure-Python reference in tests/test_lm.py is the correctness
+    twin)."""
+    from dotnetvectorsearch_spark.operators.lm import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8)
+
+
 def _q_label_diversity(spark, sf_dir):
     """Per-label embedding diversity (mean pairwise cosine) WITHOUT
     forming pairs: ||sum u||^2 identity over decimal-summed components —
@@ -2140,6 +2152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pagerank": _q_doc_pagerank,
     "moore_lewis_en": _q_moore_lewis_en,
     "label_diversity": _q_label_diversity,
+    "bpe_merges": _q_bpe_merges,
 }
 
 

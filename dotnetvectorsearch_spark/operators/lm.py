@@ -241,3 +241,97 @@ def moore_lewis_scores(candidates: DataFrame, target: DataFrame,
                  F.round(F.avg(_logp("c_bg_t", "c_w1_t", "v_t"))
                          - F.avg(_logp("c_bg_g", "c_w1_g", "v_g")),
                          round_digits).alias("ml_score")))
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 8) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL'16):
+    learn the first ``n_merges`` merge rules from the corpus.
+
+    The classic trick that makes BPE training tractable at corpus scale:
+    train on the WORD-FREQUENCY table, not the token stream — one
+    token-scale explode builds (word, count) once (vocabulary-sized,
+    i.e. orders of magnitude smaller than the corpus), and every merge
+    iteration after that touches only that table: count weighted
+    adjacent symbol pairs (map-side combined aggregate over an
+    alphabet²-bounded key space), take the global argmax (1 driver row;
+    ties broken (left, right) ascending for determinism), and rewrite
+    the symbol sequences with a greedy left-to-right fold. No
+    end-of-word marker (documented contract; add one upstream by
+    suffixing words if cross-word-boundary safety is needed).
+
+    Returns the ordered rule table (rank, left, right, merged) —
+    ``n_merges`` rows. An iterative, driver-coordinated algorithm by
+    nature (each merge depends on the last), so no SQL oracle — the
+    pure-Python reference in tests/test_lm.py is the correctness twin.
+    """
+    words = (docs.select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    syms = words.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("syms"))
+    from dotnetvectorsearch_spark.caching import transient_persist
+    syms = transient_persist(syms)
+    rules = []
+    for rank in range(n_merges):
+        pairs = (syms
+                 .select("cnt", F.explode(F.zip_with(
+                     F.slice("syms", 1, F.size("syms") - 1),
+                     F.slice("syms", 2, F.size("syms") - 1),
+                     lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+                     .alias("p"))
+                 .groupBy("p").agg(F.sum("cnt").alias("n"))
+                 .orderBy(F.desc("n"), F.asc("p.l"), F.asc("p.r"))
+                 .limit(1).collect())
+        if not pairs:
+            break
+        left, right = pairs[0].p.l, pairs[0].p.r
+        rules.append((rank, left, right, left + right))
+        merged = F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(left + right))))
+            .otherwise(F.concat(acc, F.array(x))))
+        syms = transient_persist(syms.select("cnt", merged.alias("syms")))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, merged string")
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Apply trained BPE merges (rank order) to every token of every
+    doc: (id, token, pieces). A narrow per-row pass — one greedy
+    left-to-right fold per rule, chained as ``len(merges)`` nested
+    expressions (fine for the small rule counts this in-repo trainer
+    produces; a production tokenizer with 10^4+ rules belongs in an
+    Arrow-batched UDF instead, same contract)."""
+    out = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("token"))
+    out = out.filter(F.length("token") > 0)
+    pieces = F.expr(
+        "transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+
+    def _merge_fold(lf: str, rt: str):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lf))
+                & (x == F.lit(rt)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(lf + rt)))) \
+                .otherwise(F.concat(acc, F.array(x)))
+        return fold
+
+    for left, right in merges:
+        pieces = F.aggregate(pieces, F.array().cast("array<string>"),
+                             _merge_fold(left, right))
+    return out.select(id_col, "token", pieces.alias("pieces"))

@@ -119,3 +119,82 @@ def test_moore_lewis_ranks_target_like_docs_higher(spark):
     got = {r.doc_id: r.ml_score
            for r in moore_lewis_scores(cands, target, general).collect()}
     assert got[500] > 0 > got[501]
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE trainer (Sennrich'16 pseudocode): the correctness
+    twin for the distributed bpe_train."""
+    syms = {w: list(w) for w in word_counts}
+    rules = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        # max count, ties broken (left, right) ascending
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        rules.append((rank, best[0], best[1], best[0] + best[1]))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules, syms
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from dotnetvectorsearch_spark.operators.lm import bpe_train
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="low low low low low lower lower"),
+        Row(doc_id=2, text="newest newest newest widest widest"),
+        Row(doc_id=3, text="lowest newest low"),
+    ])
+    # word counts exactly as the operator derives them
+    wc = {}
+    for t in [r.text for r in docs.collect()]:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expect, _ = _bpe_reference(wc, 6)
+    got = [(r.rank, r.left, r.right, r.merged)
+           for r in bpe_train(docs, n_merges=6)
+           .orderBy("rank").collect()]
+    assert got == expect
+
+
+def test_bpe_train_overlapping_run_is_greedy_left_to_right(spark):
+    from dotnetvectorsearch_spark.operators.lm import bpe_train
+    # "aaaa" x3: first merge must be (a,a); greedy rewrite gives
+    # [aa, aa], so the SECOND merge must be (aa, aa) — the classic
+    # overlap case where a lazy rewrite would disagree
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaaa aaaa aaaa")])
+    got = [(r.left, r.right) for r in
+           bpe_train(docs, n_merges=2).orderBy("rank").collect()]
+    assert got == [("a", "a"), ("aa", "aa")]
+
+
+def test_bpe_segment_applies_rules_in_order(spark):
+    from dotnetvectorsearch_spark.operators.lm import (
+        bpe_segment, bpe_train)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="low low low low low lower lower"),
+        Row(doc_id=2, text="newest newest newest widest widest"),
+        Row(doc_id=3, text="lowest newest low"),
+    ])
+    rules = [(r.left, r.right) for r in
+             bpe_train(docs, n_merges=6).orderBy("rank").collect()]
+    wc = {}
+    for t in [r.text for r in docs.collect()]:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    _, ref_syms = _bpe_reference(wc, 6)
+    got = {(r.doc_id, r.token): list(r.pieces) for r in
+           bpe_segment(docs, rules).collect()}
+    for (_doc, token), pieces in got.items():
+        assert pieces == ref_syms[token]
+    assert ("".join(got[(1, "low")])) == "low"   # lossless

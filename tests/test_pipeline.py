@@ -243,3 +243,19 @@ def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_compact_files_rewrites_to_target_count(spark, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import compact_files
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files — the streaming-ingest pathology
+    spark.range(0, 64_000, 1, 64).withColumn(
+        "v", F.col("id") % 7).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    n = compact_files(spark, src, out, target_file_bytes=1 << 40,
+                      sort_within_by="v")
+    assert n == 1                      # everything fits one target file
+    got = spark.read.parquet(out)
+    assert got.count() == 64_000
+    assert got.agg(F.sum("id")).collect()[0][0] == 64_000 * 63_999 // 2
