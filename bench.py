@@ -110,6 +110,14 @@ BENCH_QUERIES = [
     "theta_contamination",
     "hll_daily_users",
     "kll_value_quantiles",
+    # round 3 additions (all oracle-backed except bpe_merges)
+    "span_dedup_docs",
+    "decontaminated_docs",
+    "fuzzy_dup_pairs",
+    "doc_pagerank",
+    "moore_lewis_en",
+    "label_diversity",
+    "bpe_merges",
 ]
 
 

@@ -79,7 +79,9 @@ def test_no_cartesian_anywhere_but_search(spark, sf_dir):
     # every non-search oracle query must avoid cartesian products
     for name in ("tpch_q1", "tpch_q3", "tpch_q5", "jaccard_pairs",
                  "embedding_neardup", "sessionize", "rollup_revenue",
-                 "dup_span_stats"):
+                 "dup_span_stats", "span_dedup_docs", "fuzzy_dup_pairs",
+                 "decontaminated_docs", "moore_lewis_en",
+                 "label_diversity", "doc_pagerank"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 

@@ -85,3 +85,30 @@ def test_deterministic_shuffle_1m_rows_dense_addressing(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "SinglePartition" not in plan              # never a global sort
+
+
+def test_pagerank_400k_edges_distributed(spark):
+    """PageRank on a 400k-edge graph (100k stars of 5: hub 5k connected
+    to 4 leaves, plus chains to make contributions asymmetric). The
+    per-iteration work is one edges-ranks join + one transpose agg —
+    linear in |E|, no driver state; at 100x this is the same plan with
+    more partitions."""
+    from dotnetvectorsearch_spark.operators.graph import (
+        pagerank_undirected,
+    )
+    # 100k hubs, each with 4 leaves: edge (hub h, leaf 4h+i)
+    hubs = (spark.range(0, 100_000, 1, 16)
+            .select(F.col("id").alias("h")))
+    pairs = hubs.selectExpr(
+        "explode(sequence(0, 3)) AS i", "h").select(
+        (F.col("h") + 1_000_000).alias("id_a"),
+        (F.col("h") * 4 + F.col("i")).alias("id_b"))
+    ranks = pagerank_undirected(pairs, iters=3)
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pagerank").alias("mass"),
+        F.min("pagerank").alias("lo"),
+        F.max("pagerank").alias("hi")).collect()[0]
+    assert agg.n == 500_000
+    assert abs(agg.mass - 1.0) < 1e-3     # no dangling mass leaks
+    assert agg.hi > agg.lo                # hubs beat leaves
