@@ -1099,6 +1099,24 @@ def _q_doc_pagerank(spark, sf_dir):
     return pagerank_undirected(pairs, "id_a", "id_b", iters=5)
 
 
+def _q_curated_corpus(spark, sf_dir):
+    """Capstone composition — the daily curation pipeline as ONE plan:
+    quality gate (length floor) -> exact dedup (normalized-md5
+    keep-first) -> eval-set decontamination (source-parity test split,
+    overlap >= 0.2). Each stage narrows the data before the next pays
+    for it; Catalyst fuses the gate into the scan and the dedup/
+    decontamination joins see only survivors."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        decontaminate, exact_dedup)
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter((src_num % 2 == 0) & (F.col("n_chars") >= 50))
+    test = docs.filter(src_num % 2 == 1)
+    out = decontaminate(exact_dedup(train, "text", "doc_id"), test,
+                        shingle_n=3, min_overlap=0.2)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_moore_lewis_en(spark, sf_dir):
     """Moore-Lewis contrastive selection: score every doc by
     avg_lp(target='en' bigram LM) - avg_lp(general corpus LM), both
@@ -2153,6 +2171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moore_lewis_en": _q_moore_lewis_en,
     "label_diversity": _q_label_diversity,
     "bpe_merges": _q_bpe_merges,
+    "curated_corpus": _q_curated_corpus,
 }
 
 
@@ -3902,5 +3921,58 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n AS DOUBLE) - 1.0)), 6)
                END AS mean_pairwise_cosine
         FROM ag
+    """
+    # Composed pipeline: quality gate -> keep-first dedup (same
+    # normalized-md5 as fingerprint_dedup) -> decontamination computed on
+    # the SURVIVORS (not all train docs — composition order matters).
+    oracles["curated_corpus"] = """
+        WITH d AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS sn
+            FROM documents
+        ), tr AS (
+            SELECT * FROM d WHERE sn % 2 = 0 AND n_chars >= 50
+        ), te AS (
+            SELECT * FROM d WHERE sn % 2 = 1
+        ), keep AS (
+            SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fp
+                FROM tr)
+            GROUP BY fp
+        ), dd AS (
+            SELECT tr.* FROM tr JOIN keep USING (doc_id)
+        ), ddsh AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM dd
+        ), tesh AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM te
+        ), shd AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM ddsh, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), sht AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM tesh, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), te_sizes AS (
+            SELECT doc_id, count(*) AS n_te FROM sht GROUP BY doc_id
+        ), inter AS (
+            SELECT te.doc_id AS test_id, trn.doc_id AS train_id,
+                   count(*) AS n_inter
+            FROM sht te JOIN shd trn ON te.s = trn.s
+            GROUP BY 1, 2
+        ), flags AS (
+            SELECT DISTINCT train_id
+            FROM inter JOIN te_sizes ON te_sizes.doc_id = test_id
+            WHERE round(n_inter / CAST(n_te AS DOUBLE), 6) >= 0.2
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM dd
+        WHERE doc_id NOT IN (SELECT train_id FROM flags)
     """
     return oracles

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "moore_lewis_en",
     "label_diversity",
     "bpe_merges",
+    "curated_corpus",
 ]
 
 

@@ -259,3 +259,23 @@ def test_compact_files_rewrites_to_target_count(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 64_000
     assert got.agg(F.sum("id")).collect()[0][0] == 64_000 * 63_999 // 2
+
+
+def test_curated_corpus_composition_invariants(spark):
+    """The capstone pipeline must compose: every curated doc is a
+    length-passing train doc, survives exact dedup, and is not
+    contamination-flagged; stages only ever remove rows."""
+    import __spark_entry__ as entry
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    curated = {r.doc_id for r in qs["curated_corpus"](spark, sf_dir)
+               .collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter((src_num % 2 == 0) & (F.col("n_chars") >= 50))
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert curated and curated <= train_ids
+    from dotnetvectorsearch_spark.operators.dedup import exact_dedup
+    deduped = {r.doc_id for r in
+               exact_dedup(train).select("doc_id").collect()}
+    assert curated <= deduped
