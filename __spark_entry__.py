@@ -1099,6 +1099,18 @@ def _q_doc_pagerank(spark, sf_dir):
     return pagerank_undirected(pairs, "id_a", "id_b", iters=5)
 
 
+def _q_dedup_weights(spark, sf_dir):
+    """Soft dedup (SemDeDup-family): weight = 1/|duplicate cluster| so
+    each distinct content unit contributes equal training mass —
+    downweight instead of drop."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        dedup_weights, jaccard_pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                          threshold=0.1)
+    return dedup_weights(docs, pairs, "doc_id")
+
+
 def _q_curated_corpus(spark, sf_dir):
     """Capstone composition — the daily curation pipeline as ONE plan:
     quality gate (length floor) -> exact dedup (normalized-md5
@@ -2172,6 +2184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_diversity": _q_label_diversity,
     "bpe_merges": _q_bpe_merges,
     "curated_corpus": _q_curated_corpus,
+    "dedup_weights": _q_dedup_weights,
 }
 
 
@@ -3974,5 +3987,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars
         FROM dd
         WHERE doc_id NOT IN (SELECT train_id FROM flags)
+    """
+    # dedup_clusters reused verbatim; weight = 1.0 / count, both engines
+    # double/bigint division then round
+    oracles["dedup_weights"] = f"""
+        WITH dc AS ({oracles["dedup_clusters"]}),
+        sz AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM dc GROUP BY cluster_id
+        )
+        SELECT dc.doc_id, dc.cluster_id, sz.cluster_size,
+               round(CAST(1.0 AS DOUBLE) / sz.cluster_size, 6) AS weight
+        FROM dc JOIN sz USING (cluster_id)
     """
     return oracles

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "label_diversity",
     "bpe_merges",
     "curated_corpus",
+    "dedup_weights",
 ]
 
 

@@ -832,6 +832,35 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                     .alias("cluster_id")))
 
 
+def dedup_weights(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id",
+                  src: str = "id_a", dst: str = "id_b",
+                  round_digits: int = 6) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates, weight every document
+    by 1/|its duplicate cluster| so each distinct content unit
+    contributes equal total mass to training (the SemDeDup-family
+    downweighting recipe — repeated boilerplate stops dominating the
+    loss without throwing away the per-copy metadata/context).
+
+    Returns (id, cluster_id, cluster_size, weight): singletons get
+    weight 1.0; a 5-copy cluster's members get 0.2 each, so
+    sum(weight) == number of distinct clusters (pinned in tests).
+
+    Scale: ``dedup_clusters``' component map + one cluster-keyed count
+    + one join back — all small-side joins against the corpus id list.
+    Feed ``weight`` to ``sampling.weighted_hash_sample`` for a hard
+    subset, or export it as a per-example loss weight.
+    """
+    labeled = dedup_clusters(docs, pairs, id_col, src, dst)
+    sizes = (labeled.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (labeled.join(sizes, "cluster_id")
+            .select(F.col(id_col), F.col("cluster_id"),
+                    F.col("cluster_size"),
+                    F.round(F.lit(1.0) / F.col("cluster_size"),
+                            round_digits).alias("weight")))
+
+
 def semantic_contamination(train: DataFrame, test: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

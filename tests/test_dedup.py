@@ -496,3 +496,21 @@ def test_fuzzy_dup_pairs_never_cross_product(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_weights_mass_per_cluster(spark, dup_docs):
+    """Each duplicate cluster must carry total weight 1.0, so
+    sum(weight) == number of distinct content units."""
+    pairs = D.jaccard_pairs(dup_docs, threshold=0.3)
+    out = {r.doc_id: r for r in
+           D.dedup_weights(dup_docs, pairs).collect()}
+    assert len(out) == 5                      # every doc gets a row
+    # docs 1,2,4 cluster together (1 is also near-dup of 4); 3 and 5
+    # are singletons under case-sensitive shingles
+    assert out[1].cluster_id == out[2].cluster_id == out[4].cluster_id
+    assert out[1].cluster_size == 3
+    assert abs(out[1].weight - 1 / 3) < 1e-6
+    assert out[3].cluster_size == 1 and out[3].weight == 1.0
+    total = sum(r.weight for r in out.values())
+    n_clusters = len({r.cluster_id for r in out.values()})
+    assert abs(total - n_clusters) < 1e-5
