@@ -2037,6 +2037,74 @@ def _q_events_sliding(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"))
 
 
+def _q_xml_roundtrip(spark, sf_dir):
+    """XML sink + scan roundtrip (Spark 4 built-in XML datasource —
+    format coverage for the feed/dump shape: arXiv, Wikipedia, PubMed);
+    values must survive the format exactly, malformed rows drop
+    silently like the CSV path."""
+    import tempfile
+
+    from dotnetvectorsearch_spark.sources.io import read_xml, write_xml
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    write_xml(docs, path, row_tag="doc")
+    return read_xml(spark, path, row_tag="doc", schema=docs.schema)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 5) the 5 highest-cosine DIFFERENT-label vectors —
+    broadcast anchors, zero corpus shuffle, Arrow local top-k ahead of
+    the rank window (the skew-proof batch shape)."""
+    from dotnetvectorsearch_spark.operators.search import (
+        hard_negative_mining)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return hard_negative_mining(emb, anchors, k=5, round_digits=6)
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. '21 §A1.1): word
+    count / mean word length / symbol ratio / alphabetic-word fraction
+    / distinct-stopword floor, each a named flag + conjunction `keep`.
+    Narrow single-pass expressions fused into the scan."""
+    from dotnetvectorsearch_spark.functions.text import (
+        gopher_quality_flags)
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text")
+    return docs.select(
+        "doc_id", *(v.alias(k) for k, v in flags.items()))
+
+
+def _q_dsir_weights_en(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. NeurIPS'23): hashed
+    word-bigram features (1024 buckets), target = English docs,
+    background = full corpus; per-doc sum of Laplace-smoothed
+    log(p_target/p_background). The hashed-feature variant of
+    Moore-Lewis whose model size is FIXED — broadcastable at 100 TB."""
+    from dotnetvectorsearch_spark.operators.lm import dsir_logweights
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, n_buckets=1024,
+                           target_pred=F.col("lang") == "en")
+
+
+def _q_bpe_segmented_docs(spark, sf_dir):
+    """End-to-end tokenizer apply: train 8 BPE merges on the corpus
+    word-frequency table, then encode every token occurrence with the
+    Arrow-batched encoder (the 10^4-rule production path; pinned equal
+    to the Catalyst-fold twin in tests/test_lm.py). Iterative trainer
+    upstream -> rows-only."""
+    from dotnetvectorsearch_spark.operators.lm import (
+        bpe_segment_arrow, bpe_train)
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [(r.left, r.right) for r in
+             bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    seg = bpe_segment_arrow(docs, rules)
+    return seg.select("doc_id", "token",
+                      F.array_join("pieces", " ").alias("pieces_str"))
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2185,6 +2253,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": _q_bpe_merges,
     "curated_corpus": _q_curated_corpus,
     "dedup_weights": _q_dedup_weights,
+    "xml_roundtrip": _q_xml_roundtrip,
+    "hard_negatives": _q_hard_negatives,
+    "gopher_quality": _q_gopher_quality,
+    "dsir_weights_en": _q_dsir_weights_en,
+    # rows-only: iterative BPE trainer upstream of the encoder
+    "bpe_segmented_docs": _q_bpe_segmented_docs,
 }
 
 
@@ -3999,5 +4073,110 @@ def oracle_sql() -> dict[str, str]:
         SELECT dc.doc_id, dc.cluster_id, sz.cluster_size,
                round(CAST(1.0 AS DOUBLE) / sz.cluster_size, 6) AS weight
         FROM dc JOIN sz USING (cluster_id)
+    """
+    oracles["xml_roundtrip"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents
+    """
+    oracles["hard_negatives"] = f"""
+        WITH a AS (SELECT vec_id AS anchor_id,
+                          CAST(embedding AS DOUBLE[]) AS avec,
+                          label AS albl
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT a.anchor_id, e.vec_id,
+                     round({cos.format(a='e.embedding', b='a.avec')}, 6)
+                         AS similarity
+              FROM embeddings e JOIN a
+                ON e.label <> a.albl AND e.vec_id <> a.anchor_id),
+        r AS (SELECT anchor_id, vec_id, similarity,
+                     row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY similarity DESC, vec_id ASC) AS rank
+              FROM s)
+        SELECT anchor_id, vec_id, similarity, rank FROM r WHERE rank <= 5
+    """
+    _gopher_stop_sql = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(trim(text)), '\\b{w}\\b') "
+        f"THEN 1 ELSE 0 END)"
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"])
+    oracles["gopher_quality"] = f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS BIGINT) AS wc,
+                   length(trim(text)) AS nc,
+                   len(regexp_extract_all(trim(text), '(#|\\.\\.\\.|…)'))
+                       AS nsym,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+                   CAST({_gopher_stop_sql} AS INTEGER) AS stop_distinct
+            FROM documents
+        ), g AS (
+            SELECT doc_id, wc AS word_count,
+                   round(CASE WHEN wc > 0
+                         THEN CAST(nc - wc + 1 AS DOUBLE) / wc
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN wc > 0
+                         THEN CAST(nsym AS DOUBLE) / wc
+                         ELSE 0.0 END, 6) AS symbol_ratio,
+                   round(CASE WHEN wc > 0
+                         THEN CAST(nalpha AS DOUBLE) / wc
+                         ELSE 0.0 END, 6) AS alpha_word_frac,
+                   stop_distinct
+            FROM f
+        )
+        SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+               alpha_word_frac, stop_distinct,
+               (word_count >= 20 AND word_count <= 100000)
+                   AS flag_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS flag_mean_word_len,
+               (symbol_ratio < 0.1) AS flag_symbol_ratio,
+               (alpha_word_frac > 0.8) AS flag_alpha_words,
+               (stop_distinct >= 2) AS flag_stopwords,
+               ((word_count >= 20 AND word_count <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (symbol_ratio < 0.1)
+                AND (alpha_word_frac > 0.8)
+                AND (stop_distinct >= 2)) AS keep
+        FROM g
+    """
+    # Same md5-first-8-hex bucketing as the mixture sampler oracles;
+    # Laplace-smoothed over 1024 hashed buckets, natural log.
+    oracles["dsir_weights_en"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), occ AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(
+                            t[i] || ' ' || t[i + 1]), 1, 8))
+                        AS UBIGINT) % 1024 AS BIGINT) AS bucket
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ), tocc AS (
+            SELECT o.bucket FROM occ o
+            JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        ), tc AS (SELECT bucket, count(*) AS n FROM tocc GROUP BY 1),
+        tt AS (SELECT count(*) AS tot FROM tocc),
+        bc AS (SELECT bucket, count(*) AS n FROM occ GROUP BY 1),
+        bt AS (SELECT count(*) AS tot FROM occ),
+        scored AS (
+            SELECT o.doc_id,
+                   ln((COALESCE(tc.n, 0) + 1)
+                      / CAST(tt.tot + 1024 AS DOUBLE))
+                   - ln((COALESCE(bc.n, 0) + 1)
+                        / CAST(bt.tot + 1024 AS DOUBLE)) AS lr
+            FROM occ o LEFT JOIN tc USING (bucket)
+            LEFT JOIN bc USING (bucket), tt, bt
+        ), agg AS (
+            SELECT doc_id, round(sum(lr), 6) AS dsir_logweight,
+                   count(*) AS n_features
+            FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.dsir_logweight, 0.0) AS dsir_logweight,
+               CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg USING (doc_id)
     """
     return oracles

@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "bpe_merges",
     "curated_corpus",
     "dedup_weights",
+    "hard_negatives",
+    "gopher_quality",
+    "dsir_weights_en",
+    "bpe_segmented_docs",
 ]
 
 

@@ -116,6 +116,75 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+# Gopher rule-set stopwords (Rae et al. 2021, §A1.1 "MassiveWeb
+# filters"): a doc must contain >= `stop_hits` DISTINCT words of this
+# list. Word-boundary regexes shared verbatim by Java regex and RE2.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(text: Column | str,
+                         min_words: int = 20,
+                         max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_word_frac: float = 0.8,
+                         stop_hits: int = 2) -> dict[str, Column]:
+    """The Gopher rule-based quality filters (Rae et al. 2021, §A1.1),
+    each as a named boolean flag plus the features behind them — the
+    standard first-pass web-corpus gate. Returns name -> Column; `keep`
+    is the conjunction. Thresholds are parameters; the word-count floor
+    defaults to 20 (the paper's 50 assumes full web pages).
+
+    All features are single-pass Catalyst expressions over the text
+    column (regex counts + a higher-order filter) — no shuffle, no UDF;
+    at 100 TB this is a narrow map fused into the scan, and the flags
+    are exactly the columns a curation pipeline partitions its
+    keep/drop decision on.
+    """
+    t = F.trim(_c(text))
+    words = F.split(t, WS_PATTERN)
+    wc = ws_token_count(t)
+    n_chars = F.length(t)
+    mean_wl = F.round(
+        F.when(wc > 0, (n_chars - wc + 1).cast("double") / wc)
+        .otherwise(F.lit(0.0)), 6)
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"(#|\.\.\.|…)"),
+                                            F.lit(0)))
+    symbol_ratio = F.round(
+        F.when(wc > 0, n_symbols.cast("double") / wc)
+        .otherwise(F.lit(0.0)), 6)
+    alpha_frac = F.round(
+        F.when(wc > 0,
+               F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+               .cast("double") / wc)
+        .otherwise(F.lit(0.0)), 6)
+    low = F.lower(t)
+    stop_distinct = sum(
+        (F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+         for w in GOPHER_STOPWORDS),
+        F.lit(0)).cast("int")
+    flags = {
+        "word_count": wc.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stop_distinct": stop_distinct,
+        "flag_word_count": (wc >= min_words) & (wc <= max_words),
+        "flag_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "flag_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "flag_alpha_words": alpha_frac > min_alpha_word_frac,
+        "flag_stopwords": stop_distinct >= stop_hits,
+    }
+    flags["keep"] = (flags["flag_word_count"]
+                     & flags["flag_mean_word_len"]
+                     & flags["flag_symbol_ratio"]
+                     & flags["flag_alpha_words"]
+                     & flags["flag_stopwords"])
+    return flags
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and sane
     word lengths, penalizes punctuation soup and degenerate length."""

@@ -243,8 +243,39 @@ def moore_lewis_scores(candidates: DataFrame, target: DataFrame,
                          round_digits).alias("ml_score")))
 
 
+def _bpe_driver_train(word_counts: list[tuple[str, int]],
+                      n_merges: int) -> list[tuple[int, str, str, str]]:
+    """Pure-Python merge loop over the collected word-frequency table —
+    Sennrich'16 pseudocode verbatim. Identical contract to the
+    distributed loop: max weighted pair count, ties (left, right)
+    ascending, greedy left-to-right rewrite per rule."""
+    wc = dict(word_counts)
+    syms = {w: list(w) for w in wc}
+    rules: list[tuple[int, str, str, str]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        rules.append((rank, best[0], best[1], best[0] + best[1]))
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
-              n_merges: int = 8) -> DataFrame:
+              n_merges: int = 8,
+              driver_fast_path_vocab: int | None = 2_000_000) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al., ACL'16):
     learn the first ``n_merges`` merge rules from the corpus.
 
@@ -264,10 +295,30 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     ``n_merges`` rows. An iterative, driver-coordinated algorithm by
     nature (each merge depends on the last), so no SQL oracle — the
     pure-Python reference in tests/test_lm.py is the correctness twin.
+
+    Bounded driver fast path (the connected-components doctrine,
+    dedup.py:581): the (word, count) table is COUNTED first; at or
+    under ``driver_fast_path_vocab`` distinct words it is collected
+    once and the whole merge loop runs in pure Python — every
+    distributed iteration otherwise pays 2-3 stage-scheduling floors
+    for an argmax over a table that is orders of magnitude smaller
+    than the corpus. Past the bound (web-scale vocab with no
+    normalization), the distributed loop below runs unchanged. Both
+    paths produce identical rules; tests pin them against each other.
     """
     words = (docs.select(F.explode(tokens(text_col)).alias("w"))
              .filter(F.length("w") > 0)
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    spark = docs.sparkSession
+    if driver_fast_path_vocab:
+        from dotnetvectorsearch_spark.caching import transient_persist
+        words = transient_persist(words)
+        if words.count() <= driver_fast_path_vocab:
+            wc = [(r.w, r.cnt) for r in words.collect()]
+            words.unpersist()
+            return spark.createDataFrame(
+                _bpe_driver_train(wc, n_merges),
+                "rank int, left string, right string, merged string")
     syms = words.select(
         "cnt",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -299,7 +350,6 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
                          F.array(F.lit(left + right))))
             .otherwise(F.concat(acc, F.array(x))))
         syms = transient_persist(syms.select("cnt", merged.alias("syms")))
-    spark = docs.sparkSession
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string")
 
@@ -335,3 +385,171 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
         pieces = F.aggregate(pieces, F.array().cast("array<string>"),
                              _merge_fold(left, right))
     return out.select(id_col, "token", pieces.alias("pieces"))
+
+
+def bpe_segment_arrow(docs: DataFrame, merges: list[tuple[str, str]],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Arrow-batched twin of :func:`bpe_segment` — the production path
+    the Catalyst-fold docstring points at: a real tokenizer carries
+    10^4+ merge rules, and 10^4 nested `aggregate` expressions would
+    blow the expression tree, so encoding runs as plain Python over
+    Arrow batches instead (merge ranks in the closure; one dict lookup
+    per adjacent pair per round, the canonical BPE apply loop).
+
+    Identical output contract to `bpe_segment` ((id, token, pieces) per
+    token OCCURRENCE, doc order preserved within a batch); pinned equal
+    in tests/test_lm.py. Narrow map — no shuffle, cost ∝ tokens, scales
+    with executors.
+    """
+    rank = {(lf, rt): i for i, (lf, rt) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        pieces = list(word)
+        while len(pieces) > 1:
+            best, best_i = None, -1
+            for i in range(len(pieces) - 1):
+                r = rank.get((pieces[i], pieces[i + 1]))
+                # strictly-less keeps the FIRST occurrence on rank ties,
+                # matching the greedy left-to-right Catalyst fold
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            # apply the winning rule greedily left-to-right across the
+            # whole word (the expression twin folds once per rule)
+            lf, rt = merges[best]
+            out, i = [], 0
+            while i < len(pieces):
+                if (i + 1 < len(pieces)
+                        and pieces[i] == lf and pieces[i + 1] == rt):
+                    out.append(lf + rt)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            pieces = out
+        return pieces
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, toks, pieces = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for tok in str(text or "").strip().lower().split():
+                    ids.append(did)
+                    toks.append(tok)
+                    pieces.append(encode_word(tok))
+            yield pd.DataFrame(
+                {id_col: ids, "token": toks, "pieces": pieces})
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(run,
+                         f"{id_col} long, token string, "
+                         f"pieces array<string>"))
+
+
+def dsir_logweights(candidates: DataFrame, target: DataFrame | None = None,
+                    background: DataFrame | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 1024,
+                    round_digits: int = 6,
+                    target_pred: Column | None = None) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS'23 "Data
+    Selection for Language Models via Importance Resampling"): score
+    every candidate doc by sum over its hashed word-bigram feature
+    occurrences of log p_target(bucket) - log p_background(bucket),
+    both Laplace-smoothed over the ``n_buckets`` hashed vocabulary.
+    High weight = looks like the target domain; feed the weights to
+    `sampling.weighted_sample` for the paper's resampling step.
+
+    vs `moore_lewis_scores`: same contrastive idea, but features are
+    HASHED n-grams (fixed model size regardless of vocabulary — the
+    property that lets the model broadcast at 100 TB) rather than exact
+    bigram tables.
+
+    Hashing is md5-first-8-hex mod ``n_buckets`` — engine-portable
+    (DuckDB twin in `oracle_sql`), deterministic across partitionings.
+    Shape: one token-scale explode per corpus -> two bucket-count
+    aggregates (exchange bounded by n_buckets, map-side combined) ->
+    the two count tables joined INTO a broadcast (n_buckets rows) ->
+    one narrow join onto candidate occurrences -> per-doc sum. No
+    corpus-scale shuffle except the occurrence explode's per-doc
+    re-aggregate, keyed by id.
+
+    Two calling conventions:
+    - ``target``/``background`` as separate frames — fully general
+      (three corpora, three explodes).
+    - ``target_pred`` (a boolean Column over ``candidates``) — the
+      common "select from the corpus itself" shape: background =
+      candidates, target = candidates WHERE pred, and the token-scale
+      explode runs ONCE (persisted transient) with all three
+      aggregates derived from it. At 100 TB this saves two full
+      corpus passes.
+    """
+    import math
+
+    def occurrences(df: DataFrame, *extra: Column) -> DataFrame:
+        # extra columns must arrive pre-aliased
+        occ = df.select(
+            F.col(id_col), *extra,
+            F.explode(bigram_array(tokens(text_col))).alias("bg"))
+        bucket = (F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10)
+                  .cast("long") % n_buckets).alias("bucket")
+        return occ.select(
+            *[F.col(c) for c in occ.columns if c != "bg"], bucket)
+
+    def logprob_table(counts: DataFrame, out: str):
+        total = counts.agg(F.sum("n")).collect()[0][0] or 0
+        # Laplace: every bucket (incl. empty ones) gets +1; missing
+        # buckets resolve via the left join's coalesce below.
+        lp = counts.select(
+            "bucket",
+            F.log((F.col("n") + 1).cast("double")
+                  / F.lit(float(total + n_buckets))).alias(out))
+        unseen = F.lit(math.log(1.0 / (total + n_buckets)))
+        return lp, unseen
+
+    if target_pred is not None:
+        if target is not None or background is not None:
+            raise ValueError(
+                "pass either target_pred OR explicit target/background "
+                "frames, not both")
+        from dotnetvectorsearch_spark.caching import transient_persist
+        cand = transient_persist(
+            occurrences(candidates, target_pred.alias("_is_target")))
+        t_counts = (cand.filter(F.col("_is_target"))
+                    .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+        b_counts = (cand.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        cand = cand.drop("_is_target")
+    else:
+        if target is None or background is None:
+            raise ValueError(
+                "explicit target and background frames are required "
+                "when target_pred is not given")
+        t_counts = (occurrences(target).groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        b_counts = (occurrences(background).groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        cand = occurrences(candidates)
+    t_lp, miss_t = logprob_table(t_counts, "lp_t")
+    b_lp, miss_b = logprob_table(b_counts, "lp_b")
+    model = F.broadcast(
+        t_lp.join(b_lp, "bucket", "outer")
+        .select("bucket",
+                F.coalesce("lp_t", miss_t).alias("lp_t"),
+                F.coalesce("lp_b", miss_b).alias("lp_b")))
+    scored = (cand.join(model, "bucket", "left")
+              .groupBy(id_col)
+              .agg(F.round(F.sum(F.col("lp_t") - F.col("lp_b")),
+                           round_digits).alias("dsir_logweight"),
+                   F.count(F.lit(1)).alias("n_features")))
+    # docs with < 2 tokens have no bigram features: weight 0 by contract
+    return (candidates.select(id_col).distinct()
+            .join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("dsir_logweight", F.lit(0.0))
+                    .alias("dsir_logweight"),
+                    F.coalesce("n_features", F.lit(0)).cast("long")
+                    .alias("n_features")))

@@ -395,3 +395,59 @@ def ordered_listing(docs: DataFrame, id_col: str = "id",
 def corpus_count(docs: DataFrame) -> DataFrame:
     """Total-count scalar as a 1-row frame (reference TotalDocuments)."""
     return docs.agg(F.count(F.lit(1)).alias("total_documents"))
+
+
+def hard_negative_mining(corpus: DataFrame, anchors: DataFrame,
+                         k: int = DEFAULT_TOP_K, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         round_digits: int | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every anchor row, the ``k`` corpus rows with the HIGHEST cosine
+    similarity whose ``label_col`` DIFFERS from the anchor's — the
+    near-miss negatives that make a contrastive batch informative
+    (random in-batch negatives are trivially far at scale).
+
+    Plan shape = :func:`topk_per_query` with the label-exclusion
+    predicate applied BEFORE the per-batch local top-k: broadcast the
+    (small) anchor set, score with a BroadcastNestedLoopJoin (zero
+    corpus shuffle), drop same-label and self rows, Arrow-batched local
+    top-k per anchor, then one rank window over ~batches*A*k rows.
+    At 100 TB the corpus side stays a single scan; the window input is
+    bounded by task-count * anchors * k, never N*A.
+
+    Returns (anchor_id, {id_col}, similarity, rank), rank 1..k per
+    anchor ordered similarity desc / id asc (stable ties, reference
+    ordering contract VectorSearchService.cs:67-78).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas path
+
+    from pyspark.sql.window import Window
+
+    validate_top_k(k)
+    anc = F.broadcast(anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_avec"),
+        F.col(label_col).alias("_albl")))
+    sim = cosine_similarity(vec_col, "_avec")
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (corpus.select(id_col, vec_col, label_col)
+              .crossJoin(anc)
+              .filter((F.col(label_col) != F.col("_albl"))
+                      & (F.col(id_col) != F.col("anchor_id")))
+              .select("anchor_id", F.col(id_col),
+                      sim.alias("similarity")))
+
+    def local_topk(batches):
+        for pdf in batches:
+            yield (pdf.sort_values(["similarity", id_col],
+                                   ascending=[False, True])
+                   .groupby("anchor_id", sort=False).head(k))
+
+    scored = scored.mapInPandas(
+        local_topk, f"anchor_id long, {id_col} long, similarity double")
+    w = (Window.partitionBy("anchor_id")
+         .orderBy(F.desc("similarity"), F.asc(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -156,6 +156,53 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, mode: str = "overwrite",
+              row_tag: str = "row", root_tag: str = "rows") -> None:
+    """XML sink (Spark 4's built-in XML datasource, formerly spark-xml).
+    Beyond-reference format coverage: feeds/dumps (arXiv, Wikipedia,
+    PubMed) arrive as XML; writing is mostly for round-trip tests and
+    small interchange extracts — columnar formats remain the at-scale
+    sink of record."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: StructType | None = None) -> DataFrame:
+    """XML scan. Pass an explicit ``schema`` in production — inference
+    is an extra full scan, the same rule as the JSONL reader. Malformed
+    records drop silently (DROPMALFORMED), matching the CSV policy
+    (reference Prepare/Program.cs:135-160 skips bad rows). Each row
+    element parses independently, so big dumps split across tasks like
+    any text-splittable source."""
+    r = spark.read.format("xml").option("rowTag", row_tag) \
+        .option("mode", "DROPMALFORMED")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Raw-media ingest via Spark's `binaryFile` source: one row per
+    file with (path, modificationTime, length, content BINARY) — the
+    ingestion edge of the multimodal column pipeline
+    (`multimodal/binary_ops.py`): scan image/audio blobs here, then
+    decode/resize/feature-extract with the Arrow-batched ops.
+
+    Scale notes: the source parallelizes file listing and never splits
+    a file, so shard media into many files upstream; cap per-row blob
+    size with `spark.sql.sources.binaryFile.maxLength` (default 2^31-1)
+    and co-locate small files per task via
+    `spark.sql.files.maxPartitionBytes` packing. Filters on path /
+    length / modificationTime push down to the listing — no blob bytes
+    are read for pruned files."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 SQLITE_DOCUMENTS_DDL = """
     CREATE TABLE documents (
         id INTEGER PRIMARY KEY,

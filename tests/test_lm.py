@@ -198,3 +198,120 @@ def test_bpe_segment_applies_rules_in_order(spark):
     for (_doc, token), pieces in got.items():
         assert pieces == ref_syms[token]
     assert ("".join(got[(1, "low")])) == "low"   # lossless
+
+
+def test_bpe_segment_arrow_matches_expression_twin(spark, sf_dir):
+    """The Arrow-batched encoder must produce EXACTLY the expression
+    fold's output on trained rules — same pieces per token occurrence,
+    fixture corpus and real corpus both."""
+    from dotnetvectorsearch_spark.operators.lm import (
+        bpe_segment, bpe_segment_arrow, bpe_train)
+    fixture = spark.createDataFrame([
+        Row(doc_id=1, text="low low low low low lower lower"),
+        Row(doc_id=2, text="newest newest newest widest widest"),
+        Row(doc_id=3, text="lowest newest low aaaa aaaa"),
+    ])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    for corpus in (fixture, docs):
+        rules = [(r.left, r.right) for r in
+                 bpe_train(corpus, n_merges=8).orderBy("rank").collect()]
+        a = sorted((r.doc_id, r.token, tuple(r.pieces)) for r in
+                   bpe_segment(corpus, rules).collect())
+        b = sorted((r.doc_id, r.token, tuple(r.pieces)) for r in
+                   bpe_segment_arrow(corpus, rules).collect())
+        assert a == b and len(a) > 0
+
+
+def test_dsir_logweights_match_python_reference(spark):
+    import hashlib
+    import math
+
+    from dotnetvectorsearch_spark.operators.lm import dsir_logweights
+    docs = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "el gato se sienta", "es"),
+        (3, "the dog ran to the park", "en"),
+        (4, "le chien court vite", "fr"),
+        (5, "one", "en"),                      # < 2 tokens -> weight 0
+        (6, "the the the cat cat", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'")
+    n_buckets = 64
+
+    def bigrams(t):
+        w = t.strip().lower().split()
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(bg):
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def counts(rows):
+        c = {}
+        for _id, t, _l in rows:
+            for bg in bigrams(t):
+                b = bucket(bg)
+                c[b] = c.get(b, 0) + 1
+        return c, sum(c.values())
+
+    tc, tt = counts([d for d in docs if d[2] == "en"])
+    bc, bt = counts(docs)
+    expect = {}
+    for _id, t, _l in docs:
+        lw, n = 0.0, 0
+        for bg in bigrams(t):
+            b = bucket(bg)
+            lt = math.log((tc.get(b, 0) + 1) / (tt + n_buckets))
+            lb = math.log((bc.get(b, 0) + 1) / (bt + n_buckets))
+            lw += lt - lb
+            n += 1
+        expect[_id] = (round(lw, 6) if n else 0.0, n)
+    got = {r.doc_id: (r.dsir_logweight, r.n_features) for r in
+           dsir_logweights(df, target, df, n_buckets=n_buckets).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1] == expect[k][1], k
+        assert abs(got[k][0] - expect[k][0]) < 1e-6, k
+    # target-looking docs must outrank off-domain ones
+    assert got[1][0] > got[2][0] and got[3][0] > got[4][0]
+    assert got[5] == (0.0, 0)
+
+
+def test_dsir_target_pred_fast_path_matches_explicit_frames(spark):
+    from pyspark.sql import functions as F
+
+    from dotnetvectorsearch_spark.operators.lm import dsir_logweights
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat", "en"),
+        (2, "el gato se sienta", "es"),
+        (3, "the dog ran to the park", "en"),
+        (4, "le chien court vite", "fr"),
+        (5, "one", "en"),
+    ], "doc_id long, text string, lang string")
+    slow = dsir_logweights(df, df.filter("lang = 'en'"), df,
+                           n_buckets=64)
+    fast = dsir_logweights(df, n_buckets=64,
+                           target_pred=F.col("lang") == "en")
+    a = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+    import pytest
+    with pytest.raises(ValueError):
+        dsir_logweights(df, df, df, target_pred=F.col("lang") == "en")
+    with pytest.raises(ValueError):
+        dsir_logweights(df)
+
+
+def test_bpe_train_distributed_path_matches_driver_fast_path(spark):
+    from dotnetvectorsearch_spark.operators.lm import bpe_train
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="low low low low low lower lower"),
+        Row(doc_id=2, text="newest newest newest widest widest"),
+        Row(doc_id=3, text="lowest newest low aaaa aaaa"),
+    ])
+    fast = [(r.rank, r.left, r.right, r.merged) for r in
+            bpe_train(docs, n_merges=6).orderBy("rank").collect()]
+    dist = [(r.rank, r.left, r.right, r.merged) for r in
+            bpe_train(docs, n_merges=6, driver_fast_path_vocab=0)
+            .orderBy("rank").collect()]
+    assert fast == dist and len(fast) == 6

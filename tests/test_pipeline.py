@@ -279,3 +279,69 @@ def test_curated_corpus_composition_invariants(spark):
     deduped = {r.doc_id for r in
                exact_dedup(train).select("doc_id").collect()}
     assert curated <= deduped
+
+
+def test_xml_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import (
+        load_table,
+        read_xml,
+        write_xml,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    path = str(tmp_path / "docs_xml")
+    write_xml(docs, path, row_tag="doc")
+    back = read_xml(spark, path, row_tag="doc", schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_xml_read_drops_malformed_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dotnetvectorsearch_spark.sources.io import read_xml
+    p = tmp_path / "mixed.xml"
+    p.write_text(
+        "<rows>"
+        "<doc><doc_id>1</doc_id><lang>en</lang></doc>"
+        "<doc><doc_id>not_a_number</doc_id><lang>fr</lang></doc>"
+        "<doc><doc_id>3</doc_id><lang>de</lang></doc>"
+        "</rows>")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("lang", StringType())])
+    back = read_xml(spark, str(p), row_tag="doc", schema=schema)
+    got = sorted((r.doc_id, r.lang) for r in back.collect())
+    assert got == [(1, "en"), (3, "de")]
+
+
+def test_binary_file_ingest_glob_and_content(spark, tmp_path):
+    from dotnetvectorsearch_spark.sources.io import read_binary_files
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 10)
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01\x02\x03"
+    assert rows["b.bin"].length == 10
+
+
+def test_binary_file_length_filter_prunes_before_read(spark, tmp_path):
+    """Filters on file metadata must reach the scan (pushed filters), so
+    pruned blobs are never fetched — the property that matters when the
+    directory holds 100 TB of media."""
+    from dotnetvectorsearch_spark.sources.io import read_binary_files
+    (tmp_path / "small.bin").write_bytes(b"x")
+    (tmp_path / "big.bin").write_bytes(b"y" * 1000)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin") \
+        .filter("length > 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan
+    assert [r.length for r in df.collect()] == [1000]

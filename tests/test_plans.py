@@ -222,3 +222,26 @@ def test_top_k_per_group_prefilter_bounds_exchange(spark, sf_dir):
     # narrow Arrow prefilter before the group-keyed window exchange
     assert "MapInPandas" in plan
     assert "Window" in plan
+
+
+def test_hard_negatives_broadcasts_anchors_never_shuffles_corpus(
+        spark, sf_dir):
+    # anchors ride a BroadcastNestedLoopJoin; the corpus-scale scored
+    # stream passes ONE Arrow prefilter, so the only hash exchange left
+    # is the rank window's ~batches*A*k rows keyed by anchor_id
+    plan = _plan(spark, sf_dir, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_dsir_model_is_broadcast_onto_occurrences(spark, sf_dir):
+    # the hashed-feature model is n_buckets rows — it must broadcast
+    # onto candidate occurrences (BroadcastHashJoin), never shuffle the
+    # token-scale stream on bucket
+    plan = _plan(spark, sf_dir, "dsir_weights_en")
+    assert "BroadcastHashJoin" in plan
+    # shared-corpus fast path: the token-scale explode runs ONCE
+    # (persisted transient), all three aggregates derive from it
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Generate explode") <= 1

@@ -162,3 +162,52 @@ def test_mmr_lambda_one_equals_plain_topk(spark, sf_dir):
         emb, qv, k=5, lambda_mult=1.0, id_col="vec_id")
         .orderBy("mmr_rank").collect()]
     assert mmr == plain
+
+
+def test_hard_negative_mining_excludes_same_label_and_self(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.search import (
+        hard_negative_mining,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter("vec_id < 5")
+    out = hard_negative_mining(emb, anchors, k=5, round_digits=6)
+    rows = out.collect()
+    labels = {r.vec_id: r.label for r in
+              emb.select("vec_id", "label").collect()}
+    by_anchor = {}
+    for r in rows:
+        assert r.vec_id != r.anchor_id
+        assert labels[r.vec_id] != labels[r.anchor_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3, 4}
+    for aid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.similarity for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negative_mining_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from dotnetvectorsearch_spark.operators.search import (
+        hard_negative_mining,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    anchors = emb.filter("vec_id < 3")
+    got = {(r.anchor_id, r.rank): r.vec_id
+           for r in hard_negative_mining(emb, anchors, k=4,
+                                         round_digits=6).collect()}
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    lbl = pdf["label"].to_numpy()
+    for a in range(3):
+        ai = int(np.where(ids == a)[0][0])
+        sims = np.round((m @ m[ai]) / (norms * norms[ai]), 6)
+        cand = [(round(-s, 6), int(i)) for s, i, l in zip(sims, ids, lbl)
+                if l != lbl[ai] and i != a]
+        cand.sort()
+        for rank, (_s, i) in enumerate(cand[:4], start=1):
+            assert got[(a, rank)] == i

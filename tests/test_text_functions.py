@@ -130,3 +130,32 @@ def test_repetition_stats_known_values(spark):
     assert rows[1].top_token_share == 0.75
     assert rows[2].distinct_ratio == 1.0
     assert rows[2].top_token_share == 0.25
+
+
+def test_gopher_quality_flags_rules(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    good = ("the quick brown fox jumps over the lazy dog and runs off "
+            "to be with all of that pack that have come along")
+    rows = [
+        Row(id=1, text=good),                          # passes everything
+        Row(id=2, text="short text"),                  # word-count floor
+        Row(id=3, text=("# # # # # # # # # # # # # # # # # # # # "
+                        "the cat to be of and that have with them")),
+        Row(id=4, text=("12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 "
+                        "the to be of and that have with one two")),
+        Row(id=5, text=" ".join(["pneumonoultramicroscopic"] * 25)),
+    ]
+    df = spark.createDataFrame(rows)
+    flags = gopher_quality_flags("text")
+    out = {r.id: r for r in df.select(
+        "id", *(v.alias(k) for k, v in flags.items())).collect()}
+    assert out[1].keep
+    assert not out[2].flag_word_count and not out[2].keep
+    assert not out[3].flag_symbol_ratio and not out[3].keep
+    assert not out[4].flag_alpha_words and not out[4].keep
+    assert not out[5].flag_mean_word_len and not out[5].flag_stopwords
+    assert out[1].stop_distinct >= 2 and out[2].word_count == 2
