@@ -2105,6 +2105,41 @@ def _q_bpe_segmented_docs(spark, sf_dir):
                       F.array_join("pieces", " ").alias("pieces_str"))
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Ordered-funnel conversion view -> click -> purchase: users
+    completing each step strictly after the previous one AND within 24
+    hours of it, with step-over-step and overall conversion rates.
+    One user-keyed exchange feeds the whole window chain."""
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps(events, ["view", "click", "purchase"],
+                        max_step_gap_sec=86400)
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (Wenzek et al. LREC'20):
+    per-language equal-frequency tiers over the corpus bigram-LM score,
+    ties pinned by (score desc, doc_id asc) so buckets are
+    engine-stable."""
+    from dotnetvectorsearch_spark.operators.lm import perplexity_buckets
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, n_buckets=3)
+
+
+def _q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al.'23): keep ONE representative (min id) per
+    semantic near-dup cluster; clusters are the thresholded-kNN
+    connected components of `semantic_clusters`. Output marks every
+    vector kept/dropped — the embedding-space prune step a web-scale
+    curation pipeline runs after n-gram dedup."""
+    from pyspark.sql.window import Window
+    clusters = _q_semantic_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id", "cluster_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2259,6 +2294,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights_en": _q_dsir_weights_en,
     # rows-only: iterative BPE trainer upstream of the encoder
     "bpe_segmented_docs": _q_bpe_segmented_docs,
+    "event_funnel": _q_event_funnel,
+    "ccnet_buckets": _q_ccnet_buckets,
+    "semdedup_keep": _q_semdedup_keep,
 }
 
 
@@ -4178,5 +4216,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    oracles["event_funnel"] = """
+        WITH w1 AS (
+            SELECT user_id, event_type, ts,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), w2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                            AND ts <= t1 + INTERVAL 86400 SECOND
+                          THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM w1
+        ), w3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                            AND ts <= t2 + INTERVAL 86400 SECOND
+                          THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM w2
+        ), u AS (
+            SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL
+                                  THEN user_id END) AS u1,
+                   count(DISTINCT CASE WHEN t2 IS NOT NULL
+                                  THEN user_id END) AS u2,
+                   count(DISTINCT CASE WHEN t3 IS NOT NULL
+                                  THEN user_id END) AS u3
+            FROM w3
+        )
+        SELECT 1 AS step, 'view' AS event_type, u1 AS users,
+               CASE WHEN u1 > 0 THEN 1.0 ELSE 0.0 END AS conv_from_first,
+               1.0 AS conv_from_prev
+        FROM u
+        UNION ALL
+        SELECT 2, 'click', u2,
+               CASE WHEN u1 > 0
+                    THEN round(CAST(u2 AS DOUBLE) / u1, 6) ELSE 0.0 END,
+               CASE WHEN u1 > 0
+                    THEN round(CAST(u2 AS DOUBLE) / u1, 6) ELSE 0.0 END
+        FROM u
+        UNION ALL
+        SELECT 3, 'purchase', u3,
+               CASE WHEN u1 > 0
+                    THEN round(CAST(u3 AS DOUBLE) / u1, 6) ELSE 0.0 END,
+               CASE WHEN u2 > 0
+                    THEN round(CAST(u3 AS DOUBLE) / u2, 6) ELSE 0.0 END
+        FROM u
+    """
+    # ntile ordering pinned (avg_logprob DESC, doc_id ASC) in BOTH
+    # engines -> identical equal-frequency tiers
+    oracles["ccnet_buckets"] = f"""
+        WITH lp AS ({oracles["bigram_logprob"]}),
+        j AS (
+            SELECT lp.doc_id, d.lang, lp.avg_logprob,
+                   ntile(3) OVER (PARTITION BY d.lang
+                       ORDER BY lp.avg_logprob DESC, lp.doc_id ASC)
+                       AS tile
+            FROM lp JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, avg_logprob,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM j
+    """
+    oracles["semdedup_keep"] = f"""
+        WITH sc AS ({oracles["semantic_clusters"]}),
+        m AS (SELECT cluster_id, min(vec_id) AS keeper
+              FROM sc GROUP BY 1)
+        SELECT sc.vec_id, sc.cluster_id,
+               (sc.vec_id = m.keeper) AS kept
+        FROM sc JOIN m USING (cluster_id)
     """
     return oracles

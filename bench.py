@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "gopher_quality",
     "dsir_weights_en",
     "bpe_segmented_docs",
+    "event_funnel",
+    "ccnet_buckets",
+    "semdedup_keep",
 ]
 
 

@@ -553,3 +553,35 @@ def dsir_logweights(candidates: DataFrame, target: DataFrame | None = None,
                     .alias("dsir_logweight"),
                     F.coalesce("n_features", F.lit(0)).cast("long")
                     .alias("n_features")))
+
+
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str = "lang",
+                       n_buckets: int = 3,
+                       labels: tuple[str, ...] = ("head", "middle",
+                                                  "tail")) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    LREC'20): score every doc with the corpus bigram LM
+    (:func:`bigram_logprob`), then split each language into
+    ``n_buckets`` equal-frequency tiers ordered best-scoring first —
+    CCNet's head/middle/tail split that downstream mixing samples from
+    (head kept, middle downsampled, tail mostly dropped).
+
+    Deterministic: the ntile ordering is (avg_logprob DESC, id ASC), so
+    ties can't flip buckets between runs or engines. One extra
+    lang-keyed window exchange on DOC-scale rows (not token-scale) on
+    top of the LM scoring — at 100 TB the window input is one row per
+    doc. Docs with no bigram features are absent (same contract as
+    `bigram_logprob`).
+    """
+    if len(labels) != n_buckets:
+        raise ValueError("need exactly one label per bucket")
+    from pyspark.sql.window import Window
+    lp = bigram_logprob(docs, id_col, text_col)
+    scored = lp.join(docs.select(id_col, lang_col), id_col)
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.desc("avg_logprob"), F.asc(id_col)))
+    tile = F.ntile(n_buckets).over(w)
+    label = F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+    return scored.select(id_col, lang_col, "avg_logprob",
+                         label.alias("ppl_bucket"))

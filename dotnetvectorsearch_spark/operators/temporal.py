@@ -101,3 +101,71 @@ def prior_event_attribution(events: DataFrame, key: str, ts: Column | str,
                           F.col("__ts"))).over(w)
     return (base.withColumn(f"{out_prefix}_ts", src_ts)
             .filter(F.col(event_type_col) == target_type))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts", max_step_gap_sec: int | None = None,
+                 round_digits: int = 6) -> DataFrame:
+    """Ordered-funnel conversion: for each step k, the number of users
+    who completed steps 1..k IN TEMPORAL ORDER (step k's event strictly
+    after the user's step-(k-1) completion time, earliest qualifying
+    event wins), plus conversion rates from the first step and from the
+    previous step. The product-analytics staple (view -> click ->
+    purchase) the reference's event surface has no answer to. With
+    ``max_step_gap_sec`` set, each step must also land within that many
+    seconds of the previous step's completion (the "converted within an
+    hour" variant).
+
+    Plan shape: ONE hash exchange on ``user_col``, then a chain of
+    ``len(steps)`` Window mins over that same partitioning (Catalyst
+    plans them without re-exchanging — pinned in test_plans), a
+    per-user collapse (again same key, no exchange), and a final
+    single-row aggregate unpivoted to one row per step. No self-joins,
+    no N-pass scans: cost is one shuffle of the event stream regardless
+    of funnel depth.
+
+    Timestamps go through ``event_epoch_micros`` so TIMESTAMP,
+    TIMESTAMP_NTZ, and raw long-nanos event tables all funnel
+    identically (see functions/time.py for the dtype trap).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    from dotnetvectorsearch_spark.functions.time import event_epoch_micros
+    w = Window.partitionBy(user_col)
+    df = events.select(F.col(user_col), F.col(type_col),
+                       event_epoch_micros(events, ts_col).alias("__us"))
+    prev = None
+    tcols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() \
+                & (F.col("__us") > F.col(prev))
+            if max_step_gap_sec is not None:
+                cond = cond & (F.col("__us") <= F.col(prev)
+                               + max_step_gap_sec * 1_000_000)
+        tcol = f"__t{i}"
+        df = df.withColumn(tcol, F.min(F.when(cond, F.col("__us"))).over(w))
+        tcols.append(tcol)
+        prev = tcol
+    per_user = df.groupBy(user_col).agg(
+        *[F.first(t).alias(t) for t in tcols])
+    counts = per_user.agg(
+        *[F.count(t).alias(f"__u{i}") for i, t in enumerate(tcols)])
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', __u{i}" for i, s in enumerate(steps))
+    long_form = counts.select(F.expr(
+        f"stack({len(steps)}, {stack_args}) AS (step, event_type, users)"))
+    first_u = F.first("users").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow))
+    prev_u = F.lag("users").over(Window.orderBy("step"))
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, round_digits)) \
+        .otherwise(F.lit(0.0))
+    return (long_form
+            .withColumn("conv_from_first", safe(F.col("users"), first_u))
+            .withColumn("conv_from_prev",
+                        F.when(prev_u.isNull(), F.lit(1.0))
+                        .otherwise(safe(F.col("users"), prev_u))))

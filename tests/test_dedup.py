@@ -514,3 +514,16 @@ def test_dedup_weights_mass_per_cluster(spark, dup_docs):
     total = sum(r.weight for r in out.values())
     n_clusters = len({r.cluster_id for r in out.values()})
     assert abs(total - n_clusters) < 1e-5
+
+
+def test_semdedup_keep_one_representative_per_cluster(spark, sf_dir):
+    import __spark_entry__ as entry
+    out = entry.queries()["semdedup_keep"](spark, sf_dir).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in clusters.items():
+        kept = [r for r in rows if r.kept]
+        assert len(kept) == 1
+        assert kept[0].vec_id == min(r.vec_id for r in rows)
+        assert min(r.vec_id for r in rows) == cid  # min-label contract

@@ -315,3 +315,29 @@ def test_bpe_train_distributed_path_matches_driver_fast_path(spark):
             bpe_train(docs, n_merges=6, driver_fast_path_vocab=0)
             .orderBy("rank").collect()]
     assert fast == dist and len(fast) == 6
+
+
+def test_perplexity_buckets_partition_by_lang_and_order(spark):
+    from dotnetvectorsearch_spark.operators.lm import (
+        bigram_logprob, perplexity_buckets)
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 3 + "the cat", "en" if i < 6 else "es")
+         for i in range(9)], "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs, n_buckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    lp = {r.doc_id: r.avg_logprob
+          for r in bigram_logprob(docs).collect()}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (-r.avg_logprob, r.doc_id))
+        n = len(rows)
+        for i, r in enumerate(rows):
+            expect = ("head", "middle", "tail")[min(i * 3 // n, 2)] \
+                if n % 3 == 0 else None
+            if expect:                     # exact thirds only
+                assert r.ppl_bucket == expect, (lang, r)
+            assert abs(lp[r.doc_id] - r.avg_logprob) < 1e-9
+    import pytest
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, n_buckets=2)

@@ -245,3 +245,11 @@ def test_dsir_model_is_broadcast_onto_occurrences(spark, sf_dir):
     # (persisted transient), all three aggregates derive from it
     assert "InMemoryTableScan" in plan
     assert plan.count("Generate explode") <= 1
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    # the whole window chain + per-user collapse rides ONE
+    # hashpartitioning(user_id) exchange; the final unpivot/agg side is
+    # a single-row singlepartition
+    plan = _plan(spark, sf_dir, "event_funnel")
+    assert plan.count("Arguments: hashpartitioning") == 1

@@ -69,3 +69,49 @@ def test_rolling_window_features_trailing_range(spark):
     assert out[2] == (2, 3.0)
     assert out[3] == (2, 6.0)          # t=0 aged out, t=100 inside
     assert out[4] == (2, 30.0) and out[5] == (2, 30.0)  # tie peers
+
+
+def test_funnel_steps_strict_order_and_gap(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    E = lambda u, t, s: Row(user_id=u, ts=t * 1_000_000_000,  # noqa: E731
+                            event_type=s)
+    rows = [
+        # u1 converts fully in order
+        E(1, 100, "view"), E(1, 200, "click"), E(1, 300, "purchase"),
+        # u2: click BEFORE view -> stops at view
+        E(2, 100, "click"), E(2, 200, "view"), E(2, 50, "purchase"),
+        # u3: view+click, purchase before click -> stops at click
+        E(3, 10, "view"), E(3, 20, "click"), E(3, 15, "purchase"),
+        # u4: never views
+        E(4, 5, "click"), E(4, 6, "purchase"),
+        # u5: full order but purchase outside the 100s gap
+        E(5, 0, "view"), E(5, 50, "click"), E(5, 500, "purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.event_type: r for r in
+           funnel_steps(df, ["view", "click", "purchase"],
+                        max_step_gap_sec=100).collect()}
+    assert out["view"].users == 4          # u1 u2 u3 u5
+    assert out["click"].users == 3         # u1 u3 u5
+    assert out["purchase"].users == 1      # u1 only
+    assert out["view"].conv_from_prev == 1.0
+    assert out["click"].conv_from_first == 0.75
+    assert abs(out["purchase"].conv_from_prev - 0.333333) < 1e-6
+    import pytest
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view"])
+
+
+def test_funnel_steps_no_gap_only_requires_order(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    df = spark.createDataFrame([
+        Row(user_id=1, ts=1_000_000_000, event_type="view"),
+        Row(user_id=1, ts=999_999_000_000_000_000, event_type="click"),
+    ])
+    out = {r.event_type: r.users
+           for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
