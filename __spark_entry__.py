@@ -2140,6 +2140,26 @@ def _q_semdedup_keep(spark, sf_dir):
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
 
 
+def _q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: the (order-year, status)
+    revenue rollup maintained as mergeable partials — history batch and
+    today's batch aggregated separately, merged at aggregate cost, and
+    (per the oracle) equal to the from-scratch aggregate. The daily
+    rollup shape that never rescans 100 TB of history."""
+    from dotnetvectorsearch_spark.operators.rollup import (
+        merge_rollups, rollup_batch, rollup_read)
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.withColumn("order_year", F.year("o_orderdate"))
+    history = orders.filter(F.col("o_orderkey") % 10 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 10 == 0)
+    merged = merge_rollups(
+        rollup_batch(history, ["order_year", "o_orderstatus"],
+                     "o_totalprice"),
+        rollup_batch(batch, ["order_year", "o_orderstatus"],
+                     "o_totalprice"))
+    return rollup_read(merged)
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2297,6 +2317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": _q_event_funnel,
     "ccnet_buckets": _q_ccnet_buckets,
     "semdedup_keep": _q_semdedup_keep,
+    "incremental_rollup": _q_incremental_rollup,
 }
 
 
@@ -4216,6 +4237,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    # the oracle aggregates FROM SCRATCH — equality proves the
+    # mergeable-partials maintenance path
+    oracles["incremental_rollup"] = """
+        SELECT year(o_orderdate) AS order_year, o_orderstatus,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(27, 6)))
+                          AS DOUBLE), 6) AS sum_value,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(27, 6)))
+                          / count(*) AS DOUBLE), 6) AS avg_value,
+               min(o_totalprice) AS min_value,
+               max(o_totalprice) AS max_value
+        FROM orders
+        GROUP BY 1, 2
     """
     oracles["event_funnel"] = """
         WITH w1 AS (

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "ccnet_buckets",
     "semdedup_keep",
+    "incremental_rollup",
 ]
 
 

@@ -57,3 +57,30 @@ def test_interval_join_domain_clamp_open_ended(spark):
     out = interval_join(points, intervals, "v", "lo", "hi",
                         bucket_width=10.0, domain=(0.0, 100.0))
     assert {r.pid for r in out.collect()} == {0, 1}
+
+
+def test_rollup_merge_equals_from_scratch_any_split_order(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.rollup import (
+        merge_rollups, rollup_batch, rollup_read)
+    from dotnetvectorsearch_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate"))
+    keys = ["yr", "o_orderstatus"]
+    full = rollup_read(rollup_batch(orders, keys, "o_totalprice"))
+    parts = [orders.filter(F.col("o_orderkey") % 3 == i)
+             for i in range(3)]
+    rollups = [rollup_batch(p, keys, "o_totalprice") for p in parts]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        merged = rollup_read(merge_rollups(*[rollups[i] for i in order]))
+        a = sorted(map(tuple, full.collect()))
+        b = sorted(map(tuple, merged.collect()))
+        assert a == b
+    # pairwise associativity: (a+b)+c
+    ab = merge_rollups(rollups[0], rollups[1])
+    abc = rollup_read(merge_rollups(ab, rollups[2]))
+    assert sorted(map(tuple, abc.collect())) \
+        == sorted(map(tuple, full.collect()))
+    import pytest
+    with pytest.raises(ValueError):
+        merge_rollups()
