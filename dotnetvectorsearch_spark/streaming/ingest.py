@@ -320,3 +320,49 @@ def stream_upsert_partitioned(stream: DataFrame, path: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+def stream_rollup_maintenance(stream: DataFrame, path: str,
+                              keys: list[str], value_col: str,
+                              checkpoint: str):
+    """Streaming incremental aggregate maintenance: each micro-batch is
+    aggregated into mergeable partial form (`operators.rollup`) and
+    merged into the parquet rollup table at ``path`` — per-batch cost is
+    |batch| + |rollup|, and history is NEVER rescanned. The streaming
+    twin of the batch `incremental_rollup` query.
+
+    The merged table is staged next to ``path`` and swapped in with a
+    directory rename, so a concurrent reader sees either the old or the
+    new rollup, never a partial write. A rename is atomic on a local /
+    HDFS filesystem; on an object store back this sink with a table
+    format's commit (the same caveat as every overwrite-sink here).
+
+    Note replayed batches after a failure re-MERGE (the merge is not
+    idempotent per batch, unlike the partition upsert above): pair with
+    a batch-id high-water mark in the rollup directory for exactly-once,
+    or accept at-least-once for monitoring-grade rollups.
+    """
+    import os
+    import shutil
+
+    from dotnetvectorsearch_spark.operators.rollup import (
+        merge_rollups, rollup_batch)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        agg = rollup_batch(batch_df, keys, value_col)
+        if os.path.isdir(path):
+            agg = merge_rollups(
+                spark.read.parquet(path)
+                .select(*keys, "n", "sum_v", "min_v", "max_v"), agg)
+        stage = f"{path}__stage"
+        agg.write.mode("overwrite").parquet(stage)
+        old = f"{path}__old-{batch_id}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(stage, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .start())

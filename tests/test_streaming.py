@@ -475,3 +475,32 @@ def test_stream_clean_matches_batch_composition(spark, sf_dir, tmp_path):
     assert got_fps == want_fps          # same surviving content set
     assert len(got_fps) == out.count()  # exactly one survivor per fp
     assert bad == 0                     # filters ran ahead of dedup
+
+
+def test_stream_rollup_maintenance_matches_from_scratch(spark, tmp_path):
+    from dotnetvectorsearch_spark.operators.rollup import (
+        rollup_batch, rollup_read)
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_rollup_maintenance)
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(1, "A", 10.5), (2, "B", 1.0), (3, "A", 2.25)]
+    b2 = [(4, "B", 7.0), (5, "A", 0.125), (6, "C", 3.0)]
+    schema = "id long, k string, v double"
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = stream_rollup_maintenance(stream, out, ["k"], "v", ckpt)
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 2)  # A, B
+        spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, out) == 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    full = rollup_read(rollup_batch(
+        spark.createDataFrame(b1 + b2, schema), ["k"], "v"))
+    got = sorted(map(tuple, rollup_read(
+        spark.read.parquet(out)).collect()))
+    assert got == sorted(map(tuple, full.collect()))
