@@ -2160,6 +2160,37 @@ def _q_incremental_rollup(spark, sf_dir):
     return rollup_read(merged)
 
 
+def _q_training_shards(spark, sf_dir):
+    """Capstone #2 — make-training-data end to end in ONE plan: curated
+    corpus (length gate -> exact dedup -> decontamination) -> per-lang
+    2048-token sequence packing -> deterministic pack-level epoch
+    shuffle into 8 shards. One row per surviving doc with its
+    (pack_id, shard, pos) address; packs travel WHOLE (every doc of a
+    pack shares its shard/pos) so packed sequences stay contiguous in
+    the exported shard files."""
+    from dotnetvectorsearch_spark.operators.packing import pack_sequential
+    from dotnetvectorsearch_spark.operators.sampling import (
+        deterministic_shuffle)
+    curated = _q_curated_corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    base = (curated.select("doc_id", "lang")
+            .join(docs.select(
+                "doc_id",
+                T.ws_token_count("text").cast("long").alias("n_tok")),
+                "doc_id"))
+    packed = pack_sequential(base, "n_tok", budget=2048,
+                             shard_col="lang", order_col="doc_id")
+    packs = (packed.select("lang", "pack_id").distinct()
+             .withColumn("pack_key",
+                         F.concat_ws(":", "lang", "pack_id")))
+    addr = deterministic_shuffle(packs, "pack_key", shards=8,
+                                 seed="epoch0")
+    return (packed.join(addr.select("lang", "pack_id", "shard", "pos"),
+                        ["lang", "pack_id"])
+            .select("doc_id", "lang", "n_tok", "pack_id", "shard",
+                    "pos"))
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2318,6 +2349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": _q_ccnet_buckets,
     "semdedup_keep": _q_semdedup_keep,
     "incremental_rollup": _q_incremental_rollup,
+    "training_shards": _q_training_shards,
 }
 
 
@@ -4237,6 +4269,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    # capstone #2: curated -> packed -> shuffled, composed from the same
+    # oracle fragments its stages verify against individually
+    oracles["training_shards"] = f"""
+        WITH cur AS ({oracles["curated_corpus"]}),
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), base AS (
+            SELECT cur.doc_id, cur.lang,
+                   CAST(tok.n_tok AS BIGINT) AS n_tok
+            FROM cur JOIN tok USING (doc_id)
+        ), packed AS (
+            SELECT doc_id, lang, n_tok,
+                   CAST(floor(coalesce(SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 2048) AS BIGINT) AS pack_id
+            FROM base
+        ), packs AS (
+            SELECT DISTINCT lang, pack_id FROM packed
+        ), h AS (
+            SELECT lang, pack_id,
+                   lang || ':' || CAST(pack_id AS VARCHAR) AS pack_key,
+                   md5('epoch0:' || lang || ':'
+                       || CAST(pack_id AS VARCHAR)) AS h
+            FROM packs
+        ), s AS (
+            SELECT lang, pack_id, pack_key, h,
+                   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+            FROM h
+        ), addr AS (
+            SELECT lang, pack_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY h, pack_key) - 1 AS BIGINT) AS pos
+            FROM s
+        )
+        SELECT p.doc_id, p.lang, p.n_tok, p.pack_id, a.shard, a.pos
+        FROM packed p JOIN addr a USING (lang, pack_id)
     """
     # the oracle aggregates FROM SCRATCH — equality proves the
     # mergeable-partials maintenance path

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "semdedup_keep",
     "incremental_rollup",
+    "training_shards",
 ]
 
 

