@@ -173,3 +173,46 @@ def media_stats(media: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_assets"),
                  F.sum(F.length("payload")).alias("total_bytes"),
                  F.max(F.length("payload")).alias("max_bytes")))
+
+
+_EXT_MIME = {
+    "png": ("image", "image/png"), "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"), "gif": ("image", "image/gif"),
+    "wav": ("audio", "audio/wav"), "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"), "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"), "webm": ("video", "video/webm"),
+}
+
+
+def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Real-media ingestion edge: scan a directory of media blobs with
+    the `binaryFile` source (`sources.io.read_binary_files`) and map
+    each file into the MEDIA_SCHEMA contract — asset_id from a stable
+    64-bit path hash, modality/mime from the file extension (unknown
+    extensions land as modality 'binary' / 'application/octet-stream'
+    rather than being dropped: triage them downstream).
+
+    Everything is Catalyst expressions over the scan; file metadata
+    (path, size, mtime) is preserved in ``meta``. Pruning pushes to the
+    file LISTING — a `length`/`path` filter composed upstream of this
+    frame never fetches the pruned blob bytes (pinned in
+    test_pipeline's binaryFile tests). Never splits a file: shard media
+    into many files upstream, the same rule as `read_binary_files`.
+    """
+    from dotnetvectorsearch_spark.sources.io import read_binary_files
+    files = read_binary_files(spark, path, glob)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality, mime = F.lit("binary"), F.lit("application/octet-stream")
+    for e, (mod, mt) in sorted(_EXT_MIME.items()):
+        modality = F.when(ext == e, mod).otherwise(modality)
+        mime = F.when(ext == e, mt).otherwise(mime)
+    return files.select(
+        F.xxhash64("path").alias("asset_id"),
+        modality.alias("modality"),
+        mime.alias("mime_type"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("bytes"), F.col("length").cast("string"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"))

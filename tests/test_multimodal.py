@@ -90,3 +90,28 @@ def test_resize_media_raise_stub(spark, media):
     from dotnetvectorsearch_spark.multimodal.binary_ops import resize_media
     with pytest.raises(Exception, match="integration point"):
         resize_media(media, decode_stub="raise").collect()
+
+
+def test_media_from_files_maps_binary_scan_into_media_schema(
+        spark, tmp_path):
+    from dotnetvectorsearch_spark.multimodal.binary_ops import (
+        media_from_files, media_stats)
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake")
+    (tmp_path / "b.wav").write_bytes(b"RIFF fake audio")
+    (tmp_path / "c.unknownext").write_bytes(b"??")
+    media = media_from_files(spark, str(tmp_path))
+    rows = {bytes(r.payload): r for r in media.collect()}
+    assert len(rows) == 3
+    png = rows[b"\x89PNG fake"]
+    assert (png.modality, png.mime_type) == ("image", "image/png")
+    assert png.meta["path"].endswith("a.png")
+    assert png.meta["bytes"] == "9"
+    wav = rows[b"RIFF fake audio"]
+    assert (wav.modality, wav.mime_type) == ("audio", "audio/wav")
+    other = rows[b"??"]
+    assert (other.modality, other.mime_type) == (
+        "binary", "application/octet-stream")
+    assert len({r.asset_id for r in rows.values()}) == 3   # stable ids
+    stats = {(r.modality, r.mime_type): r.n_assets
+             for r in media_stats(media).collect()}
+    assert stats[("image", "image/png")] == 1
