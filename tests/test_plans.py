@@ -81,7 +81,9 @@ def test_no_cartesian_anywhere_but_search(spark, sf_dir):
                  "embedding_neardup", "sessionize", "rollup_revenue",
                  "dup_span_stats", "span_dedup_docs", "fuzzy_dup_pairs",
                  "decontaminated_docs", "moore_lewis_en",
-                 "label_diversity", "doc_pagerank"):
+                 "label_diversity", "doc_pagerank", "dsir_weights_en",
+                 "gopher_quality", "event_funnel", "ccnet_buckets",
+                 "incremental_rollup", "training_shards"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 

@@ -97,3 +97,43 @@ def test_chunks_cover_every_token(spark, sf_dir):
     covered = (chunks.agg(F.sum(F.least(F.col("n_tokens"), F.lit(48))))
                .first()[0])
     assert covered == total
+
+
+def test_funnel_users_monotone_and_gap_monotone(spark, sf_dir):
+    """Funnel invariants on the real event stream: step-k users are
+    non-increasing in k, and widening the per-step gap can only grow
+    every step's count (gap=None is the upper bound)."""
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    events = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+
+    def users(gap):
+        rows = funnel_steps(events, steps, max_step_gap_sec=gap).collect()
+        return [r.users for r in sorted(rows, key=lambda r: r.step)]
+
+    tight, wide, unbounded = users(3600), users(86400), users(None)
+    for seq in (tight, wide, unbounded):
+        assert seq == sorted(seq, reverse=True)         # funnel narrows
+    for a, b in zip(tight, wide):
+        assert a <= b
+    for a, b in zip(wide, unbounded):
+        assert a <= b
+
+
+def test_rollup_merge_is_idempotent_free_and_count_exact(spark, sf_dir):
+    """Merging a rollup with an EMPTY batch is the identity; total n
+    always equals the source row count regardless of split."""
+    from pyspark.sql import functions as F
+
+    from dotnetvectorsearch_spark.operators.rollup import (
+        merge_rollups, rollup_batch, rollup_read)
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus"]
+    r = rollup_batch(orders, keys, "o_totalprice")
+    empty = rollup_batch(orders.filter(F.lit(False)), keys,
+                         "o_totalprice")
+    merged = rollup_read(merge_rollups(r, empty))
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, rollup_read(r).collect()))
+    assert (sum(x.n for x in merged.collect())
+            == orders.count())
