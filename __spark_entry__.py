@@ -2191,6 +2191,16 @@ def _q_training_shards(spark, sf_dir):
                     "pos"))
 
 
+def _q_key_skew_report(spark, sf_dir):
+    """Pre-join skew diagnosis on the order stream's customer key: the
+    10 heaviest keys with their corpus share and the global max/mean
+    ratio — the measurement that picks between salting, AQE skew-split,
+    and out-of-band handling before a 100 TB join."""
+    from dotnetvectorsearch_spark.operators.skew import key_skew_stats
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_stats(orders, "o_custkey", top_n=10)
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2350,6 +2360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_keep": _q_semdedup_keep,
     "incremental_rollup": _q_incremental_rollup,
     "training_shards": _q_training_shards,
+    "key_skew_report": _q_key_skew_report,
 }
 
 
@@ -4269,6 +4280,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    oracles["key_skew_report"] = """
+        WITH c AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n
+            FROM orders GROUP BY 1
+        ), t AS (
+            SELECT sum(n) AS total, max(n) AS mx,
+                   count(*) AS keys FROM c
+        )
+        SELECT c.key, c.n,
+               round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+               round(CAST(t.mx AS DOUBLE)
+                     / (CAST(t.total AS DOUBLE) / t.keys), 6)
+                   AS max_over_mean
+        FROM c, t
+        ORDER BY c.n DESC, c.key ASC
+        LIMIT 10
     """
     # capstone #2: curated -> packed -> shuffled, composed from the same
     # oracle fragments its stages verify against individually

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "semdedup_keep",
     "incremental_rollup",
     "training_shards",
+    "key_skew_report",
 ]
 
 

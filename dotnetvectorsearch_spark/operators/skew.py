@@ -35,3 +35,36 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     out = salted.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_stats(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Pre-join skew diagnosis: per-key row counts summarized as the
+    corpus-wide max/mean ratio plus each of the ``top_n`` heaviest keys'
+    share — the measurement that decides BETWEEN the mitigation tools
+    here (a handful of dominant keys -> `salted_join`; broad moderate
+    skew -> leave it to AQE's skew-join split; one key owning the table
+    -> filter/handle it out of band).
+
+    One map-side-combined count aggregate (exchange carries per-task
+    partial counts, never rows), one tiny top-N merge, the global
+    moments folded in via a broadcast 1-row frame — safe to run on the
+    100 TB fact table before committing to a join strategy. Returns
+    ``top_n`` rows: (key string, n, share, max_over_mean) ordered by n
+    desc then key asc; ``share``/``max_over_mean`` repeat the global
+    figures so the frame is self-contained.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    totals = F.broadcast(counts.agg(
+        F.sum("n").alias("__total"),
+        F.max("n").alias("__max"),
+        F.count(F.lit(1)).alias("__keys")))
+    return (counts.crossJoin(totals)
+            .select(
+                "key", "n",
+                F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+                F.round(F.col("__max")
+                        / (F.col("__total") / F.col("__keys")), 6)
+                .alias("max_over_mean"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(top_n))

@@ -49,3 +49,16 @@ def test_rejects_unsupported_how(spark, skewed_frames):
     big, dim = skewed_frames
     with pytest.raises(ValueError):
         salted_join(big, dim, "k", how="full")
+
+
+def test_key_skew_stats_shares_and_ratio_exact(spark):
+    from dotnetvectorsearch_spark.operators.skew import key_skew_stats
+    rows = [(k,) for k in
+            ["hot"] * 6 + ["warm"] * 3 + ["a"] * 1 + ["b"] * 2]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_stats(df, "k", top_n=3).collect()
+    assert [(r.key, r.n) for r in out] == [("hot", 6), ("warm", 3),
+                                           ("b", 2)]
+    assert out[0].share == 0.5                       # 6/12
+    assert out[0].max_over_mean == 2.0               # 6 / (12/4)
+    assert all(r.max_over_mean == 2.0 for r in out)  # global figure
