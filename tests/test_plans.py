@@ -255,3 +255,12 @@ def test_funnel_single_user_exchange(spark, sf_dir):
     # a single-row singlepartition
     plan = _plan(spark, sf_dir, "event_funnel")
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_training_shards_no_global_sort(spark, sf_dir):
+    # the capstone's shuffle addressing must stay shard-partitioned:
+    # a SinglePartition or range-partitioned sort would serialize the
+    # whole export on one task
+    plan = _plan(spark, sf_dir, "training_shards")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
