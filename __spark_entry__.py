@@ -2191,6 +2191,20 @@ def _q_training_shards(spark, sf_dir):
                     "pos"))
 
 
+def _q_heavy_hitter_terms(spark, sf_dir):
+    """Misra-Gries heavy-hitter terms (64 counters, top 20): constant
+    k-rows-per-task exchange instead of a vocabulary-scale shuffle. On
+    this corpus the vocabulary fits the counters, so the summary is in
+    its exact regime (slack 0) and the DuckDB oracle pins exact counts;
+    the approximate regime's certified bounds are pytest-pinned."""
+    from dotnetvectorsearch_spark.operators.lm import tokens
+    from dotnetvectorsearch_spark.operators.sketches import (
+        heavy_hitters_mg)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("w"))         .filter(F.length("w") > 0)
+    return heavy_hitters_mg(toks, "w", k=64, top_n=20)
+
+
 def _q_key_skew_report(spark, sf_dir):
     """Pre-join skew diagnosis on the order stream's customer key: the
     10 heaviest keys with their corpus share and the global max/mean
@@ -2361,6 +2375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup": _q_incremental_rollup,
     "training_shards": _q_training_shards,
     "key_skew_report": _q_key_skew_report,
+    "heavy_hitter_terms": _q_heavy_hitter_terms,
 }
 
 
@@ -4280,6 +4295,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    # exact-regime MG (vocab < counters): counts exact, slack 0
+    oracles["heavy_hitter_terms"] = """
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                AS w
+            FROM documents
+        )
+        SELECT w AS key, count(*) AS est_count,
+               CAST(0 AS BIGINT) AS max_undercount
+        FROM tok WHERE length(w) > 0
+        GROUP BY 1
+        ORDER BY est_count DESC, key ASC
+        LIMIT 20
     """
     oracles["key_skew_report"] = """
         WITH c AS (

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "training_shards",
     "key_skew_report",
+    "heavy_hitter_terms",
 ]
 
 

@@ -106,3 +106,71 @@ def hll_daily_distinct(events: DataFrame, ts_col: str = "ts",
         .alias("est_distinct")).select(
         F.lit(None).cast("long").alias("day"), "est_distinct")
     return per_day.unionByName(total)
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
+                     top_n: int = 20) -> DataFrame:
+    """Approximate heavy hitters via mergeable Misra-Gries summaries
+    (Misra & Gries '82; the deterministic frequent-items sketch the
+    DataSketches FI sketch builds on — Spark 4 ships theta/HLL/KLL but
+    no FI aggregate, so this fills the family's gap).
+
+    Each partition folds its stream through a k-counter MG summary in
+    one Arrow pass (count decrements spread over all keys, so any key's
+    undercount is <= n_part/(k+1)); the exchange then carries AT MOST k
+    rows per partition — never the stream — and the global estimate is
+    the per-key sum of partial counts. Every reported count is an
+    UNDERESTIMATE with a certified bound: true count is within
+    [est, est + max_undercount], where max_undercount sums the
+    per-partition DECREMENT-ROUND counts (each round can take at most 1
+    from any key; at most n_part/(k+1) rounds can occur); any key whose
+    true count exceeds max_undercount is guaranteed present. When a
+    partition's distinct keys fit the k counters, its slack is exactly
+    0 — the summary degrades gracefully into an exact count. Returns ``top_n`` rows
+    (key, est_count, max_undercount) ordered est desc, key asc.
+
+    The exact twin (`top_terms`-style full groupBy) shuffles the whole
+    key stream; this shuffles k rows per task — the difference between
+    a vocabulary-scale exchange and a constant one at 100 TB.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        decrements = 0
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                v = str(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: the classic MG step, amortized O(1)
+                    # via dict rebuild of survivors
+                    counters = {key: c - 1 for key, c in counters.items()
+                                if c > 1}
+                    decrements += 1
+        # any key's undercount equals the decrement rounds that touched
+        # it — bounded by the rounds executed (tight; the worst-case
+        # n/(k+1) is only the ceiling of this counter). Exact regime
+        # (distinct keys <= k) certifies slack 0.
+        slack = decrements
+        yield pd.DataFrame({
+            "key": list(counters) + ["\x00__slack__"],
+            "est": list(counters.values()) + [0],
+            "slack": [0] * len(counters) + [slack]})
+
+    parts = (df.select(F.col(col).alias(col))
+             .mapInPandas(mg_partition, "key string, est long, slack long"))
+    from dotnetvectorsearch_spark.caching import transient_persist
+    parts = transient_persist(parts)
+    total_slack = F.broadcast(
+        parts.agg(F.sum("slack").alias("max_undercount")))
+    return (parts.filter(F.col("key") != "\x00__slack__")
+            .groupBy("key").agg(F.sum("est").alias("est_count"))
+            .crossJoin(total_slack)
+            .orderBy(F.desc("est_count"), F.asc("key"))
+            .limit(top_n))

@@ -107,3 +107,51 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
             F.max("value") - F.min("value")).collect()[0][0]
         assert abs(est[et].p50 - ex.p50) <= 0.05 * spread
         assert abs(est[et].p95 - ex.p95) <= 0.05 * spread
+
+
+def test_heavy_hitters_mg_bounds_and_guarantee(spark):
+    """MG certification on a skewed stream: every reported estimate is
+    an underestimate within the certified slack, and every key whose
+    true count exceeds the global slack is present."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dotnetvectorsearch_spark.operators.sketches import (
+        heavy_hitters_mg)
+    rng = random.Random(7)
+    rows = (["alpha"] * 600 + ["beta"] * 300 + ["gamma"] * 150
+            + [f"tail{i}" for i in range(500)]
+            + [f"mid{i % 25}" for i in range(250)])
+    rng.shuffle(rows)
+    df = spark.createDataFrame([(v,) for v in rows], "w string") \
+        .repartition(8)
+    k = 32
+    out = heavy_hitters_mg(df, "w", k=k, top_n=10).collect()
+    true = {}
+    for v in rows:
+        true[v] = true.get(v, 0) + 1
+    slack = out[0].max_undercount
+    assert all(r.max_undercount == slack for r in out)
+    reported = {r.key: r.est_count for r in out}
+    for key, est in reported.items():
+        assert est <= true[key] <= est + slack, key
+    # guarantee: keys with true count > slack must be reported (they
+    # cannot be fully decremented away across all partitions)
+    full = heavy_hitters_mg(df, "w", k=k, top_n=10_000).collect()
+    present = {r.key for r in full}
+    for key, cnt in true.items():
+        if cnt > slack:
+            assert key in present, (key, cnt, slack)
+    # the big three dominate the top of the ranking
+    assert [r.key for r in out[:3]] == ["alpha", "beta", "gamma"]
+
+
+def test_heavy_hitters_mg_exact_when_keys_fit_counters(spark):
+    from dotnetvectorsearch_spark.operators.sketches import (
+        heavy_hitters_mg)
+    df = spark.createDataFrame(
+        [(v,) for v in ["x"] * 5 + ["y"] * 3 + ["z"] * 2], "w string")
+    out = {r.key: (r.est_count, r.max_undercount)
+           for r in heavy_hitters_mg(df, "w", k=16, top_n=10).collect()}
+    assert out == {"x": (5, 0), "y": (3, 0), "z": (2, 0)}
