@@ -2191,6 +2191,20 @@ def _q_training_shards(spark, sf_dir):
                     "pos"))
 
 
+def _q_incremental_dedup_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: IDENTICAL result to
+    incremental_dedup (same oracle), but definitely-new rows (bloom
+    miss) skip the anti-join — the shuffle carries the dup sliver +
+    ~1% false positives instead of the whole batch."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        exact_dedup_incremental_bloom)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return (exact_dedup_incremental_bloom(batch, corpus)
+            .select("doc_id").orderBy("doc_id"))
+
+
 def _q_heavy_hitter_terms(spark, sf_dir):
     """Misra-Gries heavy-hitter terms (64 counters, top 20): constant
     k-rows-per-task exchange instead of a vocabulary-scale shuffle. On
@@ -2376,6 +2390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": _q_training_shards,
     "key_skew_report": _q_key_skew_report,
     "heavy_hitter_terms": _q_heavy_hitter_terms,
+    "incremental_dedup_bloom": _q_incremental_dedup_bloom,
 }
 
 
@@ -4296,6 +4311,9 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
     """
+    # bloom prefilter is an optimization, not a semantics change:
+    # identical oracle to incremental_dedup
+    oracles["incremental_dedup_bloom"] = oracles["incremental_dedup"]
     # exact-regime MG (vocab < counters): counts exact, slack 0
     oracles["heavy_hitter_terms"] = """
         WITH tok AS (

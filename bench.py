@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "training_shards",
     "key_skew_report",
     "heavy_hitter_terms",
+    "incremental_dedup_bloom",
 ]
 
 

@@ -31,6 +31,9 @@ module.
 from __future__ import annotations
 
 import re
+from typing import Iterator, Tuple
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1096,3 +1099,104 @@ def fuzzy_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                         F.col(f"b.{id_col}").alias("id_b"),
                         dist.alias("dist"))
             .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
+# ------------------------------------------------------------ bloom filter
+
+
+def build_bloom(keys: DataFrame, col: str, n_bits: int = 1 << 23,
+                k_hashes: int = 7) -> tuple[bytes, int, int]:
+    """Mergeable Bloom filter over a key column: each partition folds its
+    keys into a packed uint64 bitset in one Arrow pass (numpy OR-scatter,
+    no per-row Python), partial bitsets OR-merge on the driver. The two
+    base hashes are computed JVM-side (`xxhash64` of the key and of the
+    key + a domain separator) so the Python side is pure vectorized
+    index arithmetic; bit positions follow Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2 mod n_bits).
+
+    Size the filter as ~10 bits/key for ~1% false positives at k=7.
+    The driver holds partitions x (n_bits/8) bytes transiently and the
+    merged filter broadcasts once — at 10^9 corpus keys and 10 bits/key
+    that is a ~1.2 GB broadcast: shard the key space (one bloom per fp
+    prefix) past that point, the same bound-then-shard doctrine as every
+    driver structure here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    words = (n_bits + 63) // 64
+    hashed = keys.select(
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.concat(F.col(col), F.lit("§bloom"))).alias("h2"))
+
+    def fold(batches):
+        bits = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            h1 = pdf["h1"].to_numpy(dtype=np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.uint64)
+            for i in range(k_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                np.bitwise_or.at(bits, pos >> np.uint64(6),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(fold, "bits binary").collect()
+    merged = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        merged |= np.frombuffer(r.bits, dtype=np.uint64)
+    return merged.tobytes(), n_bits, k_hashes
+
+
+def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  corpus_is_fps: bool = False,
+                                  n_bits: int = 1 << 23,
+                                  k_hashes: int = 7) -> DataFrame:
+    """`exact_dedup_incremental` with a Bloom prefilter — IDENTICAL
+    output (pinned in tests), different shuffle bill: rows whose
+    fingerprint the corpus bloom rejects are DEFINITELY new and skip
+    the anti-join entirely; only the might-contain sliver (true dups +
+    ~1% false positives) is joined against the fingerprint table. On a
+    mostly-clean daily batch this keeps ~99% of rows out of the join
+    exchange — the filter is a one-broadcast constant cost while the
+    anti-join's shuffle shrinks from |batch| to |dups| + eps.
+    """
+    import numpy as np
+
+    fp_expr = fingerprint(text_col).alias("fp")
+    known = corpus.select("fp").distinct() if corpus_is_fps \
+        else corpus.select(fp_expr).distinct()
+    known = transient_persist(known)
+    bloom, nb, kh = build_bloom(known, "fp", n_bits, k_hashes)
+    bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
+    @F.pandas_udf("boolean")
+    def might_contain(
+            batches: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        # scalar-iterator form: unpack the broadcast ONCE per worker,
+        # then pure vectorized membership per batch
+        words_arr = np.frombuffer(bc.value, dtype=np.uint64)
+        for h1, h2 in batches:
+            a = h1.to_numpy(dtype=np.uint64)
+            b = h2.to_numpy(dtype=np.uint64)
+            hit = np.ones(len(a), dtype=bool)
+            for i in range(kh):
+                pos = (a + np.uint64(i) * b) % np.uint64(nb)
+                hit &= (words_arr[pos >> np.uint64(6)]
+                        >> (pos & np.uint64(63))) & np.uint64(1) != 0
+            yield pd.Series(hit)
+
+    batch = new_docs.select(
+        F.col(id_col), fp_expr,
+        F.xxhash64(fp_expr).alias("__h1"),
+        F.xxhash64(F.concat(fp_expr, F.lit("§bloom"))).alias("__h2"))
+    batch = batch.withColumn("__maybe", might_contain("__h1", "__h2"))
+    batch = transient_persist(batch.select(id_col, "fp", "__maybe"))
+    definitely_new = batch.filter(~F.col("__maybe")).select(id_col, "fp")
+    checked = (batch.filter(F.col("__maybe")).select(id_col, "fp")
+               .join(known, "fp", "left_anti"))
+    fresh = definitely_new.unionByName(checked)
+    keep = (fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return new_docs.join(keep, id_col, "leftsemi")

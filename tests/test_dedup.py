@@ -527,3 +527,50 @@ def test_semdedup_keep_one_representative_per_cluster(spark, sf_dir):
         assert len(kept) == 1
         assert kept[0].vec_id == min(r.vec_id for r in rows)
         assert min(r.vec_id for r in rows) == cid  # min-label contract
+
+
+def test_bloom_membership_no_false_negatives_low_false_positives(spark):
+    import numpy as np
+
+    from dotnetvectorsearch_spark.operators.dedup import build_bloom
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(2000)], "fp string")
+    bloom, nb, kh = build_bloom(keys, "fp", n_bits=1 << 15, k_hashes=7)
+    words = np.frombuffer(bloom, dtype=np.uint64)
+
+    def contains(vals):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(v,) for v in vals], "fp string") \
+            .select("fp", F.xxhash64("fp").alias("h1"),
+                    F.xxhash64(F.concat("fp", F.lit("§bloom")))
+                    .alias("h2")).toPandas()
+        out = []
+        for h1, h2 in zip(df.h1.to_numpy(dtype=np.uint64),
+                          df.h2.to_numpy(dtype=np.uint64)):
+            hit = True
+            for i in range(kh):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(nb)
+                hit = hit and bool(
+                    (words[pos >> np.uint64(6)]
+                     >> (pos & np.uint64(63))) & np.uint64(1))
+            out.append(hit)
+        return out
+
+    assert all(contains([f"key-{i}" for i in range(0, 2000, 37)]))
+    fp_rate = sum(contains([f"other-{i}" for i in range(1000)])) / 1000
+    assert fp_rate < 0.05     # 16x bits/key at k=7 -> well under 1%
+
+
+def test_incremental_dedup_bloom_identical_to_plain(spark, sf_dir):
+    from dotnetvectorsearch_spark.operators.dedup import (
+        exact_dedup_incremental, exact_dedup_incremental_bloom)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+    plain = {r.doc_id for r in
+             exact_dedup_incremental(batch, corpus).collect()}
+    bloomed = {r.doc_id for r in
+               exact_dedup_incremental_bloom(batch, corpus).collect()}
+    assert plain == bloomed and bloomed
