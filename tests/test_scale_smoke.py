@@ -112,3 +112,51 @@ def test_pagerank_400k_edges_distributed(spark):
     assert agg.n == 500_000
     assert abs(agg.mass - 1.0) < 1e-3     # no dangling mass leaks
     assert agg.hi > agg.lo                # hubs beat leaves
+
+
+def test_funnel_1m_events_single_exchange_and_exact_counts(spark):
+    """1M synthetic events, 50k users: the funnel's window chain must
+    stay on ONE user-keyed exchange, and the constructed conversion
+    pattern (every 2nd user clicks after viewing, every 4th then
+    purchases) must come back exactly."""
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    # 20 "rounds" of 50k users; round 0 = everyone views, round 1 =
+    # even users click, round 3 = users % 4 == 0 purchase. ts = id, so
+    # step order holds by construction.
+    u = F.col("id") % 50_000
+    rnd = (F.col("id") / 50_000).cast("long")
+    ev = (spark.range(0, 1_000_000, 1, 32)
+          .select(u.alias("user_id"),
+                  (F.col("id") * 1_000_000_000).alias("ts"),
+                  F.when(rnd == 0, "view")
+                  .when((rnd == 1) & (u % 2 == 0), "click")
+                  .when((rnd == 3) & (u % 4 == 0), "purchase")
+                  .otherwise("noise").alias("event_type")))
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    rows = {r.event_type: r.users for r in out.collect()}
+    assert rows["view"] == 50_000
+    assert rows["click"] == 25_000      # even users, after their view
+    assert rows["purchase"] == 12_500   # %4 users, after their click
+
+
+def test_heavy_hitters_1m_rows_constant_exchange(spark):
+    """1M-row Zipf-ish stream: the MG exchange must carry k rows per
+    partition (tiny), the certified bound must hold for the planted
+    heavy key, and the heavy key must rank first."""
+    from dotnetvectorsearch_spark.operators.sketches import (
+        heavy_hitters_mg)
+    df = (spark.range(0, 1_000_000, 1, 32)
+          .select(F.when(F.col("id") % 10 == 0, "HEAVY")
+                  .otherwise(F.concat(F.lit("t"),
+                                      (F.col("id") % 97_001)
+                                      .cast("string")))
+                  .alias("w")))
+    out = heavy_hitters_mg(df, "w", k=64, top_n=5).collect()
+    assert out[0].key == "HEAVY"
+    true_heavy = 100_000
+    assert out[0].est_count <= true_heavy \
+        <= out[0].est_count + out[0].max_undercount
