@@ -1161,6 +1161,11 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
     mostly-clean daily batch this keeps ~99% of rows out of the join
     exchange — the filter is a one-broadcast constant cost while the
     anti-join's shuffle shrinks from |batch| to |dups| + eps.
+
+    Crossover: the build is a constant (scan + collect + broadcast), so
+    below ~10^6 corpus fingerprints the plain anti-join is cheaper —
+    use this variant when the fingerprint table is big and the batch
+    mostly clean, which is exactly the mature-pipeline regime.
     """
     import numpy as np
 
