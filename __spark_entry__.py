@@ -2229,6 +2229,31 @@ def _q_key_skew_report(spark, sf_dir):
     return key_skew_stats(orders, "o_custkey", top_n=10)
 
 
+def _q_debounced_events(spark, sf_dir):
+    """Event debounce (anchor semantics): per (user, type), drop events
+    within 2 days of the last KEPT event — at-least-once-delivery /
+    double-fire cleanup ahead of analytics. One key exchange + bounded
+    per-key Arrow pass; lag()-based gap measurement is the pinned
+    counterexample in tests. Sequential anchor chain -> rows-only."""
+    from dotnetvectorsearch_spark.operators.temporal import (
+        debounce_events)
+    events = load_table(spark, sf_dir, "events")
+    out = debounce_events(events, ["user_id", "event_type"], "ts",
+                          min_gap_sec=2 * 86400,
+                          tiebreak_col="event_id")
+    return out.select("event_id", "user_id", "event_type")
+
+
+def _q_user_value_trends(spark, sf_dir):
+    """Per-user OLS trend of event value over time (slope/day,
+    intercept, r²): five decimal-exact moment sums per key in ONE
+    map-side-combined aggregate, closed-form scalar math in doubles —
+    engine-portable to the 6th digit."""
+    from dotnetvectorsearch_spark.operators.temporal import keyed_trends
+    events = load_table(spark, sf_dir, "events")
+    return keyed_trends(events, "user_id", "ts", "value")
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2391,6 +2416,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": _q_key_skew_report,
     "heavy_hitter_terms": _q_heavy_hitter_terms,
     "incremental_dedup_bloom": _q_incremental_dedup_bloom,
+    "user_value_trends": _q_user_value_trends,
+    # rows-only: sequential anchor-chain semantics (no SQL oracle)
+    "debounced_events": _q_debounced_events,
 }
 
 
@@ -4310,6 +4338,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg USING (doc_id)
+    """
+    # decimal moment sums -> double scalar math: both engines do the
+    # IDENTICAL fp ops on identical inputs
+    oracles["user_value_trends"] = """
+        WITH m AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(20, 0))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value AS DECIMAL(27, 6)))
+                        AS DOUBLE) AS sy,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(20, 0))
+                            * CAST(epoch_us(ts) // 1000000 - 1704067200
+                                   AS DECIMAL(20, 0)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(epoch_us(ts) // 1000000 - 1704067200
+                                 AS DECIMAL(20, 0))
+                            * CAST(value AS DECIMAL(27, 6)))
+                        AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(value AS DECIMAL(27, 6))
+                            * CAST(value AS DECIMAL(27, 6)))
+                        AS DOUBLE) AS syy
+            FROM events GROUP BY 1
+        )
+        SELECT user_id, n,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * 86400.0 END, 6) AS slope_per_day,
+               round((sy - CASE WHEN n * sxx - sx * sx > 0
+                           THEN (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) END * sx)
+                     / n, 6) AS intercept,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                          AND n * syy - sy * sy > 0
+                     THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                          / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 6) AS r2
+        FROM m
     """
     # bloom prefilter is an optimization, not a semantics change:
     # identical oracle to incremental_dedup

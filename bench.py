@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "key_skew_report",
     "heavy_hitter_terms",
     "incremental_dedup_bloom",
+    "user_value_trends",
+    "debounced_events",
 ]
 
 

@@ -169,3 +169,99 @@ def funnel_steps(events: DataFrame, steps: list[str],
             .withColumn("conv_from_prev",
                         F.when(prev_u.isNull(), F.lit(1.0))
                         .otherwise(safe(F.col("users"), prev_u))))
+
+
+def debounce_events(events: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts",
+                    min_gap_sec: int = 5,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Event debounce: drop any event that follows the previous KEPT
+    event of the same key within ``min_gap_sec`` — the duplicate-click /
+    double-fire / at-least-once-delivery cleanup every event pipeline
+    runs before analytics. The first event of each burst survives;
+    bursts longer than the gap re-emit one event per gap window's first
+    firing (anchor semantics: the gap measures from the last KEPT
+    event, not the last seen).
+
+    That anchor semantics is a sequential scan per key, expressed as a
+    bounded per-key pass inside ``applyInPandas`` after ONE hash
+    exchange on the key — the same single-shuffle contract as
+    sessionize. A lag()-based formulation would measure gaps from the
+    previous SEEN event and over-drop inside long bursts; it is kept in
+    the tests as the contract counterexample.
+
+    Ordering ties on ``ts_col`` break by ``tiebreak_col`` (default: the
+    first key column is NOT enough — pass the event id) so output is
+    deterministic. Timestamps go through ``event_epoch_micros``.
+    """
+    import pandas as pd
+
+    from dotnetvectorsearch_spark.functions.time import event_epoch_micros
+    gap_us = min_gap_sec * 1_000_000
+    tiebreak = tiebreak_col or ts_col
+    base = events.withColumn("__us", event_epoch_micros(events, ts_col))
+    out_schema = base.schema
+
+    def keep_first_of_bursts(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", tiebreak], kind="mergesort")
+        keep = []
+        last_kept = None
+        for us in pdf["__us"]:
+            if last_kept is None or us - last_kept >= gap_us:
+                keep.append(True)
+                last_kept = us
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return (base.groupBy(*key_cols)
+            .applyInPandas(keep_first_of_bursts, out_schema)
+            .drop("__us"))
+
+
+def keyed_trends(events: DataFrame, key: str, ts_col: str = "ts",
+                 value_col: str = "value",
+                 epoch_offset_sec: int = 1_704_067_200,
+                 round_digits: int = 6) -> DataFrame:
+    """Per-key least-squares trend of ``value_col`` over event time —
+    slope/intercept/r² from the closed-form OLS sums, the per-entity
+    drift signal (user spend trending up? source quality decaying?)
+    computed for EVERY key in one aggregate pass.
+
+    Engine-portable determinism, same doctrine as every decimal-summed
+    query here: the five moment sums (Σx, Σy, Σx², Σxy, Σy²) accumulate
+    in DECIMAL (exact, order-independent), and only the per-key SCALAR
+    closed-form arithmetic runs in doubles — identical FP ops on
+    identical inputs in any engine. x is integer seconds from a fixed
+    epoch offset (keys' absolute dates don't inflate the squares);
+    slope is reported per DAY. Keys need n >= 2 and nonzero variance
+    for a slope; degenerate keys return nulls rather than dropping.
+
+    One map-side-combined aggregate: the exchange carries 6 partials
+    per (task, key). At 100 TB this is the cheapest possible shape —
+    strictly less traffic than sorting any key's events.
+    """
+    from dotnetvectorsearch_spark.functions.time import (
+        event_epoch_seconds_long)
+    x = (event_epoch_seconds_long(events, ts_col)
+         - F.lit(epoch_offset_sec)).cast("decimal(20,0)")
+    y = F.col(value_col).cast("decimal(27,6)")
+    agg = (events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy")))
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_sec = F.when(vx > 0, cov / vx)
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    return agg.select(
+        key, "n",
+        F.round(slope_sec * 86400.0, round_digits).alias("slope_per_day"),
+        F.round((F.col("sy") - slope_sec * F.col("sx")) / n,
+                round_digits).alias("intercept"),
+        F.round(r2, round_digits).alias("r2"))

@@ -115,3 +115,71 @@ def test_funnel_steps_no_gap_only_requires_order(spark):
     out = {r.event_type: r.users
            for r in funnel_steps(df, ["view", "click"]).collect()}
     assert out == {"view": 1, "click": 1}
+
+
+def test_debounce_anchor_semantics_exact(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import (
+        debounce_events)
+    S = 1_000_000_000  # ns per... (bigint ns input path)
+    rows = [Row(user_id=1, event_id=i, ts=t * S)
+            for i, t in enumerate([0, 3, 6, 9])]          # burst
+    rows += [Row(user_id=2, event_id=10, ts=0),
+             Row(user_id=2, event_id=11, ts=20 * S)]      # far apart
+    df = spark.createDataFrame(rows)
+    out = debounce_events(df, ["user_id"], "ts", min_gap_sec=5,
+                          tiebreak_col="event_id")
+    got = sorted((r.user_id, r.event_id) for r in out.collect())
+    # anchor semantics: u1 keeps t=0 then t=6 (6-0 >= 5); 3 and 9 drop.
+    # A lag()-based debounce would keep ONLY t=0 for u1 (every seen-gap
+    # is 3 < 5) — the contract counterexample.
+    assert got == [(1, 0), (1, 2), (2, 10), (2, 11)]
+
+
+def test_debounce_deterministic_ties_and_zero_gap(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import (
+        debounce_events)
+    df = spark.createDataFrame([
+        Row(user_id=1, event_id=5, ts=1_000_000_000),
+        Row(user_id=1, event_id=3, ts=1_000_000_000),   # same ts
+    ])
+    out = debounce_events(df, ["user_id"], "ts", min_gap_sec=5,
+                          tiebreak_col="event_id").collect()
+    assert [(r.event_id) for r in out] == [3]           # lowest id wins
+    all_kept = debounce_events(df, ["user_id"], "ts", min_gap_sec=0,
+                               tiebreak_col="event_id").count()
+    assert all_kept == 2                                # gap 0 keeps all
+
+
+def test_keyed_trends_match_numpy_least_squares(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import keyed_trends
+    base = 1_704_067_200
+    rows = []
+    series = {
+        1: [(0, 1.0), (86400, 3.0), (172800, 5.0)],       # slope 2/day
+        2: [(0, 7.5), (43200, 7.5), (86400, 7.5)],        # flat
+        3: [(0, 2.0)],                                    # n=1 -> nulls
+        4: [(0, 1.0), (10_000, 4.0), (50_000, 2.0), (80_000, 9.0)],
+    }
+    for uid, pts in series.items():
+        for off, v in pts:
+            rows.append(Row(user_id=uid,
+                            ts=(base + off) * 1_000_000_000, value=v))
+    out = {r.user_id: r for r in
+           keyed_trends(spark.createDataFrame(rows), "user_id")
+           .collect()}
+    assert abs(out[1].slope_per_day - 2.0) < 1e-9
+    assert abs(out[1].r2 - 1.0) < 1e-9
+    assert out[2].slope_per_day == 0.0 and out[2].r2 is None  # vy == 0
+    assert out[3].slope_per_day is None and out[3].r2 is None
+    x = np.array([p[0] for p in series[4]], dtype=float)
+    y = np.array([p[1] for p in series[4]], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(out[4].slope_per_day - slope * 86400) < 1e-4
+    assert abs(out[4].intercept - intercept) < 1e-4
