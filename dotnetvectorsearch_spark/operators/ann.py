@@ -143,9 +143,36 @@ class IVFIndex:
     def write(self, emb: DataFrame, path: str,
               vec_col: str = "embedding") -> None:
         """Materialize the index partitioned by cell: a query's probe set
-        becomes Parquet partition pruning (reads nprobe/n_cells of data)."""
+        becomes Parquet partition pruning (reads nprobe/n_cells of data).
+        Centroids land in ``path/_centroids`` — the underscore prefix
+        keeps Spark's data-file listing from seeing them, so
+        ``spark.read.parquet(path)`` still returns only rows while
+        :meth:`read` can restore a probe-ready index in a NEW session
+        (the switching-user persistence contract)."""
         self.transform(emb, vec_col).write.mode("overwrite") \
             .partitionBy("cell").parquet(path)
+        spark = emb.sparkSession
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c], self.nprobe, self.seed)
+             for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<float>, nprobe int, seed int") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/_centroids")
+
+    @classmethod
+    def read(cls, spark, path: str) -> tuple["IVFIndex", DataFrame]:
+        """Reload a written index: (probe-ready index, indexed rows).
+        The rows frame is the partitioned parquet — `search` on it still
+        prunes to the probe cells."""
+        rows = spark.read.parquet(f"{path}/_centroids").collect()
+        idx = cls(n_cells=len(rows), nprobe=rows[0].nprobe,
+                  seed=rows[0].seed)
+        cent = np.zeros((len(rows), len(rows[0].centroid)),
+                        dtype=np.float32)
+        for r in rows:
+            cent[r.cell] = np.asarray(r.centroid, dtype=np.float32)
+        idx.centroids = cent
+        return idx, spark.read.parquet(path)
 
     def probe_cells(self, query_vec: list[float]) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float32)
@@ -486,10 +513,68 @@ class IVFPQIndex:
               vec_col: str = "embedding", id_col: str = "vec_id") -> None:
         """Materialize (id, cell, codes) partitioned by cell: probe-set
         pruning AND compressed scan compose — a query reads
-        ~(nprobe/n_cells) x (m bytes/row) of the corpus."""
+        ~(nprobe/n_cells) x (m bytes/row) of the corpus. All trained
+        state (coarse centroids, residual bases, PQ codebooks, coding
+        mode) lands under ``path/_meta`` — underscore-prefixed so data
+        scans never see it — making :meth:`read` restore a search-ready
+        index in a new session."""
         (self.transform(emb.select(id_col, vec_col), vec_col)
          .drop(vec_col).write.mode("overwrite")
          .partitionBy("cell").parquet(path))
+        spark = emb.sparkSession
+        cent_rows = [
+            (int(i), [float(x) for x in self.ivf.centroids[i]],
+             [float(x) for x in self.cell_means[i]]
+             if self.cell_means is not None else None)
+            for i in range(self.ivf.n_cells)]
+        spark.createDataFrame(
+            cent_rows,
+            "cell int, centroid array<float>, cell_mean array<float>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/_meta/cells")
+        books = [(j, c, [float(x) for x in self.pq.codebooks[j, c]])
+                 for j in range(self.pq.m)
+                 for c in range(self.pq.codebooks.shape[1])]
+        spark.createDataFrame(
+            books, "subspace int, code int, centroid array<float>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/_meta/codebooks")
+        spark.createDataFrame(
+            [(self.coding, self.ivf.nprobe, self.pq.seed)],
+            "coding string, nprobe int, seed int") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/_meta/params")
+
+    @classmethod
+    def read(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:
+        """Reload a written index: (search-ready index, indexed rows).
+        Pair with the original float-vector table for the rescore
+        stage, exactly as after a fresh fit."""
+        params = spark.read.parquet(f"{path}/_meta/params").collect()[0]
+        cells = spark.read.parquet(f"{path}/_meta/cells").collect()
+        books = spark.read.parquet(f"{path}/_meta/codebooks").collect()
+        m = max(r.subspace for r in books) + 1
+        n_codes = max(r.code for r in books) + 1
+        idx = cls(n_cells=len(cells), nprobe=params.nprobe, m=m,
+                  n_codes=n_codes, seed=params.seed,
+                  coding=params.coding)
+        dim = len(cells[0].centroid)
+        cent = np.zeros((len(cells), dim), dtype=np.float32)
+        means = np.zeros((len(cells), dim), dtype=np.float32)
+        have_means = cells[0].cell_mean is not None
+        for r in cells:
+            cent[r.cell] = np.asarray(r.centroid, dtype=np.float32)
+            if have_means:
+                means[r.cell] = np.asarray(r.cell_mean, dtype=np.float32)
+        idx.ivf.centroids = cent
+        idx.cell_means = means if have_means else None
+        cb = np.zeros((m, n_codes, len(books[0].centroid)),
+                      dtype=np.float32)
+        for r in books:
+            cb[r.subspace, r.code] = np.asarray(r.centroid,
+                                                dtype=np.float32)
+        idx.pq.codebooks = cb
+        return idx, spark.read.parquet(path)
 
     def search(self, indexed: DataFrame, query_vec: list[float],
                k: int = 5, id_col: str = "vec_id",

@@ -281,3 +281,50 @@ def test_group_diversity_matches_bruteforce_pairwise(spark):
     assert got["rand"].mean_pairwise_cosine == pytest.approx(
         float(expect), abs=1e-6)
     assert got["rand"].n == 6
+
+
+def test_ivf_index_write_read_roundtrip_same_results(spark, sf_dir,
+                                                     tmp_path):
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0].embedding]
+    idx = IVFIndex(n_cells=8, nprobe=3).fit(emb)
+    path = str(tmp_path / "ivf_idx")
+    idx.write(emb, path)
+    # fresh-session simulation: everything restored from disk
+    idx2, rows2 = IVFIndex.read(spark, path)
+    assert idx2.nprobe == idx.nprobe and idx2.n_cells == idx.n_cells
+    import numpy as np
+    assert np.allclose(idx2.centroids, idx.centroids)
+    a = [(r.vec_id, r.similarity) for r in
+         idx.search(idx.transform(emb), qv, k=5).collect()]
+    b = [(r.vec_id, r.similarity) for r in
+         idx2.search(rows2, qv, k=5).collect()]
+    assert a == b
+    # the _centroids side-table must be invisible to a plain data scan
+    assert "centroid" not in spark.read.parquet(path).columns
+
+
+def test_ivfpq_index_write_read_roundtrip_same_results(spark, sf_dir,
+                                                       tmp_path):
+    import numpy as np
+
+    from dotnetvectorsearch_spark.operators.ann import IVFPQIndex
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0].embedding]
+    idx = IVFPQIndex(n_cells=8, nprobe=3, m=8, coding="residual") \
+        .fit(emb, refine_iters=0)
+    path = str(tmp_path / "ivfpq_idx")
+    idx.write(emb, path)
+    idx2, rows2 = IVFPQIndex.read(spark, path)
+    assert idx2.coding == "residual"
+    assert np.allclose(idx2.ivf.centroids, idx.ivf.centroids)
+    assert np.allclose(idx2.cell_means, idx.cell_means)
+    assert np.allclose(idx2.pq.codebooks, idx.pq.codebooks)
+    a = [(r.vec_id, r.similarity) for r in
+         idx.search(idx.transform(emb), qv, k=5, rescore=emb).collect()]
+    b = [(r.vec_id, r.similarity) for r in
+         idx2.search(rows2, qv, k=5, rescore=emb).collect()]
+    assert a == b
