@@ -366,3 +366,67 @@ def stream_rollup_maintenance(stream: DataFrame, path: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_OUT_SCHEMA = ("user_id long, step int, event_type string, "
+                      "completed_at timestamp")
+_FUNNEL_STATE_SCHEMA = "next_step int, last_ts long"
+
+
+def _funnel_fn(key, pdfs, state: GroupState):
+    """Per-user funnel progression: emit one row each time the user
+    completes the NEXT step in order (micro-batch-incremental twin of
+    the batch `funnel_steps` step chain)."""
+    import pandas as pd
+
+    if state.hasTimedOut:           # no timeout configured; safety only
+        state.remove()
+        return
+    rows = []
+    for pdf in pdfs:
+        for t, ty in zip(pdf["ts"].astype("int64") // 1_000,
+                         pdf["event_type"]):
+            rows.append((int(t), str(ty)))     # epoch micros, type
+    rows.sort()
+    next_step, last_ts = state.get if state.exists else (0, -1)
+    out = []
+    for us, ty in rows:
+        if (next_step < len(_FUNNEL_STEPS)
+                and ty == _FUNNEL_STEPS[next_step] and us > last_ts):
+            out.append({
+                "user_id": key[0],
+                "step": next_step + 1,
+                "event_type": ty,
+                "completed_at": pd.Timestamp(us, unit="us"),
+            })
+            next_step += 1
+            last_ts = us
+    state.update((next_step, last_ts))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def stream_funnel(events: DataFrame) -> DataFrame:
+    """Stateful streaming funnel: per-user step completions for the
+    view -> click -> purchase chain, emitted AS THEY HAPPEN across
+    micro-batches — the state is just (next expected step, completion
+    ts), so memory is O(users), not O(events).
+
+    Caveat vs the batch `funnel_steps`: events are consumed in
+    per-batch arrival order (micro-batch streaming has no global sort),
+    so a late out-of-order step inside an earlier batch window can be
+    missed where the batch operator would count it — the usual
+    streaming/batch reconciliation gap; run the batch twin for the
+    nightly exact numbers. `events` must be a streaming frame with
+    (user_id long, ts timestamp, event_type string).
+    """
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_fn,
+                outputStructType=_FUNNEL_OUT_SCHEMA,
+                stateStructType=_FUNNEL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -504,3 +504,43 @@ def test_stream_rollup_maintenance_matches_from_scratch(spark, tmp_path):
     got = sorted(map(tuple, rollup_read(
         spark.read.parquet(out)).collect()))
     assert got == sorted(map(tuple, full.collect()))
+
+
+def test_stream_funnel_emits_step_completions_across_batches(
+        spark, tmp_path):
+    from dotnetvectorsearch_spark.streaming.ingest import stream_funnel
+    src = tmp_path / "funnel_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "funnel_out")
+    ckpt = str(tmp_path / "funnel_ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .write.parquet(str(src / name))
+
+    # batch 1: u1 views+clicks; u2 clicks only (no view -> no progress)
+    drop("b1", [(1, "2024-01-01 10:00:00", "view"),
+                (1, "2024-01-01 10:05:00", "click"),
+                (2, "2024-01-01 10:00:00", "click")])
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (stream_funnel(stream).writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .start())
+    try:
+        assert _wait(lambda: _count_parquet(spark, out_dir) == 2)
+        # batch 2: u1 purchases (step 3, state carried across batches);
+        # u2 views (step 1 — the earlier click must NOT count later)
+        drop("b2", [(1, "2024-01-01 10:30:00", "purchase"),
+                    (2, "2024-01-01 11:00:00", "view")])
+        assert _wait(lambda: _count_parquet(spark, out_dir) == 4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.user_id, r.step, r.event_type)
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == [(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+                   (2, 1, "view")]
