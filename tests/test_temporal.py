@@ -183,3 +183,33 @@ def test_keyed_trends_match_numpy_least_squares(spark):
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(out[4].slope_per_day - slope * 86400) < 1e-4
     assert abs(out[4].intercept - intercept) < 1e-4
+
+
+def test_funnel_emits_zero_rows_for_absent_steps(spark):
+    from pyspark.sql import Row
+
+    from dotnetvectorsearch_spark.operators.temporal import funnel_steps
+    df = spark.createDataFrame([
+        Row(user_id=1, ts=1_000_000_000, event_type="view"),
+        Row(user_id=2, ts=2_000_000_000, event_type="view"),
+    ])
+    out = {r.event_type: r for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"].users == 2
+    assert out["click"].users == 0 and out["purchase"].users == 0
+    assert out["click"].conv_from_prev == 0.0
+    # purchase's previous step has 0 users -> rate defined as 0, not NaN
+    assert out["purchase"].conv_from_prev == 0.0
+
+
+def test_debounce_empty_and_single_row_frames(spark):
+    from dotnetvectorsearch_spark.operators.temporal import (
+        debounce_events)
+    df = spark.createDataFrame([], "user_id long, event_id long, ts long")
+    assert debounce_events(df, ["user_id"], "ts", min_gap_sec=5,
+                           tiebreak_col="event_id").count() == 0
+    one = spark.createDataFrame([(1, 7, 5_000_000_000)],
+                                "user_id long, event_id long, ts long")
+    got = debounce_events(one, ["user_id"], "ts", min_gap_sec=5,
+                          tiebreak_col="event_id").collect()
+    assert [(r.user_id, r.event_id) for r in got] == [(1, 7)]
