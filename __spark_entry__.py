@@ -2215,7 +2215,8 @@ def _q_heavy_hitter_terms(spark, sf_dir):
     from dotnetvectorsearch_spark.operators.sketches import (
         heavy_hitters_mg)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("w"))         .filter(F.length("w") > 0)
+    toks = (docs.select(F.explode(tokens("text")).alias("w"))
+            .filter(F.length("w") > 0))
     return heavy_hitters_mg(toks, "w", k=64, top_n=20)
 
 
@@ -4263,7 +4264,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                         END AS BIGINT) AS wc,
-                   length(trim(text)) AS nc,
+                   COALESCE(list_sum(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       w -> length(w))), 0) AS word_chars,
                    len(regexp_extract_all(trim(text), '(#|\\.\\.\\.|…)'))
                        AS nsym,
                    len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -4273,7 +4276,7 @@ def oracle_sql() -> dict[str, str]:
         ), g AS (
             SELECT doc_id, wc AS word_count,
                    round(CASE WHEN wc > 0
-                         THEN CAST(nc - wc + 1 AS DOUBLE) / wc
+                         THEN CAST(word_chars AS DOUBLE) / wc
                          ELSE 0.0 END, 6) AS mean_word_len,
                    round(CASE WHEN wc > 0
                          THEN CAST(nsym AS DOUBLE) / wc

@@ -146,8 +146,16 @@ def gopher_quality_flags(text: Column | str,
     words = F.split(t, WS_PATTERN)
     wc = ws_token_count(t)
     n_chars = F.length(t)
+    # Mean word length from the split words themselves, not
+    # (n_chars - wc + 1)/wc — that shortcut assumes exactly one
+    # whitespace char between words and inflates the mean on
+    # newline/indent-heavy web text, wrongly tripping the Gopher
+    # mean-word-length gate.
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w))
     mean_wl = F.round(
-        F.when(wc > 0, (n_chars - wc + 1).cast("double") / wc)
+        F.when(wc > 0, word_chars.cast("double") / wc)
         .otherwise(F.lit(0.0)), 6)
     n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"(#|\.\.\.|…)"),
                                             F.lit(0)))

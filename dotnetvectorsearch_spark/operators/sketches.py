@@ -158,8 +158,11 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
         # n/(k+1) is only the ceiling of this counter). Exact regime
         # (distinct keys <= k) certifies slack 0.
         slack = decrements
+        # the partition's slack rides a NULL-keyed row — null inputs are
+        # skipped above, so NO genuine value can collide with it (an
+        # in-band string sentinel could be shadowed by real data)
         yield pd.DataFrame({
-            "key": list(counters) + ["\x00__slack__"],
+            "key": list(counters) + [None],
             "est": list(counters.values()) + [0],
             "slack": [0] * len(counters) + [slack]})
 
@@ -169,7 +172,7 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
     parts = transient_persist(parts)
     total_slack = F.broadcast(
         parts.agg(F.sum("slack").alias("max_undercount")))
-    return (parts.filter(F.col("key") != "\x00__slack__")
+    return (parts.filter(F.col("key").isNotNull())
             .groupBy("key").agg(F.sum("est").alias("est_count"))
             .crossJoin(total_slack)
             .orderBy(F.desc("est_count"), F.asc("key"))

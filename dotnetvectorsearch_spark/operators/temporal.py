@@ -212,6 +212,8 @@ def debounce_events(events: DataFrame, key_cols: list[str],
     def scan(batches):
         last_kept: dict = {}
         for pdf in batches:
+            if pdf.empty:      # empty bool mask would column-select
+                continue
             keys = list(zip(*(pdf[k] for k in key_cols)))
             us = pdf["__us"].to_numpy()
             keep = []
@@ -222,7 +224,7 @@ def debounce_events(events: DataFrame, key_cols: list[str],
                     last_kept[kt] = us[i]
                 else:
                     keep.append(False)
-            yield pdf[pd.Series(keep, index=pdf.index)]
+            yield pdf[pd.Series(keep, index=pdf.index, dtype=bool)]
 
     return repart.mapInPandas(scan, out_schema).drop("__us")
 

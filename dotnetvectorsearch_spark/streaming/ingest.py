@@ -342,26 +342,53 @@ def stream_rollup_maintenance(stream: DataFrame, path: str,
     a batch-id high-water mark in the rollup directory for exactly-once,
     or accept at-least-once for monitoring-grade rollups.
     """
+    import glob
     import os
     import shutil
 
     from dotnetvectorsearch_spark.operators.rollup import (
         merge_rollups, rollup_batch)
 
+    def recover() -> None:
+        """Crash recovery for the rename swap: a failure between
+        ``rename(path, old)`` and ``rename(stage, path)`` leaves no
+        directory at ``path``. On entry, if ``path`` is missing but an
+        ``__old-*`` (pre-swap rollup) or ``__stage`` (fully-written
+        merged rollup) survivor exists, restore the staged result if
+        present (it already contains the old data merged in), else the
+        newest old copy — so accumulated history is never dropped."""
+        if os.path.isdir(path):
+            return
+        stage = f"{path}__stage"
+        # A stage dir is only complete once written; parquet's _SUCCESS
+        # marker distinguishes a finished write from a torn one.
+        if os.path.isdir(stage) and os.path.isfile(
+                os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, path)
+            return
+        olds = sorted(glob.glob(f"{path}__old-*"),
+                      key=lambda p: os.path.getmtime(p))
+        if olds:
+            os.rename(olds[-1], path)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover()
         agg = rollup_batch(batch_df, keys, value_col)
         if os.path.isdir(path):
             agg = merge_rollups(
                 spark.read.parquet(path)
                 .select(*keys, "n", "sum_v", "min_v", "max_v"), agg)
         stage = f"{path}__stage"
+        shutil.rmtree(stage, ignore_errors=True)   # torn prior stage
         agg.write.mode("overwrite").parquet(stage)
         old = f"{path}__old-{batch_id}"
         if os.path.isdir(path):
             os.rename(path, old)
         os.rename(stage, path)
         shutil.rmtree(old, ignore_errors=True)
+        for leftover in glob.glob(f"{path}__old-*"):
+            shutil.rmtree(leftover, ignore_errors=True)
 
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint)

@@ -506,6 +506,44 @@ def test_stream_rollup_maintenance_matches_from_scratch(spark, tmp_path):
     assert got == sorted(map(tuple, full.collect()))
 
 
+def test_stream_rollup_recovers_history_after_torn_swap(spark, tmp_path):
+    """A crash between rename(path, old) and rename(stage, path) leaves
+    no directory at `path`; the next micro-batch must restore the
+    survivor instead of silently rebuilding from that batch alone."""
+    import os
+
+    from dotnetvectorsearch_spark.operators.rollup import (
+        rollup_batch, rollup_read)
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_rollup_maintenance)
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, k string, v double"
+    b1 = [(1, "A", 10.5), (2, "B", 1.0), (3, "A", 2.25)]
+    b2 = [(4, "B", 7.0), (5, "C", 3.0)]
+    # accumulated history on disk, then the torn-swap crash state:
+    # `path` renamed away, replacement never swapped in
+    rollup_batch(spark.createDataFrame(b1, schema),
+                 ["k"], "v").write.parquet(out)
+    os.rename(out, f"{out}__old-7")
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = stream_rollup_maintenance(stream, out, ["k"], "v", ckpt)
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 3)  # A, B, C
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    full = rollup_read(rollup_batch(
+        spark.createDataFrame(b1 + b2, schema), ["k"], "v"))
+    got = sorted(map(tuple, rollup_read(
+        spark.read.parquet(out)).collect()))
+    assert got == sorted(map(tuple, full.collect()))  # history kept
+    assert not os.path.isdir(f"{out}__old-7")         # survivor consumed
+
+
 def test_stream_funnel_emits_step_completions_across_batches(
         spark, tmp_path):
     from dotnetvectorsearch_spark.streaming.ingest import stream_funnel
