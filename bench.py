@@ -172,25 +172,34 @@ def main() -> None:
         finally:
             release_transient()
 
-    # Best-of-2 per query: the container shares the host with other work,
-    # and single-shot timings at this scale swing 2-3x on scheduler noise.
+    # Two reps per query, BOTH recorded: rep 1 is the honest-cold number
+    # (plans compiled by the warm-up pass, but every transient cache is
+    # rebuilt inside the timed region), rep 2 the warm repeat. The
+    # headline stays best-of-2 (the round-2/3 methodology), and keeping
+    # cold AND warm in the artifact makes rounds comparable even when
+    # the timing discipline changes — a cold-only artifact made round
+    # 3's honest-cold switch look like regressions (VERDICT r3 #1).
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         if name in errors:
             continue
-        best = float("inf")
+        reps: list[float] = []
         try:
             for _rep in range(2):
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                reps.append(time.perf_counter() - t0)
                 # Drop the query's transient operator caches so a long
                 # bench run doesn't accumulate token-scale cached frames
                 # (release is inside the timed region for the same reason
                 # the query pays its own persists: it is part of the
                 # query's cost).
                 release_transient()
-            timings[name] = round(best, 4)
+            timings[name] = round(min(reps), 4)
+            cold[name] = round(reps[0], 4)
+            warm[name] = round(reps[1], 4)
         except Exception as exc:  # noqa: BLE001 - harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             release_transient()
@@ -215,6 +224,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "queries_warm": warm,
         "sf": sf_val,
         "floor_sec_per_query": floor,
         "floor_sec_total": round(floor * len(timings), 4),

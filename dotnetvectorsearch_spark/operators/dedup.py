@@ -295,8 +295,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         max_bucket_size: int = 200) -> DataFrame:
     """Candidate pairs from LSH banding: docs sharing any band bucket.
 
-    Shuffle structure: explode to bands (narrow) -> self-equi-join on
-    (band, bucket). `max_bucket_size` drops degenerate buckets (empty docs,
+    Shuffle structure: explode to bands (narrow) -> ONE exchange into
+    (band, bucket) groups -> bucket-LOCAL pair expansion as a codegen'd
+    higher-order expression -> distinct. A former formulation
+    self-equi-joined the banded rows on (band, bucket) behind a window
+    count — three exchanges plus a per-bucket sort where one exchange
+    suffices, and the self-join forced the upstream signature stage to
+    be persisted. Pair expansion inside a bucket is bounded by
+    `max_bucket_size` (cap² / 2 structs, all JVM-side), so no group can
+    blow up an executor. `max_bucket_size` drops degenerate buckets (empty docs,
     boilerplate) that would otherwise produce O(bucket²) pairs — the skew
     guard that keeps this plan alive at 10^9 docs.
     """
@@ -309,54 +316,83 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     exploded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                 .select(id_col, F.col("bb.band").alias("band"),
                         F.col("bb.bucket").alias("bucket")))
+    buckets = (exploded.groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("__ids"))
+               .filter(F.size("__ids") >= 2))
     if max_bucket_size:
-        # Window count over the SAME (band, bucket) partitioning the
-        # self-join below needs: one exchange serves the cap filter and
-        # the join (vs a groupBy+semi-join formulation, which costs two
-        # extra stages).
-        w = Window.partitionBy("band", "bucket")
-        exploded = (exploded
-                    .withColumn("__n", F.count(F.lit(1)).over(w))
-                    .filter(F.col("__n") <= max_bucket_size)
-                    .drop("__n"))
-    # Self-joined plans re-execute both sides; persist the (skinny) banded
-    # rows so the signature computation upstream runs once, not 2-3 times.
-    # At real scale this materialization is the signature table you would
-    # checkpoint to storage anyway. The cache also preserves the window's
-    # (band, bucket) hash partitioning, so the self-join plans without a
-    # fresh exchange.
-    exploded = transient_persist(exploded)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # each id occurs once per (band, bucket) — one banded row per doc
+    # per band — so sorting the bucket's id list and pairing each
+    # element with its strict successors yields exactly the id_a < id_b
+    # pairs the old self-join produced. The sorted array is projected
+    # as its OWN column first: referencing array_sort(...) inside the
+    # transform lambdas would re-sort the bucket per element (HOF
+    # lambdas re-evaluate captured child expressions).
+    buckets = buckets.select(F.array_sort("__ids").alias("__ids"))
+    ids_sorted = F.col("__ids")
+    pair_structs = F.flatten(F.transform(
+        ids_sorted,
+        lambda x, i: F.transform(
+            F.slice(ids_sorted, i + F.lit(2),
+                    F.size(ids_sorted) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"))
             .distinct())
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_n: int = 3, threshold: float = 0.5,
-                   shingles: DataFrame | None = None) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs via pair-level
-    intersect COUNTS over the exploded (distinct-)shingle index.
+                   shingles: DataFrame | None = None,
+                   strategy: str = "arrays") -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs. Two measured
+    formulations (tools/bench_minhash_verify.py, MINHASH_VERIFY.md):
 
-    Shingle ARRAYS never flow through a join: a former formulation
-    attached both sides' full arrays to every pair and ran
-    array_intersect/array_union per row — a payload-heavy exchange that
-    dominated the pipeline. Here the corpus is first restricted to docs
-    that actually appear in a candidate pair (|candidates| << corpus at
-    scale), exploded to narrow (id, shingle) rows, and the common-shingle
-    count per pair comes from an equi-join on (id_b, shingle) with
-    map-side combine. |A ∪ B| = |A| + |B| - |A ∩ B| recovers the exact
-    set-semantics Jaccard the array formulation produced.
+    ``strategy="arrays"`` (default): attach both sides' distinct-shingle
+    arrays to each pair (the doc side is restricted to candidate docs
+    and typically broadcast by AQE) and compute
+    size(array_intersect)/size(array_union) per pair in one fused
+    codegen stage. Measured FASTER at every candidate volume we can
+    generate locally (256 pairs: 0.36s vs 0.93s; 300k pairs: 0.80s vs
+    1.50s at sf0.1) — per-pair byte volume is identical between the two
+    formulations (an array of n shingles vs n exploded rows), so the
+    arrays path's fewer rows, fewer stages, and fused set ops win.
+
+    ``strategy="counts"``: explode candidate docs to narrow
+    (id, shingle) rows and recover |A ∩ B| per pair via an equi-join on
+    (id_b, shingle) with map-side combine; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    The fallback for MEGABYTE-scale documents, where the arrays path
+    would push giant unsplittable rows (one row carries both docs'
+    full shingle sets) through the exchange and hold O(|A|+|B|) hash
+    sets per row — the counts path never materializes a row larger
+    than one shingle. Cap shingle counts per doc (or use signature
+    estimates) before preferring it on time alone.
+
+    Outputs are identical (asserted by the bench tool and pytest).
     """
+    if strategy not in ("arrays", "counts"):
+        raise ValueError(f"unknown verify strategy: {strategy!r}")
     if shingles is None:
         docs = _spread(docs, id_col)
         shingles = docs.select(F.col(id_col),
                                word_shingles(text_col, shingle_n).alias("sh"))
+    if strategy == "arrays":
+        uniq = shingles.select(F.col(id_col),
+                               F.array_distinct("sh").alias("__d"))
+        a = uniq.select(F.col(id_col).alias("id_a"),
+                        F.col("__d").alias("__da"))
+        b = uniq.select(F.col(id_col).alias("id_b"),
+                        F.col("__d").alias("__db"))
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("__da", "__db"))
+        union = F.size(F.array_union("__da", "__db"))
+        jac = F.when(union > 0, inter.cast("double") / union) \
+            .otherwise(F.lit(0.0))
+        return (joined.withColumn("jaccard", F.round(jac, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     # The candidate set is referenced three times below; without a
     # persist each reference would RE-EXECUTE the whole upstream
     # candidate pipeline (sign -> band -> join -> distinct). It is small
@@ -401,10 +437,13 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame,
 def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 64,
                         shingle_n: int = 3, bands: int = 16,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        verify_strategy: str = "arrays") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign -> band -> candidates ->
     exact-Jaccard verify. The shingle set is computed once, persisted, and
-    shared by the signature and verification stages."""
+    shared by the signature and verification stages. ``verify_strategy``
+    picks the verify formulation (see `verify_jaccard`; "arrays" is the
+    measured default, "counts" the megabyte-document fallback)."""
     sh = (_spread(docs, id_col)
           .select(F.col(id_col),
                   word_shingles(text_col, shingle_n).alias("sh"))
@@ -416,7 +455,7 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
     cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands,
                                 num_hashes // bands)
     return verify_jaccard(cands, docs, id_col, text_col, shingle_n, threshold,
-                          shingles=sh)
+                          shingles=sh, strategy=verify_strategy)
 
 
 # --------------------------------------------------------------- simhash
