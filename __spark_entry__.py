@@ -407,6 +407,127 @@ def _q_minhash_pairs_md5(spark, sf_dir):
                                   num_hashes=16, shingle_n=3, bands=4)
 
 
+def _q_simhash_pairs_md5(spark, sf_dir):
+    """SimHash near-dup pairs with the engine-portable md5 bit family
+    (32-bit signature, 4x8-bit chunks, hamming <= 3) — the
+    oracle-checkable twin of the xxhash64 production path
+    (simhash_pairs), mirroring minhash_pairs_md5."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        simhash_pairs_portable)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_portable(docs, "doc_id", "text",
+                                  bits=32, chunks=4, max_hamming=3)
+
+
+def _lsh_md5_planes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes from md5 — the SAME double constants are
+    inlined into the Spark expression and the DuckDB oracle SQL, so both
+    engines compute identical sign bits (IEEE double sums in identical
+    left-to-right order)."""
+    import hashlib
+    return [
+        [int(hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()[:8], 16)
+         / 2.0 ** 32 - 0.5
+         for j in range(dim)]
+        for i in range(num_planes)
+    ]
+
+
+def _lsh_md5_bucket_col(vec_col) -> "F.Column":
+    """Catalyst hyperplane-LSH bucket: sign bits of the md5-plane dot
+    products, as a long — JVM-side, no UDF, identical constants to the
+    DuckDB oracle."""
+    planes = _lsh_md5_planes()
+
+    def dot_plane(plane):
+        arr = F.array(*[F.lit(c) for c in plane])
+        return F.aggregate(
+            F.zip_with(vec_col, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return sum(
+        (F.when(dot_plane(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i, p in enumerate(planes)),
+        F.lit(0)).cast("long")
+
+
+def _q_ann_lsh_topk_md5(spark, sf_dir):
+    """Hyperplane-LSH top-k with engine-portable DETERMINISTIC planes
+    (md5-derived constants, no RNG): bucket = sign bits of the 8 plane
+    dot products, candidates = buckets within hamming 1 of the query's
+    bucket (9 of 256 buckets ~ 3.5% of the corpus scanned at uniform
+    occupancy), exact cosine rescore, top 10. Oracle-checkable twin of
+    ann_lsh_topk (seeded-numpy planes + pandas-UDF bucketing)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    bucketed = emb.withColumn(
+        "bucket", _lsh_md5_bucket_col(F.col("embedding")))
+    qb = int(bucketed.filter(F.col("vec_id") == 0)
+             .collect()[0].bucket)
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= 1)
+    return S.top_k_similar(cand.select("vec_id", "embedding"),
+                           _query_vec(spark, sf_dir),
+                           top_k=10, id_col="vec_id", round_digits=6)
+
+
+def _q_dedup_clusters_lsh(spark, sf_dir):
+    """Scale-correct twin of dedup_clusters (SCALING.md): cluster edges
+    come from MinHash-LSH banding (candidate volume ~ true-dup volume,
+    measured linear across sf0.01->1) instead of the exact all-pairs
+    shingle join, which is quadratic when shingles are unselective.
+    md5 hash family -> fully oracle-checkable end to end."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        dedup_clusters, minhash_pairs_portable)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_portable(docs, "doc_id", "text",
+                                   num_hashes=16, shingle_n=3, bands=4)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def _q_doc_pagerank_lsh(spark, sf_dir):
+    """Scale-correct twin of doc_pagerank: the same 5-iteration
+    decimal-summed PageRank over the MinHash-LSH candidate graph
+    instead of the quadratic exact-Jaccard graph (SCALING.md)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        minhash_pairs_portable)
+    from dotnetvectorsearch_spark.operators.graph import (
+        pagerank_undirected)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_portable(docs, "doc_id", "text",
+                                   num_hashes=16, shingle_n=3, bands=4)
+    return pagerank_undirected(pairs, "id_a", "id_b", iters=5)
+
+
+def _q_semdedup_lsh(spark, sf_dir):
+    """Scale-correct twin of semdedup_keep: semantic near-dup clusters
+    from hyperplane-LSH-bucket-blocked cosine pairs (md5-deterministic
+    planes, per-bucket bipartite work) instead of the exact kNN graph,
+    which is O(n^2) by definition (SCALING.md). Same output contract:
+    every vector marked kept/dropped, keeper = min id per cluster."""
+    from pyspark.sql.window import Window
+
+    from dotnetvectorsearch_spark.operators.dedup import (
+        connected_components, embedding_neardup_pairs)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    bucketed = emb.withColumn(
+        "bucket", _lsh_md5_bucket_col(F.col("embedding")))
+    pairs = embedding_neardup_pairs(bucketed, "vec_id", "embedding",
+                                    block_col="bucket", threshold=0.35)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    clusters = (emb.select("vec_id")
+                .join(comp.withColumnRenamed("node", "vec_id"),
+                      "vec_id", "left")
+                .select("vec_id",
+                        F.coalesce("component", F.col("vec_id"))
+                        .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id", "cluster_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
+
+
 def _q_semantic_contamination(spark, sf_dir):
     """Cross-corpus SEMANTIC contamination: cosine >= tau between the
     eval half and the train half of the embeddings table (split by vec_id
@@ -2420,6 +2541,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_trends": _q_user_value_trends,
     # rows-only: sequential anchor-chain semantics (no SQL oracle)
     "debounced_events": _q_debounced_events,
+    # -- round 4 additions
+    "simhash_pairs_md5": _q_simhash_pairs_md5,
+    "ann_lsh_topk_md5": _q_ann_lsh_topk_md5,
+    # scale-correct twins of the measured-superlinear exact queries
+    # (SCALING.md): LSH candidate generation instead of exact all-pairs
+    "dedup_clusters_lsh": _q_dedup_clusters_lsh,
+    "doc_pagerank_lsh": _q_doc_pagerank_lsh,
+    "semdedup_lsh": _q_semdedup_lsh,
 }
 
 
@@ -4539,5 +4668,115 @@ def oracle_sql() -> dict[str, str]:
         SELECT sc.vec_id, sc.cluster_id,
                (sc.vec_id = m.keeper) AS kept
         FROM sc JOIN m USING (cluster_id)
+    """
+    # -- round 4: portable twins for the seeded/hashed candidates
+    # (VERDICT r3 next-round #4). SimHash: token bit p = bit (p%4,
+    # MSB-first) of nibble p//4 of md5(token)'s hex — string + integer
+    # arithmetic shared exactly by Java-regex Spark and RE2 DuckDB.
+    _sh_bits = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(h, {p // 4 + 1}, 1)) - 1) // {1 << (3 - p % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(32))
+    _sh_sig = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(32))
+    oracles["simhash_pairs_md5"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id, substr(md5(t), 1, 8) AS h FROM toks
+        ), bits AS (
+            SELECT doc_id, {_sh_bits} FROM th GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, CAST({_sh_sig} AS BIGINT) AS sig FROM bits
+        ), chunks AS (
+            SELECT doc_id, sig, ci,
+                   (sig // (1 << (ci * 8))) % 256 AS cv
+            FROM sigs, UNNEST([0, 1, 2, 3]) AS u(ci)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+    # Hyperplane LSH: the SAME md5-derived double constants inlined in
+    # the Spark expression (_q_ann_lsh_topk_md5) and here; dot products
+    # sum left-to-right in IEEE doubles in both engines.
+    _planes = _lsh_md5_planes()
+    _bucket_sql = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes))
+    oracles["ann_lsh_topk_md5"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket
+            FROM e
+        ), q AS (
+            SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+                   AS similarity
+        FROM b
+        WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
+        ORDER BY similarity DESC, vec_id ASC
+        LIMIT 10
+    """
+    # Scale-correct twins (SCALING.md): same downstream algebra
+    # (connected components / PageRank / keep-min), edges from the
+    # LINEAR md5-LSH candidate generators instead of exact all-pairs.
+    _cc_tail = """
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r
+        FROM reach JOIN edges e ON e.a = reach.node
+    ), comp AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )"""
+    oracles["dedup_clusters_lsh"] = f"""
+        WITH RECURSIVE pairs AS ({oracles["minhash_pairs_md5"]}),
+        {_cc_tail}
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+    oracles["doc_pagerank_lsh"] = pr.format(
+        jp=oracles["minhash_pairs_md5"], iters=pr_iters)
+    oracles["semdedup_lsh"] = f"""
+        WITH RECURSIVE ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), bk AS (
+            SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket
+            FROM ev
+        ), pairs AS (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM bk x JOIN bk y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+        ),
+        {_cc_tail},
+        cl AS (
+            SELECT ev.vec_id,
+                   COALESCE(c.cluster_id, ev.vec_id) AS cluster_id
+            FROM ev LEFT JOIN comp c ON c.node = ev.vec_id
+        ), m AS (
+            SELECT cluster_id, min(vec_id) AS keeper FROM cl GROUP BY 1
+        )
+        SELECT cl.vec_id, cl.cluster_id, (cl.vec_id = m.keeper) AS kept
+        FROM cl JOIN m USING (cluster_id)
     """
     return oracles

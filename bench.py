@@ -134,6 +134,12 @@ BENCH_QUERIES = [
     "incremental_dedup_bloom",
     "user_value_trends",
     "debounced_events",
+    # round 4 additions
+    "simhash_pairs_md5",
+    "ann_lsh_topk_md5",
+    "dedup_clusters_lsh",
+    "doc_pagerank_lsh",
+    "semdedup_lsh",
 ]
 
 

@@ -960,6 +960,73 @@ def semantic_contamination(train: DataFrame, test: DataFrame,
             .filter(F.col("cosine") >= threshold))
 
 
+def simhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 32,
+                           chunks: int = 4,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with an ENGINE-PORTABLE hash family — the
+    oracle-checkable twin of the xxhash64 production path
+    (`simhash_candidate_pairs`), mirroring `minhash_pairs_portable`.
+
+    Token bit p comes from nibble p//4 of md5(token)'s hex (bit p%4
+    counted from the nibble's MSB) — pure string + integer arithmetic
+    any engine reproduces exactly. Signature bit p is set when the
+    +/-1 sum over tokens is positive; the ``bits``-bit signature is
+    banded into ``chunks`` equal chunks (pigeonhole: hamming <=
+    chunks-1 guarantees one identical chunk), candidates equi-join on
+    (chunk index, chunk value), and the verify is
+    bit_count(xor) <= max_hamming. Returns (id_a, id_b, hamming).
+
+    Same shuffle shape as production: one groupBy(doc) exchange for the
+    bit sums, one (chunk, value) exchange, distinct pairs.
+    """
+    assert bits % chunks == 0 and bits % 4 == 0
+    chunk_bits = bits // chunks
+    hexd = "0123456789abcdef"
+    toks = (_spread(docs, id_col)
+            .select(F.col(id_col),
+                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("__t"))
+            .select(F.col(id_col),
+                    F.substring(F.md5("__t"), 1, bits // 4).alias("__h")))
+    # nibble i (0-based) of the hex prefix, then bit p of the token
+    nib = [(F.instr(F.lit(hexd),
+                    F.substring("__h", i + 1, 1)) - 1).cast("long")
+           for i in range(bits // 4)]
+    bit_sums = [
+        F.sum(F.when(
+            F.shiftright(nib[p // 4], 3 - (p % 4)) % 2 == 1,
+            F.lit(1)).otherwise(F.lit(-1))).alias(f"__b{p}")
+        for p in range(bits)
+    ]
+    grouped = toks.groupBy(id_col).agg(*bit_sums)
+    sig = sum((F.when(F.col(f"__b{p}") > 0,
+                      F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+               for p in range(bits)), F.lit(0).cast("long"))
+    sigs = grouped.select(F.col(id_col), sig.alias("sig"))
+    chunk_cols = [
+        F.struct(F.lit(c).alias("ci"),
+                 (F.shiftright("sig", c * chunk_bits)
+                  % (1 << chunk_bits)).alias("cv"))
+        for c in range(chunks)
+    ]
+    exploded = (sigs.select(id_col, "sig",
+                            F.explode(F.array(*chunk_cols)).alias("c"))
+                .select(id_col, "sig", F.col("c.ci").alias("ci"),
+                        F.col("c.cv").alias("cv")))
+    exploded = transient_persist(exploded)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                   & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def minhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            num_hashes: int = 16, shingle_n: int = 3,

@@ -434,6 +434,66 @@ def _funnel_fn(key, pdfs, state: GroupState):
         yield pd.DataFrame(out)
 
 
+_DEBOUNCE_OUT_SCHEMA = ("user_id long, ts timestamp, event_type string")
+_DEBOUNCE_STATE_SCHEMA = "last_kept long"
+
+
+def _make_debounce_fn(gap_us: int):
+    def debounce_fn(key, pdfs, state: GroupState):
+        """Per-key anchor debounce across micro-batches: keep an event
+        iff it is >= gap after the last KEPT event (anchor semantics —
+        the state is exactly one timestamp per key, the anchor)."""
+        import pandas as pd
+
+        if state.hasTimedOut:       # no timeout configured; safety only
+            state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            for us, ty in zip(pdf["ts"].astype("int64") // 1_000,
+                              pdf["event_type"]):
+                rows.append((int(us), str(ty)))
+        rows.sort()
+        (last_kept,) = state.get if state.exists else (-(1 << 62),)
+        out = []
+        for us, ty in rows:
+            if us - last_kept >= gap_us:
+                out.append({"user_id": key[0],
+                            "ts": pd.Timestamp(us, unit="us"),
+                            "event_type": ty})
+                last_kept = us
+        state.update((last_kept,))
+        if out:
+            yield pd.DataFrame(out)
+    return debounce_fn
+
+
+def stream_debounce(events: DataFrame, min_gap_sec: int = 5) -> DataFrame:
+    """Stateful streaming debounce — the applyInPandasWithState twin of
+    the batch `debounce_events` (operators/temporal.py): drop any event
+    within ``min_gap_sec`` of the last KEPT event of the same user.
+    Anchor state is ONE timestamp per key, so memory is O(users).
+
+    Same batch/stream reconciliation caveat as `stream_funnel`: events
+    are consumed in per-micro-batch arrival order (sorted within each
+    batch); a late out-of-order event landing in a later batch is
+    judged against the anchor as of ITS batch, where the batch operator
+    — which sees a globally sorted stream — might keep/drop
+    differently. Run the batch twin for nightly exact numbers.
+    `events` must be a streaming frame with (user_id long,
+    ts timestamp, event_type string).
+    """
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_debounce_fn(min_gap_sec * 1_000_000),
+                outputStructType=_DEBOUNCE_OUT_SCHEMA,
+                stateStructType=_DEBOUNCE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
 def stream_funnel(events: DataFrame) -> DataFrame:
     """Stateful streaming funnel: per-user step completions for the
     view -> click -> purchase chain, emitted AS THEY HAPPEN across

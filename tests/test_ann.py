@@ -36,6 +36,25 @@ def test_ivf_recall(emb, qvec, exact_top10):
     assert recall >= 0.5
 
 
+def test_ivf_recall_monotone_in_nprobe(emb, qvec, exact_top10):
+    """With exact-cosine rescoring, recall@k is non-decreasing in
+    nprobe: candidate sets nest, and any candidate that displaces a
+    true-top-k member from the approx top-k must itself be a true-top-k
+    member (total order on scores). The ANN_CURVE.md sweep relies on
+    this invariant."""
+    idx = A.IVFIndex(n_cells=8, nprobe=1).fit(emb)
+    indexed = idx.transform(emb)
+    prev = -1.0
+    for nprobe in (1, 2, 4, 8):
+        idx.nprobe = nprobe
+        got = {r.vec_id
+               for r in idx.search(indexed, qvec, 10).collect()}
+        recall = len(got & set(exact_top10)) / 10
+        assert recall >= prev
+        prev = recall
+    assert prev == 1.0  # nprobe == n_cells scans everything -> exact
+
+
 def test_ivf_deterministic(emb, qvec):
     a = A.IVFIndex(n_cells=8, nprobe=2, seed=7).fit(emb)
     b = A.IVFIndex(n_cells=8, nprobe=2, seed=7).fit(emb)

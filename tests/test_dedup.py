@@ -334,6 +334,49 @@ def test_minhash_portable_pairs_identical_and_disjoint(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_portable_pairs_identical_and_disjoint(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                   # identical: hamming 0
+        Row(doc_id=3, text="zx qv wk pl mn bv cx dz ef gh ij kl mo pq rs"),
+    ])
+    rows = D.simhash_pairs_portable(docs).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert pairs.get((1, 2)) == 0                   # exact dup, hamming 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_portable_near_dup_within_hamming(spark):
+    """A small perturbation moves few signature bits; an unrelated doc
+    moves many — the twin discriminates exactly like the production
+    path, with a portable hash family."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" if i != 30 else "CHANGED" for i in range(60))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=near),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(60))),
+    ])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in D.simhash_pairs_portable(docs, max_hamming=3)
+             .collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_clusters_lsh_groups_dups_same_as_exact(spark, dup_docs):
+    """The LSH-edge clustering twin must agree with the exact-jaccard
+    clustering on clear-cut data: dups clustered together under the
+    min id, unrelated docs singleton (SCALING.md pairing contract)."""
+    pairs = D.minhash_pairs_portable(dup_docs, num_hashes=16, bands=4)
+    got = {r.doc_id: r.cluster_id
+           for r in D.dedup_clusters(dup_docs, pairs).collect()}
+    assert got[1] == got[2] == 1        # exact dups share the min id
+    assert got[5] == 5                  # unrelated -> singleton
+
+
 def test_ngram_novelty_unique_vs_duplicated(spark):
     from dotnetvectorsearch_spark.operators.dedup import ngram_novelty
     rows = [

@@ -544,6 +544,61 @@ def test_stream_rollup_recovers_history_after_torn_swap(spark, tmp_path):
     assert not os.path.isdir(f"{out}__old-7")         # survivor consumed
 
 
+def test_stream_debounce_anchor_carries_across_batches(spark, tmp_path):
+    """Streaming debounce must keep the anchor (last KEPT ts) across
+    micro-batches and match the batch operator on in-order input."""
+    from dotnetvectorsearch_spark.operators.temporal import debounce_events
+    from dotnetvectorsearch_spark.streaming.ingest import stream_debounce
+    src = tmp_path / "deb_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "deb_out")
+    ckpt = str(tmp_path / "deb_ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .write.parquet(str(src / name))
+
+    # u1: burst at 10:00:00/:02/:06 -> keep :00 and :06 (anchor, not
+    # lag: :06 is 6s after the KEPT :00 even though only 4s after :02).
+    # u2: single event.
+    b1 = [(1, "2024-01-01 10:00:00", "view"),
+          (1, "2024-01-01 10:00:02", "view"),
+          (1, "2024-01-01 10:00:06", "view"),
+          (2, "2024-01-01 10:00:00", "click")]
+    # batch 2: u1 at :08 (2s after kept :06 -> dropped; state crossed
+    # the micro-batch boundary) and :30 (kept); u2 at :03 -> dropped.
+    b2 = [(1, "2024-01-01 10:00:08", "view"),
+          (1, "2024-01-01 10:00:30", "view"),
+          (2, "2024-01-01 10:00:03", "click")]
+    drop("b1", b1)
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (stream_debounce(stream, min_gap_sec=5)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .start())
+    try:
+        assert _wait(lambda: _count_parquet(spark, out_dir) == 3)
+        drop("b2", b2)
+        assert _wait(lambda: _count_parquet(spark, out_dir) == 4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.user_id, str(r.ts))
+                 for r in spark.read.parquet(out_dir).collect())
+    # batch twin on the full in-order input agrees
+    batch_in = spark.createDataFrame(
+        b1 + b2, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted((r.user_id, str(r.ts)) for r in debounce_events(
+        batch_in, ["user_id"], min_gap_sec=5).collect())
+    assert got == want
+    assert got == [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:06"),
+                   (1, "2024-01-01 10:00:30"), (2, "2024-01-01 10:00:00")]
+
+
 def test_stream_funnel_emits_step_completions_across_batches(
         spark, tmp_path):
     from dotnetvectorsearch_spark.streaming.ingest import stream_funnel

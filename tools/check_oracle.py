@@ -121,9 +121,18 @@ def _write_md(ledger, failures: int) -> None:
     the driver's 49-entry prefix has not reached yet."""
     import datetime
     import subprocess
+    root = Path(__file__).parent.parent
     sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
-                         cwd=Path(__file__).parent.parent).stdout.strip()
+                         cwd=root).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no"],
+        capture_output=True, text=True, cwd=root).stdout.strip()
+    tree_state = ("clean tree — the stamp names the exact judged source"
+                  if not dirty else
+                  "DIRTY TREE — uncommitted changes were present; "
+                  "regenerate after committing (tools/finalize_round.py "
+                  "enforces this)")
     n_ok = sum(1 for _, s, _, _ in ledger if s == "OK")
     n_rows = sum(1 for _, s, _, _ in ledger if s == "rows-only")
     n_fail = len(ledger) - n_ok - n_rows
@@ -131,7 +140,7 @@ def _write_md(ledger, failures: int) -> None:
         "# Oracle self-check (full query registry)",
         "",
         f"Generated by `python tools/check_oracle.py --md` at commit "
-        f"`{sha}` on "
+        f"`{sha}` ({tree_state}) on "
         f"{datetime.datetime.now(datetime.UTC).date().isoformat()} — the "
         "local replica of the driver's correctness gate (rows + columns + "
         "order-insensitive type-tagged value hash, Spark vs DuckDB at "
