@@ -264,3 +264,20 @@ def test_training_shards_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "training_shards")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_minhash_candidates_no_window_no_selfjoin(spark, sf_dir):
+    """Round-4 candidate stage: bucket-local pair expansion — ONE
+    groupBy(band, bucket) exchange, no window sort, no self-join
+    (the pre-round-4 shape had all three)."""
+    plan = _plan(spark, sf_dir, "minhash_pairs")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_lsh_bucket_blocking_is_catalyst(spark, sf_dir):
+    """The md5-plane bucket expression must stay JVM-side: no Python
+    UDF boundary (BatchEvalPython / ArrowEvalPython) in the plan."""
+    plan = _plan(spark, sf_dir, "semdedup_lsh")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
