@@ -108,31 +108,14 @@ def hll_daily_distinct(events: DataFrame, ts_col: str = "ts",
     return per_day.unionByName(total)
 
 
-def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
-                     top_n: int = 20) -> DataFrame:
-    """Approximate heavy hitters via mergeable Misra-Gries summaries
-    (Misra & Gries '82; the deterministic frequent-items sketch the
-    DataSketches FI sketch builds on — Spark 4 ships theta/HLL/KLL but
-    no FI aggregate, so this fills the family's gap).
-
-    Each partition folds its stream through a k-counter MG summary in
-    one Arrow pass (count decrements spread over all keys, so any key's
-    undercount is <= n_part/(k+1)); the exchange then carries AT MOST k
-    rows per partition — never the stream — and the global estimate is
-    the per-key sum of partial counts. Every reported count is an
-    UNDERESTIMATE with a certified bound: true count is within
-    [est, est + max_undercount], where max_undercount sums the
-    per-partition DECREMENT-ROUND counts (each round can take at most 1
-    from any key; at most n_part/(k+1) rounds can occur); any key whose
-    true count exceeds max_undercount is guaranteed present. When a
-    partition's distinct keys fit the k counters, its slack is exactly
-    0 — the summary degrades gracefully into an exact count. Returns ``top_n`` rows
-    (key, est_count, max_undercount) ordered est desc, key asc.
-
-    The exact twin (`top_terms`-style full groupBy) shuffles the whole
-    key stream; this shuffles k rows per task — the difference between
-    a vocabulary-scale exchange and a constant one at 100 TB.
-    """
+def mg_partials(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries as a mergeable frame:
+    (key string — NULL carries the partition's decrement slack, est
+    long, slack long). One Arrow pass per partition; at most k+1 rows
+    per partition ever leave it. The building block shared by the batch
+    `heavy_hitters_mg` and the streaming `stream_heavy_hitters`
+    maintenance (summaries merge by summing per-key partials and
+    slack)."""
     import pandas as pd
 
     def mg_partition(batches):
@@ -166,14 +149,87 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
             "est": list(counters.values()) + [0],
             "slack": [0] * len(counters) + [slack]})
 
-    parts = (df.select(F.col(col).alias(col))
-             .mapInPandas(mg_partition, "key string, est long, slack long"))
+    return (df.select(F.col(col).alias(col))
+            .mapInPandas(mg_partition, "key string, est long, slack long"))
+
+
+def mg_top(parts: DataFrame, top_n: int = 20) -> DataFrame:
+    """Reduce a mergeable MG-summary frame (``mg_partials`` output, or
+    a union of summaries) to the ``top_n`` report: (key, est_count,
+    max_undercount) ordered est desc, key asc."""
     from dotnetvectorsearch_spark.caching import transient_persist
     parts = transient_persist(parts)
     total_slack = F.broadcast(
-        parts.agg(F.sum("slack").alias("max_undercount")))
+        parts.agg(F.coalesce(F.sum("slack"), F.lit(0))
+                  .alias("max_undercount")))
     return (parts.filter(F.col("key").isNotNull())
             .groupBy("key").agg(F.sum("est").alias("est_count"))
             .crossJoin(total_slack)
             .orderBy(F.desc("est_count"), F.asc("key"))
             .limit(top_n))
+
+
+def mg_merge_compress(summary: DataFrame, k: int = 64) -> DataFrame:
+    """Merge an MG-summary frame (possibly several summaries unioned,
+    duplicate keys allowed) and compress it back to at most ``k``
+    tracked keys — the Agarwal et al. '12 mergeable-summaries step:
+    sum per-key partials, and if more than k keys survive, subtract the
+    (k+1)-th largest estimate from every key, drop non-positives, and
+    add the subtracted amount to the slack. The [est, est + slack]
+    undercount guarantee is preserved across arbitrary merge trees,
+    which is what lets a STREAM maintain one bounded summary forever.
+
+    The (k+1)-th-largest lookup is a counted-and-bounded driver action
+    (k+1 rows); everything else is frame algebra.
+    """
+    merged = (summary.groupBy("key")
+              .agg(F.sum("est").alias("est"),
+                   F.sum("slack").alias("slack")))
+    keys = merged.filter(F.col("key").isNotNull())
+    slack_total = (merged.agg(F.coalesce(F.sum("slack"), F.lit(0)))
+                   .collect()[0][0])
+    top = keys.orderBy(F.desc("est"), F.asc("key")).limit(k + 1).collect()
+    if len(top) <= k:
+        spark = summary.sparkSession
+        slack_row = spark.createDataFrame(
+            [(None, 0, int(slack_total))],
+            "key string, est long, slack long")
+        return (keys.select("key", "est", F.lit(0).alias("slack"))
+                .unionByName(slack_row))
+    m = int(top[-1].est)
+    spark = summary.sparkSession
+    slack_row = spark.createDataFrame(
+        [(None, 0, int(slack_total) + m)],
+        "key string, est long, slack long")
+    return (keys.select("key", (F.col("est") - m).alias("est"),
+                        F.lit(0).alias("slack"))
+            .filter(F.col("est") > 0)
+            .unionByName(slack_row))
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, k: int = 64,
+                     top_n: int = 20) -> DataFrame:
+    """Approximate heavy hitters via mergeable Misra-Gries summaries
+    (Misra & Gries '82; the deterministic frequent-items sketch the
+    DataSketches FI sketch builds on — Spark 4 ships theta/HLL/KLL but
+    no FI aggregate, so this fills the family's gap).
+
+    Each partition folds its stream through a k-counter MG summary in
+    one Arrow pass (count decrements spread over all keys, so any key's
+    undercount is <= n_part/(k+1)); the exchange then carries AT MOST k
+    rows per partition — never the stream — and the global estimate is
+    the per-key sum of partial counts. Every reported count is an
+    UNDERESTIMATE with a certified bound: true count is within
+    [est, est + max_undercount], where max_undercount sums the
+    per-partition DECREMENT-ROUND counts (each round can take at most 1
+    from any key; at most n_part/(k+1) rounds can occur); any key whose
+    true count exceeds max_undercount is guaranteed present. When a
+    partition's distinct keys fit the k counters, its slack is exactly
+    0 — the summary degrades gracefully into an exact count. Returns ``top_n`` rows
+    (key, est_count, max_undercount) ordered est desc, key asc.
+
+    The exact twin (`top_terms`-style full groupBy) shuffles the whole
+    key stream; this shuffles k rows per task — the difference between
+    a vocabulary-scale exchange and a constant one at 100 TB.
+    """
+    return mg_top(mg_partials(df, col, k), top_n)

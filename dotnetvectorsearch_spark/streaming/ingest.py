@@ -434,6 +434,67 @@ def _funnel_fn(key, pdfs, state: GroupState):
         yield pd.DataFrame(out)
 
 
+def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
+                         checkpoint: str, k: int = 64):
+    """Streaming frequent-items maintenance: a SINGLE bounded
+    Misra-Gries summary (<= k tracked keys + slack) maintained forever
+    over the stream — the streaming twin of the batch
+    `heavy_hitters_mg`, built on the same mergeable partials
+    (operators/sketches.py: mg_partials / mg_merge_compress; Agarwal
+    et al. '12 mergeable summaries, so merge order cannot break the
+    [est, est + slack] undercount guarantee).
+
+    Per micro-batch cost: one Arrow pass over the batch (k+1 rows per
+    partition out), a union with the <= k+1 stored summary rows, and
+    the compress step — NEVER a rescan of history; state on disk is
+    O(k). Read the current report any time with
+    `mg_top(spark.read.parquet(path))`. Same atomic parquet-swap +
+    crash recovery as `stream_rollup_maintenance`.
+    """
+    import glob
+    import os
+    import shutil
+
+    from dotnetvectorsearch_spark.operators.sketches import (
+        mg_merge_compress, mg_partials)
+
+    def recover() -> None:
+        if os.path.isdir(path):
+            return
+        stage = f"{path}__stage"
+        if os.path.isdir(stage) and os.path.isfile(
+                os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, path)
+            return
+        olds = sorted(glob.glob(f"{path}__old-*"),
+                      key=lambda p: os.path.getmtime(p))
+        if olds:
+            os.rename(olds[-1], path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover()
+        summary = mg_partials(batch_df, col, k)
+        if os.path.isdir(path):
+            summary = summary.unionByName(
+                spark.read.parquet(path).select("key", "est", "slack"))
+        merged = mg_merge_compress(summary, k)
+        stage = f"{path}__stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        old = f"{path}__old-{batch_id}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(stage, path)
+        shutil.rmtree(old, ignore_errors=True)
+        for leftover in glob.glob(f"{path}__old-*"):
+            shutil.rmtree(leftover, ignore_errors=True)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 _DEBOUNCE_OUT_SCHEMA = ("user_id long, ts timestamp, event_type string")
 _DEBOUNCE_STATE_SCHEMA = "last_kept long"
 

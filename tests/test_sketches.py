@@ -155,3 +155,45 @@ def test_heavy_hitters_mg_exact_when_keys_fit_counters(spark):
     out = {r.key: (r.est_count, r.max_undercount)
            for r in heavy_hitters_mg(df, "w", k=16, top_n=10).collect()}
     assert out == {"x": (5, 0), "y": (3, 0), "z": (2, 0)}
+
+
+def test_mg_merge_compress_preserves_guarantee(spark):
+    """Merging two MG summaries and compressing to k keys must keep the
+    [est, est + slack] undercount guarantee against the exact counts of
+    the combined stream, and track at most k keys."""
+    from dotnetvectorsearch_spark.operators.sketches import (
+        mg_merge_compress, mg_partials, mg_top)
+    k = 4
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 30 + [(w,) for w in "abcdefgh"],
+        "v string").coalesce(1)
+    b = spark.createDataFrame(
+        [("x",)] * 20 + [("z",)] * 40 + [(w,) for w in "ijklmnop"],
+        "v string").coalesce(1)
+    merged = mg_merge_compress(
+        mg_partials(a, "v", k).unionByName(mg_partials(b, "v", k)), k)
+    rows = merged.collect()
+    keys = [r for r in rows if r.key is not None]
+    assert len(keys) <= k
+    report = {r.key: (r.est_count, r.max_undercount)
+              for r in mg_top(merged, top_n=k).collect()}
+    exact = {"x": 70, "y": 30, "z": 40}
+    slack = next(r.slack for r in rows if r.key is None)
+    for key, true_count in exact.items():
+        # any key whose true count exceeds the slack must be present,
+        # with est <= true <= est + slack
+        if true_count > slack:
+            est, und = report[key]
+            assert est <= true_count <= est + und
+
+
+def test_mg_merge_compress_exact_regime_stays_exact(spark):
+    from dotnetvectorsearch_spark.operators.sketches import (
+        mg_merge_compress, mg_partials, mg_top)
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, "v string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, "v string")
+    merged = mg_merge_compress(
+        mg_partials(a, "v", 64).unionByName(mg_partials(b, "v", 64)), 64)
+    got = {r.key: (r.est_count, r.max_undercount)
+           for r in mg_top(merged).collect()}
+    assert got == {"x": (7, 0), "y": (3, 0), "z": (4, 0)}

@@ -544,6 +544,37 @@ def test_stream_rollup_recovers_history_after_torn_swap(spark, tmp_path):
     assert not os.path.isdir(f"{out}__old-7")         # survivor consumed
 
 
+def test_stream_heavy_hitters_maintains_bounded_summary(spark, tmp_path):
+    """Two micro-batches; the stored MG summary must equal the exact
+    counts in the exact regime (distinct keys <= k), stay O(k) on disk,
+    and NEVER rescan history (per-batch merge of batch partials with
+    the <= k+1 stored rows)."""
+    from dotnetvectorsearch_spark.operators.sketches import mg_top
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_heavy_hitters)
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    out = str(tmp_path / "hh_summary")
+    ckpt = str(tmp_path / "hh_ckpt")
+    b1 = [("x",)] * 5 + [("y",)] * 3
+    b2 = [("x",)] * 2 + [("z",)] * 4
+    spark.createDataFrame(b1, "v string").write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("v string").parquet(str(src / "*"))
+    q = stream_heavy_hitters(stream, "v", out, ckpt, k=8)
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) >= 3)  # x, y, slack
+        spark.createDataFrame(b2, "v string").write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, out) >= 4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    summary = spark.read.parquet(out)
+    assert summary.count() <= 8 + 1          # O(k) state on disk
+    got = {r.key: (r.est_count, r.max_undercount)
+           for r in mg_top(summary).collect()}
+    assert got == {"x": (7, 0), "y": (3, 0), "z": (4, 0)}
+
+
 def test_stream_debounce_anchor_carries_across_batches(spark, tmp_path):
     """Streaming debounce must keep the anchor (last KEPT ts) across
     micro-batches and match the batch operator on in-order input."""
