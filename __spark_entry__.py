@@ -528,6 +528,24 @@ def _q_semdedup_lsh(spark, sf_dir):
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
 
 
+def _q_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup gate (the near-dup analogue of
+    incremental_dedup): is each batch doc (doc_id % 5 == 0) a
+    near-duplicate of the signature STORE built from the rest of the
+    corpus? Bipartite LSH band join for candidates, similarity
+    estimated from the stored signatures alone (matching md5-minhash
+    components / 16) — history is never re-shingled. Fully
+    oracle-checkable (md5 family)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        minhash_signatures_portable, neardup_filter_incremental)
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return neardup_filter_incremental(
+        minhash_signatures_portable(batch),
+        minhash_signatures_portable(history))
+
+
 def _q_semantic_contamination(spark, sf_dir):
     """Cross-corpus SEMANTIC contamination: cosine >= tau between the
     eval half and the train half of the embeddings table (split by vec_id
@@ -2549,6 +2567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_lsh": _q_dedup_clusters_lsh,
     "doc_pagerank_lsh": _q_doc_pagerank_lsh,
     "semdedup_lsh": _q_semdedup_lsh,
+    "incremental_neardup": _q_incremental_neardup,
 }
 
 
@@ -4778,5 +4797,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cl.vec_id, cl.cluster_id, (cl.vec_id = m.keeper) AS kept
         FROM cl JOIN m USING (cluster_id)
+    """
+    # incremental near-dup gate: same md5 minhash family as
+    # minhash_pairs_md5, bipartite (batch x store) band join, estimate
+    # = matching signature components / 16
+    def _mh_bands_from(src: str) -> str:
+        return "\n            UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {cat} AS bucket FROM {src}"
+            .format(b=b, src=src,
+                    cat=" || '|' || ".join(f"h{b * 4 + r}"
+                                           for r in range(4)))
+            for b in range(4))
+    _eq16 = " + ".join(
+        f"(CASE WHEN a.h{k} = s.h{k} THEN 1 ELSE 0 END)"
+        for k in range(16))
+    oracles["incremental_neardup"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), mh AS (
+            SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id
+        ), bmh AS (
+            SELECT * FROM mh WHERE doc_id % 5 = 0
+        ), smh AS (
+            SELECT * FROM mh WHERE doc_id % 5 <> 0
+        ), bb AS (
+            {_mh_bands_from('bmh')}
+        ), sb AS (
+            {_mh_bands_from('smh')}
+        ), cand AS (
+            SELECT DISTINCT bb.doc_id AS bid, sb.doc_id AS sid
+            FROM bb JOIN sb
+              ON bb.band = sb.band AND bb.bucket = sb.bucket
+        ), est AS (
+            SELECT c.bid,
+                   max(round(CAST({_eq16} AS DOUBLE) / 16, 6)) AS max_est
+            FROM cand c
+            JOIN bmh a ON a.doc_id = c.bid
+            JOIN smh s ON s.doc_id = c.sid
+            GROUP BY c.bid
+        )
+        SELECT m.doc_id, COALESCE(e.max_est, 0.0) AS max_est,
+               (COALESCE(e.max_est, 0.0) >= 0.5) AS is_neardup
+        FROM bmh m LEFT JOIN est e ON e.bid = m.doc_id
     """
     return oracles

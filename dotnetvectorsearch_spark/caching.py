@@ -53,7 +53,10 @@ def release_transient() -> int:
     released = 0
     for df in frames:
         try:
-            df.unpersist()
+            # blocking: PySpark's default unpersist is async, which
+            # leaves the block manager's registry briefly stale — the
+            # release must be deterministic for accounting (and tests)
+            df.unpersist(blocking=True)
             released += 1
         except Exception:  # noqa: BLE001 - session may already be gone
             pass

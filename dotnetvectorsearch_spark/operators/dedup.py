@@ -960,6 +960,92 @@ def semantic_contamination(train: DataFrame, test: DataFrame,
             .filter(F.col("cosine") >= threshold))
 
 
+def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_hashes: int = 16,
+                                shingle_n: int = 3) -> DataFrame:
+    """Engine-portable minhash signatures as COLUMNS (id, h0..h{K-1}):
+    min over shingles of md5('kk:' || shingle) hex — lexicographic min
+    == numeric min on fixed-width hex, so any engine with md5
+    reproduces the exact values (the `minhash_pairs_portable` family,
+    exposed column-wise so incremental-dedup joins and their DuckDB
+    oracles stay plain scalar SQL). Docs with no shingles produce no
+    row."""
+    exploded = (_spread(docs, id_col)
+                .select(F.col(id_col),
+                        F.explode(word_shingles(text_col, shingle_n))
+                        .alias("__s")))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{k:02d}:"), F.col("__s"))))
+            .alias(f"h{k}")
+            for k in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def neardup_filter_incremental(batch_sigs: DataFrame,
+                               store_sigs: DataFrame,
+                               id_col: str = "doc_id",
+                               num_hashes: int = 16, bands: int = 4,
+                               threshold: float = 0.5) -> DataFrame:
+    """Incremental NEAR-dup gate: for every batch doc, is it a
+    near-duplicate of anything already in the signature store? The
+    near-dup analogue of `exact_dedup_incremental` — the nightly-crawl
+    question every growing corpus asks, at BATCH cost:
+
+    1. candidates: bipartite LSH band equi-join (batch bands x store
+       bands) — collision volume ~ true-dup volume, never
+       |batch| x |store|;
+    2. verify: similarity ESTIMATED from the stored signatures
+       themselves (matching components / K, the unbiased minhash
+       Jaccard estimator) — the store holds K hashes per doc, never
+       shingles, so history stays O(corpus x K) and is re-read only
+       through the band join.
+
+    Both frames are `minhash_signatures_portable` outputs (columns
+    h0..h{K-1}). Returns one row per batch doc: (id, max_est,
+    is_neardup). Estimator resolution is 1/K — size K to the decision
+    granularity you need (K=16 resolves 0.0625 steps).
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *[F.col(f"h{b * rows + r}")
+                                        for r in range(rows)])
+                     .alias("bucket"))
+            for b in range(bands)
+        ]
+        return (sigs.select(F.col(id_col).alias(out_id),
+                            F.explode(F.array(*band_cols)).alias("bb"))
+                .select(out_id, F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
+
+    batch_sigs = transient_persist(batch_sigs)
+    cands = (banded(batch_sigs, "__bid")
+             .join(banded(store_sigs, "__sid"), ["band", "bucket"])
+             .select("__bid", "__sid").distinct())
+    a = batch_sigs.select(F.col(id_col).alias("__bid"),
+                          *[F.col(f"h{k}").alias(f"__a{k}")
+                            for k in range(num_hashes)])
+    b = store_sigs.select(F.col(id_col).alias("__sid"),
+                          *[F.col(f"h{k}").alias(f"__b{k}")
+                            for k in range(num_hashes)])
+    eq = sum((F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1)
+              .otherwise(0) for k in range(num_hashes)), F.lit(0))
+    est = F.round(eq.cast("double") / num_hashes, 6)
+    per_batch = (cands.join(a, "__bid").join(b, "__sid")
+                 .select("__bid", est.alias("__est"))
+                 .groupBy("__bid").agg(F.max("__est").alias("max_est")))
+    return (batch_sigs.select(F.col(id_col))
+            .join(per_batch.withColumnRenamed("__bid", id_col),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("max_est", F.lit(0.0)).alias("max_est"))
+            .withColumn("is_neardup",
+                        F.col("max_est") >= F.lit(threshold)))
+
+
 def simhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", bits: int = 32,
                            chunks: int = 4,

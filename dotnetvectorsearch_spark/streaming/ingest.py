@@ -495,6 +495,83 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
             .start())
 
 
+def stream_neardup_dedup(stream: DataFrame, out_path: str,
+                         store_path: str, checkpoint: str,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_hashes: int = 16, bands: int = 4,
+                         threshold: float = 0.5):
+    """Streaming incremental NEAR-dup dedup: per micro-batch, keep only
+    docs that are not near-duplicates of anything seen before
+    (signature-estimate gate against the growing md5-minhash store),
+    append survivors to ``out_path`` and their SIGNATURES to
+    ``store_path`` — the near-dup analogue of the exact `stream_dedup`,
+    batch twin `neardup_filter_incremental` (operators/dedup.py).
+
+    History is held as K hashes per doc (never shingles) and re-read
+    only through the bipartite LSH band join, so per-batch cost tracks
+    |batch| x collision-rate. Within-batch near-dups are resolved
+    BEFORE probing the store with a conservative min-keep: a doc is
+    dropped when it is over-threshold-similar to ANY lower-id doc of
+    its batch (so only pair-cluster minima survive). At-least-once on
+    replay (appends are not idempotent) — the usual foreachBatch
+    caveat; pair with a batch-id high-water mark for exactly-once.
+    """
+    import os
+
+    from dotnetvectorsearch_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures_portable,
+        neardup_filter_incremental)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures_portable(
+            batch_df, id_col, text_col, num_hashes).persist()
+        try:
+            # within-batch keep-first: id_b of any over-threshold pair
+            # (id_a < id_b by construction) is a dup of a lower id
+            arr = F.array(*[F.col(f"h{k}") for k in range(num_hashes)])
+            pairs = lsh_candidate_pairs(
+                sigs.select(id_col, arr.alias("minhash")), id_col,
+                "minhash", bands, num_hashes // bands)
+            eq = F.size(F.filter(
+                F.zip_with("a_sig", "b_sig", lambda a, b: a == b),
+                lambda x: x))
+            a = sigs.select(F.col(id_col).alias("id_a"),
+                            arr.alias("a_sig"))
+            b = sigs.select(F.col(id_col).alias("id_b"),
+                            arr.alias("b_sig"))
+            dup_in_batch = (pairs.join(a, "id_a").join(b, "id_b")
+                            .withColumn("__est",
+                                        eq.cast("double") / num_hashes)
+                            .filter(F.col("__est") >= threshold)
+                            .select(F.col("id_b").alias(id_col))
+                            .distinct())
+            survivors_sigs = sigs.join(dup_in_batch, id_col,
+                                       "left_anti")
+            if os.path.isdir(store_path):
+                store = spark.read.parquet(store_path)
+                flags = neardup_filter_incremental(
+                    survivors_sigs, store, id_col, num_hashes, bands,
+                    threshold)
+                keep_ids = (flags.filter(~F.col("is_neardup"))
+                            .select(id_col))
+                survivors_sigs = survivors_sigs.join(
+                    keep_ids, id_col, "left_semi")
+            survivors_sigs = survivors_sigs.persist()
+            batch_df.join(survivors_sigs.select(id_col), id_col,
+                          "left_semi") \
+                .write.mode("append").parquet(out_path)
+            survivors_sigs.write.mode("append").parquet(store_path)
+            survivors_sigs.unpersist()
+        finally:
+            sigs.unpersist()
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 _DEBOUNCE_OUT_SCHEMA = ("user_id long, ts timestamp, event_type string")
 _DEBOUNCE_STATE_SCHEMA = "last_kept long"
 

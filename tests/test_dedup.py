@@ -377,6 +377,29 @@ def test_dedup_clusters_lsh_groups_dups_same_as_exact(spark, dup_docs):
     assert got[5] == 5                  # unrelated -> singleton
 
 
+def test_neardup_filter_incremental_flags_history_dups(spark, dup_docs):
+    """Batch docs near-identical to STORE docs must flag is_neardup
+    with a high signature estimate; novel docs must not. The store is
+    never re-shingled — only the K stored hashes are compared."""
+    store_docs = dup_docs.filter(F.col("doc_id").isin(1, 5))
+    batch_docs = dup_docs.filter(F.col("doc_id").isin(2, 3))  # 2 == 1
+    store = D.minhash_signatures_portable(store_docs)
+    batch = D.minhash_signatures_portable(batch_docs)
+    got = {r.doc_id: (r.max_est, r.is_neardup)
+           for r in D.neardup_filter_incremental(batch, store).collect()}
+    assert got[2] == (1.0, True)        # exact copy of stored doc 1
+    est3, flag3 = got[3]                # unrelated to 1 and 5
+    assert est3 < 0.5 and flag3 is False
+
+
+def test_neardup_filter_incremental_empty_store(spark, dup_docs):
+    batch = D.minhash_signatures_portable(dup_docs)
+    store = batch.filter(F.lit(False))
+    got = D.neardup_filter_incremental(batch, store).collect()
+    assert all(r.max_est == 0.0 and not r.is_neardup for r in got)
+    assert len(got) == dup_docs.count()
+
+
 def test_ngram_novelty_unique_vs_duplicated(spark):
     from dotnetvectorsearch_spark.operators.dedup import ngram_novelty
     rows = [
@@ -471,18 +494,26 @@ def test_transient_caches_released_after_action(spark, dup_docs, sf_dir):
     from dotnetvectorsearch_spark.caching import release_transient
     from dotnetvectorsearch_spark.operators import lm as LM
 
+    def persisted_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     release_transient()  # start clean of other tests' leftovers
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # SET-based accounting: Spark's ContextCleaner sweeps GC'd stale
+    # entries from other tests at arbitrary times, so global COUNTS
+    # race — only the ids THIS test creates are deterministic.
+    before = persisted_ids()
     D.dup_span_stats(dup_docs, n=3).count()
     D.minhash_dedup_pairs(dup_docs, num_hashes=16, bands=8,
                           threshold=0.3).count()
     LM.bigram_logprob(dup_docs).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    new = persisted_ids() - before
+    assert new                       # the operator caches materialized
     released = release_transient()
     # grams, sh, occ... (the round-4 candidate/verify rewrite removed
     # the banded/pairs/uniq persists — fewer caches is the point)
     assert released >= 3
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+    assert not (persisted_ids() & new)   # every new cache is gone
 
 
 def test_remove_duplicate_spans_keeps_first_occurrence(spark):

@@ -544,6 +544,45 @@ def test_stream_rollup_recovers_history_after_torn_swap(spark, tmp_path):
     assert not os.path.isdir(f"{out}__old-7")         # survivor consumed
 
 
+def test_stream_neardup_dedup_gates_against_growing_store(
+        spark, tmp_path):
+    """Batch 1 seeds the store; batch 2's near-dup of a batch-1 doc
+    must be dropped while its novel doc passes; within-batch dups
+    resolve to the min id. The store holds SIGNATURES only."""
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_neardup_dedup)
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    out = str(tmp_path / "nd_out")
+    store = str(tmp_path / "nd_store")
+    ckpt = str(tmp_path / "nd_ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    far = "completely different words describing some other topic entirely"
+    other = "spark streams merge sorted batches into compact parquet files"
+    schema = "doc_id long, text string"
+    # batch 1: 1 and its exact copy 2 (within-batch dup), plus 5
+    spark.createDataFrame([(1, base), (2, base), (5, far)], schema) \
+        .write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = stream_neardup_dedup(stream, out, store, ckpt)
+    try:
+        assert _wait(lambda: _count_parquet(spark, out) == 2)  # 1, 5
+        # batch 2: 7 is a copy of batch-1's doc 1 (store hit); 9 novel
+        spark.createDataFrame([(7, base), (9, other)], schema) \
+            .write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, out) == 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 5, 9]
+    store_cols = spark.read.parquet(store).columns
+    assert "text" not in store_cols          # signatures only
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(store).select("doc_id").collect()
+                  ) == [1, 5, 9]
+
+
 def test_stream_heavy_hitters_maintains_bounded_summary(spark, tmp_path):
     """Two micro-batches; the stored MG summary must equal the exact
     counts in the exact regime (distinct keys <= k), stay O(k) on disk,
