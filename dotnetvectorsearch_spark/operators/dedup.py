@@ -319,8 +319,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     buckets = (exploded.groupBy("band", "bucket")
                .agg(F.collect_list(id_col).alias("__ids"))
                .filter(F.size("__ids") >= 2))
-    if max_bucket_size:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    if not max_bucket_size or max_bucket_size < 2:
+        # The bucket-local formulation materializes one array row per
+        # bucket and expands cap²/2 structs inside it — without a cap a
+        # single degenerate bucket is a one-task OOM (advisor r4).
+        raise ValueError(
+            "lsh_candidate_pairs requires a positive max_bucket_size "
+            "(>= 2); an uncapped bucket expands O(n^2) pairs inside "
+            "ONE row. Raise the cap instead of disabling it.")
+    buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     # each id occurs once per (band, bucket) — one banded row per doc
     # per band — so sorting the bucket's id list and pairing each
     # element with its strict successors yields exactly the id_a < id_b

@@ -182,9 +182,16 @@ def mg_merge_compress(summary: DataFrame, k: int = 64) -> DataFrame:
     The (k+1)-th-largest lookup is a counted-and-bounded driver action
     (k+1 rows); everything else is frame algebra.
     """
-    merged = (summary.groupBy("key")
-              .agg(F.sum("est").alias("est"),
-                   F.sum("slack").alias("slack")))
+    from dotnetvectorsearch_spark.caching import transient_persist
+
+    # Three actions read this lineage (the two driver lookups below plus
+    # the caller's final action over the returned projection); without a
+    # persist the mapInPandas partials recompute once per action —
+    # per micro-batch in stream_heavy_hitters (advisor r4). Registered
+    # transient: the caller releases it after its write.
+    merged = transient_persist(
+        summary.groupBy("key").agg(F.sum("est").alias("est"),
+                                   F.sum("slack").alias("slack")))
     keys = merged.filter(F.col("key").isNotNull())
     slack_total = (merged.agg(F.coalesce(F.sum("slack"), F.lit(0)))
                    .collect()[0][0])

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from dotnetvectorsearch_spark.caching import release_transient
 from dotnetvectorsearch_spark.embeddings.base import EmbeddingBackend
 from dotnetvectorsearch_spark.pipeline.prepare import prepare_documents
 from dotnetvectorsearch_spark.schemas import RAW_CSV_SCHEMA
@@ -482,6 +483,9 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
         stage = f"{path}__stage"
         shutil.rmtree(stage, ignore_errors=True)
         merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        # mg_merge_compress registered a transient persist; drop it now
+        # so a long-running stream doesn't accumulate one cache/batch.
+        release_transient()
         old = f"{path}__old-{batch_id}"
         if os.path.isdir(path):
             os.rename(path, old)
@@ -559,9 +563,14 @@ def stream_neardup_dedup(stream: DataFrame, out_path: str,
                 survivors_sigs = survivors_sigs.join(
                     keep_ids, id_col, "left_semi")
             survivors_sigs = survivors_sigs.persist()
-            batch_df.join(survivors_sigs.select(id_col), id_col,
-                          "left_semi") \
-                .write.mode("append").parquet(out_path)
+            # Docs too short to shingle produce NO signature row; they
+            # are trivially non-duplicates and must pass through — the
+            # semi-join alone would silently drop them (advisor r4).
+            keep = (batch_df.join(survivors_sigs.select(id_col),
+                                  id_col, "left_semi")
+                    .unionByName(batch_df.join(sigs.select(id_col),
+                                               id_col, "left_anti")))
+            keep.write.mode("append").parquet(out_path)
             survivors_sigs.write.mode("append").parquet(store_path)
             survivors_sigs.unpersist()
         finally:

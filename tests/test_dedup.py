@@ -100,9 +100,15 @@ def test_lsh_bucket_cap_drops_megabuckets(spark):
     capped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
                                    max_bucket_size=10)
     assert capped.count() == 0
-    uncapped = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
-                                     max_bucket_size=0)
-    assert uncapped.count() == 30 * 29 // 2
+    # Disabling the cap is no longer allowed: an uncapped bucket expands
+    # O(n^2) pairs inside ONE row (single-task OOM at scale). A large
+    # finite cap recovers every pair.
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                              max_bucket_size=0)
+    wide = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                 max_bucket_size=1000)
+    assert wide.count() == 30 * 29 // 2
 
 
 def test_exact_dedup_incremental_against_corpus(spark):

@@ -567,17 +567,19 @@ def test_stream_neardup_dedup_gates_against_growing_store(
     q = stream_neardup_dedup(stream, out, store, ckpt)
     try:
         assert _wait(lambda: _count_parquet(spark, out) == 2)  # 1, 5
-        # batch 2: 7 is a copy of batch-1's doc 1 (store hit); 9 novel
-        spark.createDataFrame([(7, base), (9, other)], schema) \
-            .write.parquet(str(src / "b2"))
-        assert _wait(lambda: _count_parquet(spark, out) == 3)
+        # batch 2: 7 is a copy of batch-1's doc 1 (store hit); 8 is too
+        # short to shingle (must pass through, NOT silently drop); 9 novel
+        spark.createDataFrame([(7, base), (8, "hi"), (9, other)],
+                              schema).write.parquet(str(src / "b2"))
+        assert _wait(lambda: _count_parquet(spark, out) == 4)
         q.processAllAvailable()
     finally:
         q.stop()
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
-    assert kept == [1, 5, 9]
+    assert kept == [1, 5, 8, 9]
     store_cols = spark.read.parquet(store).columns
     assert "text" not in store_cols          # signatures only
+    # 8 has no signature, so the store holds only shingle-able docs
     assert sorted(r.doc_id for r in
                   spark.read.parquet(store).select("doc_id").collect()
                   ) == [1, 5, 9]
