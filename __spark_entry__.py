@@ -501,20 +501,26 @@ def _q_doc_pagerank_lsh(spark, sf_dir):
 
 def _q_semdedup_lsh(spark, sf_dir):
     """Scale-correct twin of semdedup_keep: semantic near-dup clusters
-    from hyperplane-LSH-bucket-blocked cosine pairs (md5-deterministic
-    planes, per-bucket bipartite work) instead of the exact kNN graph,
-    which is O(n^2) by definition (SCALING.md). Same output contract:
-    every vector marked kept/dropped, keeper = min id per cluster."""
+    from MULTI-PROBE hyperplane-LSH cosine pairs (md5-deterministic
+    planes; side A probes every bucket within hamming 2 — 37 of 256 —
+    so a pair at cosine s survives with prob sum_{i<=2} C(8,i)
+    p^(8-i)(1-p)^i, p = 1-acos(s)/pi; ~78% at s=0.8 vs ~16% for the
+    exact-bucket block) instead of the exact kNN graph, which is O(n^2)
+    by definition (SCALING.md; fidelity measured in TWIN_FIDELITY.md).
+    Same output contract: every vector marked kept/dropped, keeper =
+    min id per cluster."""
     from pyspark.sql.window import Window
 
     from dotnetvectorsearch_spark.operators.dedup import (
-        connected_components, embedding_neardup_pairs)
+        connected_components, lsh_bucket_neardup_pairs)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     bucketed = emb.withColumn(
         "bucket", _lsh_md5_bucket_col(F.col("embedding")))
-    pairs = embedding_neardup_pairs(bucketed, "vec_id", "embedding",
-                                    block_col="bucket", threshold=0.35)
+    pairs = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
+                                     bucket_col="bucket",
+                                     threshold=0.35, probe_hamming=2,
+                                     bits=8)
     comp = connected_components(pairs.select("id_a", "id_b"))
     clusters = (emb.select("vec_id")
                 .join(comp.withColumnRenamed("node", "vec_id"),
@@ -4782,9 +4788,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket
             FROM ev
         ), pairs AS (
+            -- multi-probe hamming<=2: the bipartite probe join in Spark
+            -- finds exactly the pairs whose buckets differ in <=2 bits
             SELECT x.vec_id AS id_a, y.vec_id AS id_b
             FROM bk x JOIN bk y
-              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+              ON bit_count(xor(x.bucket, y.bucket)) <= 2
+                 AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
         ),
         {_cc_tail},

@@ -1,0 +1,114 @@
+"""Pins for TWIN_FIDELITY.md — the LSH twins must keep recovering the
+exact operators' answers (VERDICT r4 #1: the 100x-scale story rests on
+the twins, so their fidelity gets regression floors, not just a one-off
+measurement).
+
+Floors are set from the measured sf0.001 values (all 1.0 — see
+TWIN_FIDELITY.md for sf0.01/sf0.1) with a small safety margin; the
+banding s-curve and multi-probe pins use constructed corpora with KNOWN
+near-dup structure so the floor is a property of the algorithm, not of
+the testdata tier.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.twin_fidelity import (cluster_fidelity, pair_fidelity,
+                                 pagerank_fidelity)
+
+
+def test_pair_twin_recall_and_precision_floor(spark, sf_dir):
+    """The portable 16-hash/4x4 twin and the 64-hash/16x4 production
+    pipeline must both recover every dedup-relevant (jaccard >= 0.5)
+    exact pair at the test tier, and the twin must stay precise against
+    the >= 0.1 contract it feeds."""
+    r = pair_fidelity(spark, sf_dir)
+    assert r["n_exact_pairs_ge_0.1"] >= 20  # tier sanity: non-trivial
+    assert r["twin_recall_ge_0.5"] >= 0.99
+    assert r["prod_recall_ge_0.5"] >= 0.99
+    assert r["twin_precision_ge_0.1"] >= 0.99
+
+
+def test_cluster_twin_keeper_agreement_floor(spark, sf_dir):
+    r = cluster_fidelity(spark, sf_dir)
+    assert r["same_keeper_rate"] >= 0.99
+    assert r["ari"] >= 0.95
+
+
+def test_pagerank_twin_rank_fidelity_floor(spark, sf_dir):
+    r = pagerank_fidelity(spark, sf_dir)
+    assert r["node_coverage"] >= 0.95
+    assert r["spearman_common"] >= 0.95
+
+
+# --------------------------------------------------- banding s-curve pin
+
+
+def _mutated_corpus(spark, n_pairs: int = 40, n_filler: int = 80):
+    """n_pairs (doc, near-dup copy) pairs — the copy drops the LAST word,
+    so word-3-gram jaccard is high but < 1 — plus unrelated filler."""
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(n_pairs):
+        base = " ".join(words[(i + j) % len(words)] + str(i)
+                        for j in range(14))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.rsplit(" ", 1)[0]))
+    for i in range(n_filler):
+        rows.append((10_000 + i,
+                     " ".join(f"w{i}x{j}" for j in range(14))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("bands,floor", [(4, 0.95), (8, 0.99)])
+def test_banding_recall_floor_as_bands_vary(spark, bands, floor):
+    """P[candidate | s] = 1-(1-s^r)^b: with 16 hashes and s ~ 0.86
+    (13/15 shared 3-grams), 4 bands x 4 rows gives ~0.93 per pair and
+    8 bands x 2 rows ~0.9998 — recall must stay above the stated floor
+    at BOTH band settings, and may only improve with more bands."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        minhash_pairs_portable)
+    docs = _mutated_corpus(spark)
+    cand = minhash_pairs_portable(docs, "doc_id", "text", num_hashes=16,
+                                  shingle_n=3, bands=bands)
+    hits = (cand.filter((F.col("id_a") % 2 == 0)
+                        & (F.col("id_b") == F.col("id_a") + 1)).count())
+    assert hits / 40 >= floor
+
+
+# ------------------------------------------- multi-probe semdedup pin
+
+
+def test_multiprobe_lifts_semantic_pair_recall(spark):
+    """On a CLUSTERED corpus (within-cluster cosine ~0.85), hamming<=2
+    multi-probe must recover the large majority of exact cosine>=0.5
+    pairs, and strictly dominate exact-bucket blocking — the measured
+    reason semdedup_lsh probes (TWIN_FIDELITY.md)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        embedding_neardup_pairs, lsh_bucket_neardup_pairs)
+    from tools.gen_scale_tier import gen_embeddings_clustered
+    import __spark_entry__ as entrymod
+
+    emb = gen_embeddings_clustered(spark, 300, dim=64, n_clusters=8)
+    emb = emb.select("vec_id", "embedding")
+    bucketed = emb.withColumn(
+        "bucket", entrymod._lsh_md5_bucket_col(F.col("embedding")))
+    exact = embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                    threshold=0.5,
+                                    allow_unblocked=True).cache()
+    n_exact = exact.count()
+    assert n_exact > 100  # planted structure sanity
+
+    def recall(h):
+        got = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
+                                       bucket_col="bucket", threshold=0.5,
+                                       probe_hamming=h, bits=8)
+        return exact.join(got, ["id_a", "id_b"], "left_semi").count() \
+            / n_exact
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= 0.75
+    assert r2 > r0
+    exact.unpersist()

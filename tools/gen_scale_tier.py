@@ -108,6 +108,37 @@ def gen_embeddings(spark, n: int, dim: int = 64):
         (_h(F.col("vec_id"), F.lit("lbl")) % 10).cast("int").alias("label"))
 
 
+def gen_embeddings_clustered(spark, n: int, dim: int = 64,
+                             n_clusters: int = 16,
+                             noise_amp: float = 0.42):
+    """Mixture-of-Gaussians-ish embeddings: vec = centroid(label) +
+    uniform noise, L2-normalized. With the defaults, within-cluster
+    cosine ~ ||c||^2/(||c||^2+||n||^2) ~ 0.85 and across-cluster ~ 0 —
+    the clustered regime where IVF cells capture real neighborhoods and
+    LSH recovers near-dup structure (ANN_CURVE.md / TWIN_FIDELITY.md
+    honestly flag that the uniform tier undersells both). Same schema
+    as the driver's embeddings table; ``label`` IS the planted cluster.
+    Deterministic xxhash64 arithmetic, fully distributed (no RNG)."""
+    df = spark.range(0, n, 1, 32).withColumnRenamed("id", "vec_id")
+    df = df.withColumn(
+        "__c", (_h(F.col("vec_id"), F.lit("cl")) % n_clusters).cast("int"))
+    comps = F.array(*[
+        (((_h(F.col("__c"), F.lit(f"cent{j}")) % 1_000_000)
+          .cast("double") / 1_000_000.0 - 0.5)
+         + noise_amp * ((_h(F.col("vec_id"), F.lit(f"nz{j}"))
+                         % 1_000_000).cast("double") / 1_000_000.0 - 0.5))
+        for j in range(dim)
+    ])
+    df = df.withColumn("__raw", comps)
+    norm = F.sqrt(F.aggregate("__raw", F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    df = df.withColumn("__n", norm)
+    unit = F.transform("__raw",
+                       lambda x: (x / F.col("__n")).cast("float"))
+    return df.select("vec_id", unit.alias("embedding"),
+                     F.col("__c").alias("label"))
+
+
 def gen_events(spark, n: int, n_users: int):
     df = spark.range(0, n, 1, 64).withColumnRenamed("id", "event_id")
     start_us = 1_704_067_200_000_000  # 2024-01-01 UTC
@@ -130,6 +161,23 @@ def gen_events(spark, n: int, n_users: int):
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        # clustered-embeddings-only tier (ANN / semdedup evidence):
+        #   python tools/gen_scale_tier.py --clustered [n] [outdir]
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else BASE_VECS
+        out = Path(sys.argv[3]) if len(sys.argv) > 3 else (
+            Path(__file__).resolve().parent.parent / ".scaletier"
+            / "clustered")
+        spark = get_spark("gen-clustered-tier")
+        spark.sparkContext.setLogLevel("ERROR")
+        out.mkdir(parents=True, exist_ok=True)
+        gen_embeddings_clustered(spark, n).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(str(out / "embeddings.parquet"))
+        got = spark.read.parquet(str(out / "embeddings.parquet")).count()
+        print(f"embeddings (clustered): {got} rows -> {out}")
+        spark.stop()
+        return 0
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else (
         Path(__file__).resolve().parent.parent / ".scaletier"
