@@ -578,16 +578,43 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
                  .alias("novelty")))
 
 
+JACCARD_MAX_CANDIDATE_PAIRS = 1_000_000_000
+
+# Guard-estimate memo: (analyzed-plan semanticHash of the shingled base)
+# -> estimated candidate volume. Repeated pipelines over the same corpus
+# (dedup_clusters / dedup_weights / doc_pagerank all start from the same
+# jaccard_pairs plan) pay the counting job once per session instead of
+# once per query; a stale or colliding entry only mis-prices the GUARD,
+# never the result. Bounded FIFO.
+_JP_GUARD_MEMO: dict[int, float] = {}
+_JP_GUARD_MEMO_MAX = 64
+
+
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.2,
-                  block_cols: list[str] | None = None) -> DataFrame:
+                  block_cols: list[str] | None = None,
+                  max_candidate_pairs: int | None =
+                  JACCARD_MAX_CANDIDATE_PAIRS) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs via shingle inverted index.
 
     explode(distinct shingles) -> equi-join on shingle value -> count
     shared shingles per pair -> union arithmetic. With `block_cols`, pairs
     are additionally restricted to equal blocking keys (e.g. lang), the
     classic way to keep the inverted-index join skew-bounded.
+
+    Scale bound (SCALING.md measures this exact form at 21.9x per data
+    decade): the inverted-index self-join emits sum_s C(df_s, 2) rows —
+    EXACT and cheap to count before any quadratic work (one aggregation
+    over the already-persisted shingle base). The bound is ENFORCED, not
+    advisory (same doctrine as ``search.knn_graph``): past
+    ``max_candidate_pairs`` this raises and names the linear twins
+    (``minhash_dedup_pairs`` / ``minhash_pairs_portable`` — banding
+    bounds candidates by construction; measured recall in
+    TWIN_FIDELITY.md) instead of silently planning a join that never
+    finishes on a 10^9-doc corpus. ``dedup_clusters`` / ``dedup_weights``
+    / ``doc_pagerank`` pipelines inherit the guard through this
+    generator. ``max_candidate_pairs=None`` disables (tests/micro use).
     """
     docs = _spread(docs, id_col)
     base = docs.select(F.col(id_col),
@@ -599,6 +626,50 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sizes = base.select(id_col, F.size("sh").alias("n_sh"))
     inv = base.select(id_col, *(block_cols or []),
                       F.explode("sh").alias("s"))
+    if max_candidate_pairs is not None:
+        # sum_s C(df_s, 2) over (block, shingle) is the EXACT row count
+        # the self-join below would emit — counted from the persisted
+        # base BEFORE any quadratic stage is scheduled. Measured cost of
+        # the full count ~doubles the sf0.1 query, so past 20k docs the
+        # sum is estimated from a deterministic 1/q doc-id sample:
+        # doc-level sampling keeps each pair with probability q^2, so
+        # sum C(df_q,2)/q^2 is unbiased, and at guard-relevant
+        # magnitudes the sum is dominated by high-df shingles whose
+        # sampled df concentrates tightly. Shingles are hashed to longs
+        # (8-byte shuffle key; collisions only over-count = err safe).
+        try:
+            memo_key = base._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:  # pragma: no cover - py4j surface drift
+            memo_key = None
+        if memo_key is not None and memo_key in _JP_GUARD_MEMO:
+            n_cand = _JP_GUARD_MEMO[memo_key]
+        else:
+            n_docs = base.count()  # materializes the transient persist
+            q_inv = max(1, n_docs // 20_000)
+            g_inv = inv if q_inv == 1 else (
+                base.filter(F.xxhash64(F.col(id_col), F.lit("jp-guard"))
+                            % q_inv == 0)
+                .select(*(block_cols or []), F.explode("sh").alias("s")))
+            n_cand = (g_inv.groupBy(*(block_cols or []),
+                                    F.xxhash64("s").alias("__sh"))
+                      .agg(F.count(F.lit(1)).alias("df"))
+                      .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                           .cast("double"))
+                      .collect()[0][0] or 0.0) * q_inv * q_inv
+            if memo_key is not None:
+                if len(_JP_GUARD_MEMO) >= _JP_GUARD_MEMO_MAX:
+                    _JP_GUARD_MEMO.pop(next(iter(_JP_GUARD_MEMO)))
+                _JP_GUARD_MEMO[memo_key] = n_cand
+        if n_cand > max_candidate_pairs:
+            raise ValueError(
+                f"jaccard_pairs inverted-index join would emit "
+                f"~{int(n_cand):,} candidate rows (bound "
+                f"{max_candidate_pairs:,}): the exact all-pairs form is "
+                f"O(n^2)-shaped at this density. Use the linear LSH "
+                f"twins instead — minhash_dedup_pairs (verified pairs) "
+                f"or minhash_pairs_portable (candidates); measured "
+                f"recall in TWIN_FIDELITY.md — or raise "
+                f"max_candidate_pairs explicitly")
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & \
            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -672,3 +672,44 @@ def test_incremental_dedup_bloom_identical_to_plain(spark, sf_dir):
     bloomed = {r.doc_id for r in
                exact_dedup_incremental_bloom(batch, corpus).collect()}
     assert plain == bloomed and bloomed
+
+
+# ------------------------------------ exact pair/graph candidate bounds
+
+
+def test_jaccard_pairs_guard_refuses_past_candidate_bound(spark, dup_docs):
+    # The inverted-index self-join volume (sum_s C(df_s,2)) is COUNTED
+    # before the quadratic stage is scheduled; past the bound it must
+    # raise naming the linear LSH twins — a 10^9-doc corpus gets an
+    # error with reroute advice, not a hang (same doctrine as
+    # search.knn_graph's broadcast bound).
+    with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+        D.jaccard_pairs(dup_docs, threshold=0.1, max_candidate_pairs=3)
+    # and the bound is a knob, not a wall:
+    assert D.jaccard_pairs(dup_docs, threshold=0.3,
+                           max_candidate_pairs=10_000).count() > 0
+
+
+def test_dedup_clusters_pipeline_inherits_guard(spark, dup_docs):
+    with pytest.raises(ValueError, match="minhash"):
+        D.dedup_clusters(
+            dup_docs,
+            D.jaccard_pairs(dup_docs, threshold=0.1,
+                            max_candidate_pairs=3)).count()
+
+
+def test_dedup_weights_pipeline_inherits_guard(spark, dup_docs):
+    with pytest.raises(ValueError, match="minhash"):
+        D.dedup_weights(
+            dup_docs,
+            D.jaccard_pairs(dup_docs, threshold=0.1,
+                            max_candidate_pairs=3)).count()
+
+
+def test_pagerank_pipeline_inherits_guard(spark, dup_docs):
+    from dotnetvectorsearch_spark.operators.graph import pagerank_undirected
+    with pytest.raises(ValueError, match="minhash"):
+        pagerank_undirected(
+            D.jaccard_pairs(dup_docs, threshold=0.1,
+                            max_candidate_pairs=3),
+            "id_a", "id_b", iters=2).count()
