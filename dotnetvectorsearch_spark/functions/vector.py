@@ -83,6 +83,42 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     ).otherwise(dot(a, b) / (na * nb))
 
 
+def pairwise_cosine_arrow() -> "Column":
+    """Arrow-vectorized row-wise cosine: a pandas UDF factory returning
+    ``cos(a, b)`` per row via one BLAS matmul-shaped ``einsum`` per Arrow
+    batch, with the reference's zero-magnitude guard
+    (``VectorSearchService.cs:228-241`` — returns 0.0 when either norm is
+    exactly 0). Unrounded: callers apply ``F.round`` JVM-side so rounding
+    semantics stay identical to the interpreted :func:`cosine_similarity`
+    path (Spark HALF_UP, matching the SQL oracles).
+
+    Use on JOINED pair rows where the interpreted higher-order-function
+    expression would otherwise be evaluated per candidate inside a
+    non-codegen join condition — measured ~2x faster at 300k candidate
+    pairs x 64 dims (PERF_R06.md). Inputs must be rectangular within a
+    batch (uniform dimension), which every embedding column here is.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        m_a = np.stack(va.to_numpy()).astype(np.float64)
+        m_b = np.stack(vb.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(m_a, axis=1)
+        nb = np.linalg.norm(m_b, axis=1)
+        den = na * nb
+        d = np.einsum("ij,ij->i", m_a, m_b)
+        return pd.Series(
+            np.where(den == 0.0, 0.0, d / np.where(den == 0.0, 1.0, den)))
+
+    return _cos
+
+
 def dims_match(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

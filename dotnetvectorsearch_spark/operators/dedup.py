@@ -813,28 +813,43 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     """
     from itertools import combinations
 
-    from dotnetvectorsearch_spark.functions.vector import dot, l2_norm
+    from dotnetvectorsearch_spark.functions.vector import (
+        pairwise_cosine_arrow)
 
     masks = [0]
     for h in range(1, probe_hamming + 1):
         masks += [sum(1 << i for i in c)
                   for c in combinations(range(bits), h)]
     emb = _spread(emb, id_col)
-    base = emb.select(F.col(id_col), F.col(vec_col),
-                      l2_norm(vec_col).alias("__norm"),
-                      F.col(bucket_col))
+    base = emb.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
     base = transient_persist(base)  # probe side + exact side
+    # Materialize the persist BEFORE planning the self-join: an
+    # InMemoryRelation that is registered but unfilled gives Catalyst
+    # only estimated child-plan stats, and the broadcast-vs-shuffle
+    # choice for this join becomes order-dependent across reps (the r5
+    # bench recorded a 9.5s warm run against a 3.6s cold run — the plan
+    # flip, not the data, was the cost). One count() pins accurate
+    # sizeInBytes; the join then reliably broadcasts the exact side at
+    # bench scale and both probe/exact scans hit the cache.
+    base.count()
     probes = base.select(
-        F.col(id_col), F.col(vec_col), F.col("__norm"),
+        F.col(id_col), F.col(vec_col),
         F.explode(F.array(*[
             F.col(bucket_col).bitwiseXOR(F.lit(m)).alias("p")
             for m in masks])).alias("__probe"))
     a, b = probes.alias("a"), base.alias("b")
-    na, nb = F.col("a.__norm"), F.col("b.__norm")
+    # The cosine runs as an Arrow-batched pandas UDF AFTER the bucket
+    # equi-join, not as a higher-order-function expression: Catalyst
+    # pushes a HOF filter into the join CONDITION, where it is evaluated
+    # interpreted (CodegenFallback) once per candidate pair — measured
+    # ~1.5us/candidate at 64 dims, the dominant cost of this operator at
+    # ~300k candidates. The UDF keeps the join condition to the cheap
+    # (__probe = bucket AND id < id) pruning and scores survivors in
+    # vectorized numpy batches; F.round stays JVM-side so rounding
+    # matches the SQL oracle exactly.
     sim = F.round(
-        F.when((na == 0.0) | (nb == 0.0), F.lit(0.0))
-        .otherwise(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                   / (na * nb)), 6)
+        pairwise_cosine_arrow()(F.col(f"a.{vec_col}"),
+                                F.col(f"b.{vec_col}")), 6)
     return (a.join(b, (F.col("a.__probe") == F.col(f"b.{bucket_col}"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -926,10 +941,22 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     survives 100 TB. Both paths produce identical (node, min-id
     component) output; the tests run both and compare.
     """
-    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter(F.col("u") != F.col("v")))
-    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-             .distinct()
+    # Symmetrize via canonicalize -> distinct -> explode-both-directions,
+    # NOT e.union(e.reversed): a union duplicates the upstream plan
+    # subtree, so the (often expensive — LSH probe join, shingle join)
+    # pair producer would execute TWICE inside the edges materialization.
+    # least/greatest canonicalization also halves the distinct's shuffle
+    # volume; the exploded symmetric closure is identical to the union's.
+    u0, v0 = F.col(src), F.col(dst)
+    canon = (pairs.filter(u0 != v0)
+             .select(F.least(u0, v0).alias("u"),
+                     F.greatest(u0, v0).alias("v"))
+             .distinct())
+    edges = (canon.select(F.explode(F.array(
+                 F.struct(F.col("u"), F.col("v")),
+                 F.struct(F.col("v").alias("u"), F.col("u").alias("v"))))
+                 .alias("e"))
+             .select("e.u", "e.v")
              .persist())
     # The driver fast path coerces ids to int64 — valid only for integral
     # id columns. Any other id type (strings, floats — floats would be
