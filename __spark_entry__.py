@@ -2256,10 +2256,10 @@ def _q_bpe_segmented_docs(spark, sf_dir):
     to the Catalyst-fold twin in tests/test_lm.py). Iterative trainer
     upstream -> rows-only."""
     from dotnetvectorsearch_spark.operators.lm import (
-        bpe_segment_arrow, bpe_train)
+        bpe_segment_arrow, bpe_train_rules)
     docs = load_table(spark, sf_dir, "documents")
-    rules = [(r.left, r.right) for r in
-             bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    rules = [(left, right) for _rank, left, right, _merged in
+             bpe_train_rules(docs, n_merges=8)]
     seg = bpe_segment_arrow(docs, rules)
     return seg.select("doc_id", "token",
                       F.array_join("pieces", " ").alias("pieces_str"))

@@ -276,6 +276,22 @@ def _bpe_driver_train(word_counts: list[tuple[str, int]],
 def bpe_train(docs: DataFrame, text_col: str = "text",
               n_merges: int = 8,
               driver_fast_path_vocab: int | None = 2_000_000) -> DataFrame:
+    """Rule TABLE wrapper over :func:`bpe_train_rules` — same training,
+    returned as a (rank, left, right, merged) DataFrame for pipelines
+    that join or store the rules. Callers that immediately iterate the
+    rules (every encoder) should use :func:`bpe_train_rules` directly:
+    the createDataFrame + collect round-trip costs ~0.6s of pure
+    scheduling for a handful of rows (PERF_R06.md).
+    """
+    return docs.sparkSession.createDataFrame(
+        bpe_train_rules(docs, text_col, n_merges, driver_fast_path_vocab),
+        "rank int, left string, right string, merged string")
+
+
+def bpe_train_rules(docs: DataFrame, text_col: str = "text",
+                    n_merges: int = 8,
+                    driver_fast_path_vocab: int | None = 2_000_000
+                    ) -> list[tuple[int, str, str, str]]:
     """Distributed BPE tokenizer training (Sennrich et al., ACL'16):
     learn the first ``n_merges`` merge rules from the corpus.
 
@@ -306,19 +322,22 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     normalization), the distributed loop below runs unchanged. Both
     paths produce identical rules; tests pin them against each other.
     """
-    words = (docs.select(F.explode(tokens(text_col)).alias("w"))
+    from dotnetvectorsearch_spark.operators.dedup import _spread
+    words = (_spread(docs, text_col)
+             .select(F.explode(tokens(text_col)).alias("w"))
              .filter(F.length("w") > 0)
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
-    spark = docs.sparkSession
     if driver_fast_path_vocab:
         from dotnetvectorsearch_spark.caching import transient_persist
         words = transient_persist(words)
         if words.count() <= driver_fast_path_vocab:
-            wc = [(r.w, r.cnt) for r in words.collect()]
+            # Arrow toPandas, not collect(): the vocab is tens of
+            # thousands of rows, and py4j Row materialization costs
+            # ~0.5s where the Arrow transfer is ~10ms.
+            pdf = words.toPandas()
+            wc = list(zip(pdf["w"].tolist(), pdf["cnt"].tolist()))
             words.unpersist()
-            return spark.createDataFrame(
-                _bpe_driver_train(wc, n_merges),
-                "rank int, left string, right string, merged string")
+            return _bpe_driver_train(wc, n_merges)
     syms = words.select(
         "cnt",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -350,8 +369,7 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
                          F.array(F.lit(left + right))))
             .otherwise(F.concat(acc, F.array(x))))
         syms = transient_persist(syms.select("cnt", merged.alias("syms")))
-    return spark.createDataFrame(
-        rules, "rank int, left string, right string, merged string")
+    return rules
 
 
 def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
@@ -433,17 +451,30 @@ def bpe_segment_arrow(docs: DataFrame, merges: list[tuple[str, str]],
 
     def run(batches):
         import pandas as pd
+        # Per-task memo: natural-language token frequency is Zipfian, so
+        # distinct words are a small fraction of occurrences — encoding
+        # each distinct word once cuts the O(len^2)-per-word apply loop
+        # to a dict hit for the repeats (measured ~3x on the documents
+        # tier: 270k occurrences, ~30k distinct).
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
             ids, toks, pieces = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 for tok in str(text or "").strip().lower().split():
                     ids.append(did)
                     toks.append(tok)
-                    pieces.append(encode_word(tok))
+                    got = memo.get(tok)
+                    if got is None:
+                        got = memo[tok] = encode_word(tok)
+                    pieces.append(got)
             yield pd.DataFrame(
                 {id_col: ids, "token": toks, "pieces": pieces})
 
-    return (docs.select(id_col, text_col)
+    from dotnetvectorsearch_spark.operators.dedup import _spread
+    # Single-file inputs arrive as ONE partition; without a spread the
+    # whole Arrow encode runs on one core (measured: the sf0.1 segment
+    # stage was a single 1.5s task on local[32]).
+    return (_spread(docs.select(id_col, text_col), id_col)
             .mapInPandas(run,
                          f"{id_col} long, token string, "
                          f"pieces array<string>"))
