@@ -523,7 +523,13 @@ def _q_semdedup_lsh(spark, sf_dir):
     exact-bucket block) instead of the exact kNN graph, which is O(n^2)
     by definition (SCALING.md; fidelity measured in TWIN_FIDELITY.md).
     Same output contract: every vector marked kept/dropped, keeper =
-    min id per cluster."""
+    min id per cluster. DOWNSTREAM fidelity caveat (measured, pinned in
+    test_twin_fidelity): on the near-uniform driver embedding tier the
+    kept-flag agreement with the exact operator is only ~0.66-0.73 —
+    missed edges split clusters — so this twin trades recall for
+    linearity much more steeply than the text-minhash twins; on a
+    CLUSTERED corpus (where semantic dedup is meaningful) multi-probe
+    pair recall is >= 0.75 (pinned)."""
     from pyspark.sql.window import Window
 
     from dotnetvectorsearch_spark.operators.dedup import (

@@ -90,6 +90,52 @@ def gen_documents(spark, n: int):
         F.length("text").alias("n_chars"))
 
 
+# Per-word flip percentages for the planted mid-jaccard tier. A copy
+# mutated at per-word rate r keeps ~(1-r)^3 of its word-3-shingles, so
+# exact jaccard ~ s/(2-s): the ladder below lands pairs at roughly
+# J ~ 0.94 / 0.75 / 0.57 / 0.38 / 0.21 — one pair population per
+# TWIN_FIDELITY bucket, including the [0.1,0.9) s-curve region the
+# driver tiers leave empty (their dups are all near-identical;
+# VERDICT r5 missing #2).
+MUTATION_LADDER = [1, 5, 10, 18, 30]
+
+
+def gen_documents_mutated(spark, n: int):
+    """Documents tier with MUTATION-RATE-CONTROLLED duplicates: every
+    odd doc is a copy of its predecessor with per-word flip rate drawn
+    from ``MUTATION_LADDER`` (hash of the pair, so each rate covers
+    ~n/10 pairs). 30-70 words/doc keeps per-pair jaccard concentrated
+    near its ladder target. Same schema as the driver's documents
+    table; deterministic xxhash64 arithmetic, fully distributed."""
+    df = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+    is_copy = (F.col("doc_id") % 2 == 1)
+    base = F.when(is_copy, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    df = df.withColumn("__base", base).withColumn("__copy", is_copy)
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in MUTATION_LADDER]),
+        (_h(F.col("__base"), F.lit("mr")) % len(MUTATION_LADDER) + 1)
+        .cast("int"))
+    wc = (F.lit(30) + _h(F.col("__base"), F.lit("wc")) % 41)
+    df = df.withColumn("__wc", wc).withColumn("__rate", rate)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+
+    def word(j):
+        flip = F.col("__copy") & (
+            _h(F.col("doc_id"), j, F.lit("f")) % 100 < F.col("__rate"))
+        seed = F.when(flip, F.col("doc_id")).otherwise(F.col("__base"))
+        return F.element_at(vocab, (_h(seed, j, F.lit("w"))
+                                    % len(VOCAB) + 1).cast("int"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.col("__wc")), word), " ")
+    df = df.withColumn("text", text)
+    return df.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.concat(F.lit("src"),
+                 _h(F.col("doc_id"), F.lit("src")) % 20).alias("source"),
+        F.length("text").alias("n_chars"))
+
+
 def gen_embeddings(spark, n: int, dim: int = 64):
     df = spark.range(0, n, 1, 32).withColumnRenamed("id", "vec_id")
     comps = F.array(*[
@@ -176,6 +222,23 @@ def main() -> int:
             .parquet(str(out / "embeddings.parquet"))
         got = spark.read.parquet(str(out / "embeddings.parquet")).count()
         print(f"embeddings (clustered): {got} rows -> {out}")
+        spark.stop()
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--mutated":
+        # documents-only planted mid-jaccard tier (TWIN_FIDELITY):
+        #   python tools/gen_scale_tier.py --mutated [n] [outdir]
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else BASE_DOCS
+        out = Path(sys.argv[3]) if len(sys.argv) > 3 else (
+            Path(__file__).resolve().parent.parent / ".scaletier"
+            / "mutated")
+        spark = get_spark("gen-mutated-tier")
+        spark.sparkContext.setLogLevel("ERROR")
+        out.mkdir(parents=True, exist_ok=True)
+        gen_documents_mutated(spark, n).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(str(out / "documents.parquet"))
+        got = spark.read.parquet(str(out / "documents.parquet")).count()
+        print(f"documents (mutated): {got} rows -> {out}")
         spark.stop()
         return 0
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10

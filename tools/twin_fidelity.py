@@ -57,9 +57,16 @@ def _pair_key():
 def pair_fidelity(spark, sf_dir: str) -> dict:
     """Recall of the two LSH pair generators against exact Jaccard,
     bucketed by the exact pair's similarity."""
+    return pair_fidelity_docs(
+        entrymod.load_table(spark, sf_dir, "documents"))
+
+
+def pair_fidelity_docs(docs) -> dict:
+    """`pair_fidelity` over an already-loaded documents frame (tests
+    pass constructed corpora — e.g. the planted mid-jaccard tier —
+    without a parquet round-trip)."""
     from dotnetvectorsearch_spark.operators.dedup import (
         jaccard_pairs, minhash_dedup_pairs, minhash_pairs_portable)
-    docs = entrymod.load_table(spark, sf_dir, "documents")
     exact = jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
                           threshold=0.1).persist()
     twin = minhash_pairs_portable(docs, "doc_id", "text", num_hashes=16,
@@ -75,30 +82,37 @@ def pair_fidelity(spark, sf_dir: str) -> dict:
                           ["id_a", "id_b"], "left_semi")
 
     def bucket_counts(df):
-        rows = (df.groupBy(
-            F.floor((F.least(F.col("jaccard"), F.lit(1.0)) - 1e-9) * 5)
-            .alias("b")).count().collect())
-        return {int(r.b): r["count"] for r in rows}
+        # Explicit CASE over the declared JACCARD_BUCKETS bounds, so
+        # bucket i IS [lo_i, hi_i) with boundary-exact double compares.
+        # (A previous revision keyed floor(j*5) — bins starting at 0.0 —
+        # shifting every reported per-bucket recall down by 0.1, and an
+        # arithmetic floor((j-0.1)/0.2) rekey misplaces exact-boundary
+        # values through FP error; advisor r5.)
+        b = F.lit(None).cast("int")
+        for i, (lo, hi) in reversed(list(enumerate(JACCARD_BUCKETS))):
+            b = F.when((F.col("jaccard") >= lo)
+                       & (F.col("jaccard") < hi), i).otherwise(b)
+        rows = df.groupBy(b.alias("b")).count().collect()
+        return {int(r.b): r["count"] for r in rows if r.b is not None}
 
     tot = bucket_counts(exact)
     ht = bucket_counts(hit_twin)
     hp = bucket_counts(hit_prod)
     buckets = {}
-    for lo, hi in JACCARD_BUCKETS:
-        b = int(lo * 5)
-        n = tot.get(b, 0)
+    for i, (lo, hi) in enumerate(JACCARD_BUCKETS):
+        n = tot.get(i, 0)
         buckets[f"[{lo},{min(hi, 1.0)})"] = {
             "n_exact": n,
-            "twin_recall": round(ht.get(b, 0) / n, 4) if n else None,
-            "prod_recall": round(hp.get(b, 0) / n, 4) if n else None,
+            "twin_recall": round(ht.get(i, 0) / n, 4) if n else None,
+            "prod_recall": round(hp.get(i, 0) / n, 4) if n else None,
         }
     out["by_jaccard_bucket"] = buckets
-    n_ge5 = sum(tot.get(int(lo * 5), 0) for lo, _ in JACCARD_BUCKETS
-                if lo >= 0.5)
-    h_ge5 = sum(hp.get(int(lo * 5), 0) for lo, _ in JACCARD_BUCKETS
-                if lo >= 0.5)
-    t_ge5 = sum(ht.get(int(lo * 5), 0) for lo, _ in JACCARD_BUCKETS
-                if lo >= 0.5)
+    # ge_0.5 from an explicit filter, not bucket arithmetic: these two
+    # aggregates are PINNED in tests/test_twin_fidelity.py and must mean
+    # exactly what the >=0.5-verified production pipeline promises.
+    n_ge5 = exact.filter(F.col("jaccard") >= 0.5).count()
+    h_ge5 = hit_prod.filter(F.col("jaccard") >= 0.5).count()
+    t_ge5 = hit_twin.filter(F.col("jaccard") >= 0.5).count()
     out["prod_recall_ge_0.5"] = round(h_ge5 / n_ge5, 4) if n_ge5 else None
     out["twin_recall_ge_0.5"] = round(t_ge5 / n_ge5, 4) if n_ge5 else None
     # twin candidate precision against the 0.1 contract it feeds
@@ -208,10 +222,15 @@ def run(sf_dirs: list[str]) -> dict:
         tier = Path(sf_dir).name
         print(f"== {tier} ==", flush=True)
         r: dict = {}
-        for name, fn in [("pairs", pair_fidelity),
-                         ("clusters", cluster_fidelity),
-                         ("semdedup", semdedup_fidelity),
-                         ("pagerank", pagerank_fidelity)]:
+        steps = [("pairs", pair_fidelity),
+                 ("clusters", cluster_fidelity),
+                 ("semdedup", semdedup_fidelity),
+                 ("pagerank", pagerank_fidelity)]
+        if not (Path(sf_dir) / "embeddings.parquet").exists():
+            # documents-only planted tier (gen_scale_tier --mutated):
+            # the embedding-based semdedup twin has nothing to measure
+            steps = [s for s in steps if s[0] != "semdedup"]
+        for name, fn in steps:
             r[name] = fn(spark, sf_dir)
             release_transient()
             print(f"  {name}: {json.dumps(r[name])}", flush=True)
@@ -285,9 +304,15 @@ def write_md(results: dict) -> None:
          lambda r: [v for k, v in r["pagerank"].items()
                     if k.startswith("top")][0]),
     ]
+    def _cell(get, r):
+        try:
+            return get(r)
+        except KeyError:   # metric family not measured on this tier
+            return "n/a"
+
     for label, get in rows:
         lines.append(f"| {label} |" + "".join(
-            f" {get(results[t])} |" for t in tiers))
+            f" {_cell(get, results[t])} |" for t in tiers))
     (ROOT / "TWIN_FIDELITY.md").write_text("\n".join(lines) + "\n")
 
 
@@ -295,6 +320,13 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--md"]
     md = "--md" in sys.argv[1:]
     sf_dirs = argv or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    if not argv:
+        # include the planted mid-jaccard tier (gen_scale_tier
+        # --mutated) when it has been generated — it is the only tier
+        # with pairs in the [0.1,0.9) s-curve region
+        mutated = ROOT / ".scaletier" / "mutated"
+        if (mutated / "documents.parquet").exists():
+            sf_dirs = sf_dirs + [str(mutated)]
     results = run(sf_dirs)
     (ROOT / "TWIN_FIDELITY.json").write_text(json.dumps(results, indent=1))
     if md:
