@@ -41,6 +41,37 @@ def transient_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def transient_scope():
+    """Release, at exit, ONLY the transient persists registered inside
+    the with-block — for long-running owners (streaming foreachBatch
+    loops) that must not clear the GLOBAL registry out from under a
+    concurrent query in the same session (advisor r5: a second stream's
+    registered persist dropped between plan construction and action
+    silently re-executes its upstream; perf only, never correctness).
+    Caveat: frames registered by ANOTHER thread while the block runs
+    are treated as the block's own — the window is one micro-batch, and
+    a wrongly-released frame only recomputes.
+    """
+    with _LOCK:
+        before = {id(f) for f in _TRANSIENT}
+    try:
+        yield
+    finally:
+        with _LOCK:
+            mine = [f for f in _TRANSIENT if id(f) not in before]
+            for f in mine:
+                _TRANSIENT.remove(f)
+        for df in mine:
+            try:
+                df.unpersist(blocking=True)
+            except Exception:  # noqa: BLE001 - session may already be gone
+                pass
+
+
 def release_transient() -> int:
     """Unpersist every registered transient cache; returns the count.
 

@@ -473,19 +473,24 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
             os.rename(olds[-1], path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from dotnetvectorsearch_spark.caching import transient_scope
         spark = batch_df.sparkSession
         recover()
-        summary = mg_partials(batch_df, col, k)
-        if os.path.isdir(path):
-            summary = summary.unionByName(
-                spark.read.parquet(path).select("key", "est", "slack"))
-        merged = mg_merge_compress(summary, k)
         stage = f"{path}__stage"
-        shutil.rmtree(stage, ignore_errors=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(stage)
-        # mg_merge_compress registered a transient persist; drop it now
-        # so a long-running stream doesn't accumulate one cache/batch.
-        release_transient()
+        # Scoped release: mg_merge_compress registers a transient
+        # persist that must drop each batch (a long-running stream must
+        # not accumulate one cache/batch) — but ONLY this batch's
+        # frame: a global release_transient() here could clear a
+        # concurrent query's registered persist in the same session
+        # (advisor r5).
+        with transient_scope():
+            summary = mg_partials(batch_df, col, k)
+            if os.path.isdir(path):
+                summary = summary.unionByName(
+                    spark.read.parquet(path).select("key", "est", "slack"))
+            merged = mg_merge_compress(summary, k)
+            shutil.rmtree(stage, ignore_errors=True)
+            merged.coalesce(1).write.mode("overwrite").parquet(stage)
         old = f"{path}__old-{batch_id}"
         if os.path.isdir(path):
             os.rename(path, old)
@@ -564,14 +569,30 @@ def stream_neardup_dedup(stream: DataFrame, out_path: str,
                     keep_ids, id_col, "left_semi")
             survivors_sigs = survivors_sigs.persist()
             # Docs too short to shingle produce NO signature row; they
-            # are trivially non-duplicates and must pass through — the
-            # semi-join alone would silently drop them (advisor r4).
+            # are trivially non-NEAR-duplicates and must pass through
+            # (advisor r4) — but through an EXACT-hash gate (advisor
+            # r5: the bare anti-join re-emitted every repeat): keep the
+            # min-id doc per md5(text) within the batch, drop hashes
+            # already recorded in the short-doc store, and record the
+            # survivors' hashes alongside the signature store.
+            short = (batch_df.join(sigs.select(id_col), id_col,
+                                   "left_anti")
+                     .withColumn("__h", F.md5(F.col(text_col))))
+            first_ids = short.groupBy("__h").agg(
+                F.min(id_col).alias(id_col))
+            short = short.join(first_ids, [id_col, "__h"], "left_semi")
+            short_store = f"{store_path}__short"
+            if os.path.isdir(short_store):
+                short = short.join(spark.read.parquet(short_store),
+                                   "__h", "left_anti")
+            short = short.persist()
             keep = (batch_df.join(survivors_sigs.select(id_col),
                                   id_col, "left_semi")
-                    .unionByName(batch_df.join(sigs.select(id_col),
-                                               id_col, "left_anti")))
+                    .unionByName(short.drop("__h")))
             keep.write.mode("append").parquet(out_path)
             survivors_sigs.write.mode("append").parquet(store_path)
+            short.select("__h").write.mode("append").parquet(short_store)
+            short.unpersist()
             survivors_sigs.unpersist()
         finally:
             sigs.unpersist()

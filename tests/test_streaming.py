@@ -572,11 +572,19 @@ def test_stream_neardup_dedup_gates_against_growing_store(
         spark.createDataFrame([(7, base), (8, "hi"), (9, other)],
                               schema).write.parquet(str(src / "b2"))
         assert _wait(lambda: _count_parquet(spark, out) == 4)
+        # batch 3: sig-less docs go through an EXACT-hash gate (advisor
+        # r5): 10/11 duplicate short docs within the batch (min id 10
+        # survives), 12 repeats batch-2's short doc 8 (store hit), 13
+        # is a novel short doc
+        spark.createDataFrame(
+            [(10, "yo"), (11, "yo"), (12, "hi"), (13, "new")],
+            schema).write.parquet(str(src / "b3"))
+        assert _wait(lambda: _count_parquet(spark, out) == 6)
         q.processAllAvailable()
     finally:
         q.stop()
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
-    assert kept == [1, 5, 8, 9]
+    assert kept == [1, 5, 8, 9, 10, 13]
     store_cols = spark.read.parquet(store).columns
     assert "text" not in store_cols          # signatures only
     # 8 has no signature, so the store holds only shingle-able docs
