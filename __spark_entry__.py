@@ -1480,14 +1480,16 @@ def _q_media_frames(spark, sf_dir):
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
     """Embedding near-dup with hyperplane-LSH blocking instead of a label
-    column — the fully-unsupervised scale path."""
-    from dotnetvectorsearch_spark.operators.ann import HyperplaneLSH
+    column — the fully-unsupervised scale path. Buckets are the 8
+    md5-derived-plane sign bits (`_lsh_md5_bucket_col`: deterministic
+    constants, JVM-side doubles, identical math in the DuckDB oracle),
+    so the blocked pair set is engine-portable and oracle-checked."""
     from dotnetvectorsearch_spark.operators.dedup import (
         embedding_neardup_pairs,
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).first()[0]
-    bucketed = HyperplaneLSH(num_planes=6).fit(dim).transform(emb)
+    bucketed = emb.withColumn(
+        "bucket", _lsh_md5_bucket_col(F.col("embedding")))
     return embedding_neardup_pairs(bucketed, "vec_id", "embedding",
                                    block_col="bucket",
                                    threshold=NEARDUP_COSINE_THRESHOLD)
@@ -1511,13 +1513,19 @@ def _q_ann_recall(spark, sf_dir):
 
 
 def _q_stratified_sample(spark, sf_dir):
-    """Seeded per-language stratified sample (training-mix balancing);
-    sampling is engine-specific, so rows-only."""
-    from dotnetvectorsearch_spark.operators.sampling import stratified_sample
+    """Deterministic per-language stratified sample (training-mix
+    balancing): keep iff md5(doc_id|lang|salt) hex prefix < the
+    stratum's share of the hash space — a pure function of (key,
+    stratum), so the kept set is identical across runs, partitionings,
+    and engines (oracle-checked), unlike sampleBy's partition-dependent
+    XORShift draw. Narrow codegen'd filter, no shuffle."""
+    from dotnetvectorsearch_spark.operators.sampling import (
+        stratified_hash_sample)
     docs = load_table(spark, sf_dir, "documents")
     langs = [r.lang for r in docs.select("lang").distinct().collect()]
     fracs = {lang: 0.25 for lang in langs}
-    return stratified_sample(docs, "lang", fracs).select("doc_id", "lang")
+    return (stratified_hash_sample(docs, "lang", "doc_id", fracs)
+            .select("doc_id", "lang"))
 
 
 def _q_embed_documents(spark, sf_dir):
@@ -2401,7 +2409,8 @@ def _q_debounced_events(spark, sf_dir):
     within 2 days of the last KEPT event — at-least-once-delivery /
     double-fire cleanup ahead of analytics. One key exchange + bounded
     per-key Arrow pass; lag()-based gap measurement is the pinned
-    counterexample in tests. Sequential anchor chain -> rows-only."""
+    counterexample in tests. The sequential anchor chain is
+    oracle-checked via a recursive CTE (one row per key per step)."""
     from dotnetvectorsearch_spark.operators.temporal import (
         debounce_events)
     events = load_table(spark, sf_dir, "events")
@@ -2549,6 +2558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_e2e": _q_text_search_e2e,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,
+    # oracle-backed since r6 (md5-plane bucket / md5 hash sample)
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "stratified_sample": _q_stratified_sample,
     "ann_recall": _q_ann_recall,
@@ -2584,7 +2594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": _q_heavy_hitter_terms,
     "incremental_dedup_bloom": _q_incremental_dedup_bloom,
     "user_value_trends": _q_user_value_trends,
-    # rows-only: sequential anchor-chain semantics (no SQL oracle)
+    # oracle-backed since r6: anchor chain as a recursive CTE
     "debounced_events": _q_debounced_events,
     # -- round 4 additions
     "simhash_pairs_md5": _q_simhash_pairs_md5,
@@ -4827,6 +4837,61 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cl.vec_id, cl.cluster_id, (cl.vec_id = m.keeper) AS kept
         FROM cl JOIN m USING (cluster_id)
+    """
+    # debounce (anchor semantics): the sequential per-key anchor chain
+    # expressed as a recursive CTE — each iteration advances every
+    # (user, type) group one row, carrying the last-KEPT anchor; kept
+    # iff us - anchor >= gap. Same epoch-microsecond arithmetic as
+    # functions/time.event_epoch_micros.
+    oracles["debounced_events"] = """
+        WITH RECURSIVE ev AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ), chain AS (
+            SELECT user_id, event_type, event_id, us, rn,
+                   us AS anchor, TRUE AS kept
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.event_type, e.event_id, e.us, e.rn,
+                   CASE WHEN e.us - c.anchor >= 172800000000
+                        THEN e.us ELSE c.anchor END,
+                   e.us - c.anchor >= 172800000000
+            FROM chain c
+            JOIN ev e ON e.user_id = c.user_id
+                     AND e.event_type = c.event_type
+                     AND e.rn = c.rn + 1
+        )
+        SELECT event_id, user_id, event_type FROM chain WHERE kept
+    """
+    # embedding near-dup, md5-plane LSH blocked: same bucket constants
+    # as semdedup_lsh, pair contract of embedding_neardup (cosine >= tau
+    # within equal buckets, id_a < id_b)
+    oracles["embedding_neardup_lsh"] = f"""
+        WITH ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), bk AS (
+            SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket
+            FROM ev
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6)
+              >= {NEARDUP_COSINE_THRESHOLD}
+    """
+    # deterministic stratified sample: 8-hex-char md5 prefix compared as
+    # a string against the stratum's share of the 16^8 space (all langs
+    # at 0.25 -> '40000000'); pure function of (doc_id, lang, salt)
+    oracles["stratified_sample"] = """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang,
+                                   'strata-v1')), 1, 8) < '40000000'
     """
     # incremental near-dup gate: same md5 minhash family as
     # minhash_pairs_md5, bipartite (batch x store) band join, estimate

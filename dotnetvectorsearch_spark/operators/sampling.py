@@ -35,6 +35,46 @@ def proportional_downsample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
+                           fractions: dict,
+                           salt: str = "strata-v1") -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff the
+    first 8 hex chars of md5(key | stratum | salt) fall below the
+    stratum's fraction of the 16^8 hash space. Strata absent from the
+    map are dropped (``sampleBy`` contract).
+
+    The engine-portable sibling of `stratified_sample`: ``sampleBy``'s
+    XORShift draw depends on partition and row position, so its kept
+    set changes under repartitioning and differs across engines; here
+    the kept set is a pure function of (key, stratum, salt) — stable
+    across runs, partitionings, engines, and incremental re-ingests
+    (the property that makes a 100 TB training mix reproducible).
+    Thresholds compare as 8-char lowercase-hex STRINGS (lexicographic
+    == numeric for fixed-width hex), so any SQL engine with md5()
+    reproduces the sample exactly. Narrow codegen'd filter, no shuffle.
+    """
+    thr = None
+    for k, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {frac}")
+        v = int(frac * 16 ** 8)
+        # fixed-width hex compare breaks past 8 chars: at frac=1.0 use a
+        # sentinel that sorts above every hex digit so all rows keep
+        hex_bound = "g" if v >= 16 ** 8 else format(v, "08x")
+        cond = F.col(strata_col) == k
+        thr = (F.when(cond, hex_bound) if thr is None
+               else thr.when(cond, hex_bound))
+    if thr is None:
+        return df.filter(F.lit(False))
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
+                          F.col(strata_col).cast("string"),
+                          F.lit(salt))), 1, 8)
+    # thr is NULL for unmapped strata -> comparison NULL -> row dropped,
+    # matching sampleBy's strata-absent-from-map semantics.
+    return df.filter(h < thr)
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float,
                 salt: str = "sample-v1") -> DataFrame:
     """Deterministic content-hash Bernoulli sample: keep a row iff the

@@ -23,6 +23,38 @@ def test_stratified_sample_deterministic_and_filtered(spark, sf_dir):
     assert got_langs <= {langs[0]}                     # other strata dropped
 
 
+def test_stratified_hash_sample_partition_invariant_and_scoped(spark,
+                                                               sf_dir):
+    from dotnetvectorsearch_spark.operators.sampling import (
+        stratified_hash_sample)
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    fracs = {langs[0]: 0.5, langs[1]: 0.1}
+    a = {r.doc_id for r in
+         stratified_hash_sample(docs, "lang", "doc_id", fracs).collect()}
+    # identical kept set under a different partitioning (sampleBy's
+    # XORShift draw would NOT survive this)
+    b = {r.doc_id for r in
+         stratified_hash_sample(docs.repartition(7), "lang", "doc_id",
+                                fracs).collect()}
+    assert a == b and a
+    # unmapped strata dropped; mapped fractions roughly honored
+    out = stratified_hash_sample(docs, "lang", "doc_id", fracs)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {langs[0], langs[1]}
+    n0 = docs.filter(F.col("lang") == langs[0]).count()
+    assert abs(got[langs[0]] / n0 - 0.5) < 0.2
+    # endpoints: 1.0 keeps the whole stratum, 0.0 keeps none
+    full = stratified_hash_sample(docs, "lang", "doc_id", {langs[0]: 1.0})
+    assert full.count() == n0
+    assert stratified_hash_sample(docs, "lang", "doc_id",
+                                  {langs[0]: 0.0}).count() == 0
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "lang", "doc_id", {langs[0]: 1.5})
+    assert stratified_hash_sample(docs, "lang", "doc_id", {}).count() == 0
+
+
 def test_proportional_downsample_caps_strata(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     target = 10
