@@ -419,40 +419,44 @@ def _q_simhash_pairs_md5(spark, sf_dir):
                                   bits=32, chunks=4, max_hamming=3)
 
 
-def _lsh_md5_planes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def _lsh_md5_planes(num_planes: int = 8, dim: int = 64,
+                    offset: int = 0) -> list[list[float]]:
     """Deterministic hyperplanes from md5 — the SAME double constants are
     inlined into the Spark expression and the DuckDB oracle SQL, so both
     engines compute identical sign bits (IEEE double sums in identical
-    left-to-right order)."""
+    left-to-right order). ``offset`` selects a disjoint plane range so
+    multi-table LSH gets independent tables (table t -> planes
+    [t*bits, (t+1)*bits))."""
     import hashlib
     return [
         [int(hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()[:8], 16)
          / 2.0 ** 32 - 0.5
          for j in range(dim)]
-        for i in range(num_planes)
+        for i in range(offset, offset + num_planes)
     ]
 
 
 _LSH_BUCKET_SQL_CACHE: dict = {}
 
 
-def _lsh_md5_bucket_col(vec_col) -> "F.Column":
+def _lsh_md5_bucket_col(vec_col, bits: int = 8,
+                        table: int = 0) -> "F.Column":
     """Catalyst hyperplane-LSH bucket: sign bits of the md5-plane dot
     products, as a long — JVM-side, no UDF, identical constants to the
     DuckDB oracle (IEEE double sums in identical left-to-right order:
     ``aggregate`` folds ``0.0 + a0*c0 + a1*c1 + ...`` sequentially).
 
-    Built as ONE ``F.expr`` SQL string, memoized per column name: the
-    column-DSL construction (8 planes x 64 ``F.lit`` constants + HOF
-    lambdas) costs ~1000 py4j round-trips ~= 0.6s of DRIVER time per
-    query build — paid inside the bench's timed region on every rep.
-    The SQL string is parsed JVM-side in one call (~10ms) and the
+    Built as ONE ``F.expr`` SQL string, memoized per (column, bits):
+    the column-DSL construction (8 planes x 64 ``F.lit`` constants +
+    HOF lambdas) costs ~1000 py4j round-trips ~= 0.6s of DRIVER time
+    per query build — paid inside the bench's timed region on every
+    rep. The SQL string is parsed JVM-side in one call (~10ms) and the
     resulting expression is identical.
     """
     name = vec_col if isinstance(vec_col, str) else "embedding"
-    sql = _LSH_BUCKET_SQL_CACHE.get(name)
+    sql = _LSH_BUCKET_SQL_CACHE.get((name, bits, table))
     if sql is None:
-        planes = _lsh_md5_planes()
+        planes = _lsh_md5_planes(num_planes=bits, offset=table * bits)
         dots = [
             ("aggregate(zip_with(`{v}`, array({arr}), "
              "(a, b) -> cast(a as double) * b), "
@@ -462,8 +466,81 @@ def _lsh_md5_bucket_col(vec_col) -> "F.Column":
         sql = "cast((" + " + ".join(
             f"(case when {d} > 0 then {1 << i} else 0 end)"
             for i, d in enumerate(dots)) + ") as bigint)"
-        _LSH_BUCKET_SQL_CACHE[name] = sql
+        _LSH_BUCKET_SQL_CACHE[(name, bits, table)] = sql
     return F.expr(sql)
+
+
+_NROWS_MEMO: dict = {}
+
+
+def _table_rows_memo(df, path: str) -> int:
+    """Row count memoized on the dataset's file fingerprint (path,
+    size, mtime per member file — the `dedup._input_fingerprint`
+    doctrine: a rewritten-in-place corpus must never reuse a stale
+    count). Saves one count JOB per query build for sizing decisions
+    like `_lsh_adaptive_bits`; the count itself is parquet-stats-cheap
+    but the job launch is ~0.2-0.5s inside a timed bench region."""
+    import os
+    sig = [path]
+    try:
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path))[:64]:
+                st = os.stat(os.path.join(path, f))
+                sig.append((f, st.st_size, int(st.st_mtime)))
+        else:
+            st = os.stat(path)
+            sig.append((st.st_size, int(st.st_mtime)))
+    except OSError:
+        return df.count()
+    key = tuple(sig)
+    n = _NROWS_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        if len(_NROWS_MEMO) > 256:
+            _NROWS_MEMO.clear()
+        _NROWS_MEMO[key] = n
+    return n
+
+
+def _lsh_adaptive_bits(n_rows: int, target_occupancy: int = 8,
+                       floor_bits: int = 8) -> int:
+    """Hyperplane count that GROWS with corpus size: 2^bits buckets
+    sized for ~``target_occupancy`` vectors each. A fixed-cardinality
+    blocking key is O(n^2/2^bits) candidate pairs — quadratic again at
+    scale (measured: the fixed-8-bit semdedup twin's 37-probe join
+    enumerates ~2.9e9 candidates at 200k vectors and runs for tens of
+    minutes; at bits=15 it's ~40x fewer). Growing bits with log2(n)
+    holds per-bucket density constant, so candidates stay LINEAR in n —
+    the same doctrine as shingle-keyed minhash bands, whose key
+    cardinality grows with the corpus naturally. At the driver tiers
+    (n <= 5000) this returns ``floor_bits`` = 8, so oracle SQL, bench
+    timings, and fidelity pins at sf0.01/sf0.1 are unchanged."""
+    import math as _math
+    if n_rows <= 0:
+        return floor_bits
+    return max(floor_bits,
+               _math.ceil(_math.log2(max(1, n_rows / target_occupancy))))
+
+
+def _lsh_tables_for_recall(bits: int, probe_hamming: int = 2,
+                           design_cosine: float = 0.8,
+                           target_recall: float = 0.75) -> int:
+    """Number of independent LSH plane tables (OR-amplification) that
+    holds per-pair survival >= ``target_recall`` at the design cosine
+    as ``bits`` grows. Single-table survival at cosine s is
+    P1 = sum_{i<=h} C(bits,i) p^(bits-i) (1-p)^i with
+    p = 1 - arccos(s)/pi; L tables give 1-(1-P1)^L. At bits=8/h=2
+    P1(0.8) ~ 0.78 already >= 0.75 -> 1 table (the driver-tier
+    configuration, bit-identical to the single-table operator); at
+    bits=15 P1 ~ 0.38 -> 3 tables."""
+    import math as _math
+    p = 1.0 - _math.acos(design_cosine) / _math.pi
+    p1 = sum(_math.comb(bits, i) * p ** (bits - i) * (1 - p) ** i
+             for i in range(probe_hamming + 1))
+    if p1 >= target_recall:
+        return 1
+    return max(1, _math.ceil(_math.log(1 - target_recall)
+                             / _math.log(1 - p1)))
 
 
 def _q_ann_lsh_topk_md5(spark, sf_dir):
@@ -522,6 +599,12 @@ def _q_semdedup_lsh(spark, sf_dir):
     p^(8-i)(1-p)^i, p = 1-acos(s)/pi; ~78% at s=0.8 vs ~16% for the
     exact-bucket block) instead of the exact kNN graph, which is O(n^2)
     by definition (SCALING.md; fidelity measured in TWIN_FIDELITY.md).
+    Above the driver tiers the configuration ADAPTS to corpus size:
+    bits ~ log2(n/8) keeps per-bucket occupancy (and so candidate
+    volume per row) constant, and the table count grows by
+    OR-amplification (`_lsh_tables_for_recall`) so design-point pair
+    survival stays >= 0.75 — see SEMDEDUP_DIAL.md for the measured
+    cost/recall dial and SCALING_SF10.json for the sf10 decade.
     Same output contract: every vector marked kept/dropped, keeper =
     min id per cluster. DOWNSTREAM fidelity caveat (measured, pinned in
     test_twin_fidelity): on the near-uniform driver embedding tier the
@@ -536,12 +619,28 @@ def _q_semdedup_lsh(spark, sf_dir):
         connected_components, lsh_bucket_neardup_pairs)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    bucketed = emb.withColumn(
-        "bucket", _lsh_md5_bucket_col(F.col("embedding")))
+    # bits grows with corpus size — a FIXED bucket count is a
+    # fixed-cardinality blocking key, i.e. O(n^2/2^bits) candidates:
+    # quadratic again at scale — and table count grows with bits so
+    # per-pair survival at the design cosine stays >= 0.75
+    # (OR-amplification). At the driver tiers n <= 5000 resolves to
+    # bits=8 / 1 table, bit-identical to the fixed single-table
+    # operator, so the 8-plane oracle below still matches exactly.
+    bits = _lsh_adaptive_bits(_table_rows_memo(
+        emb, f"{sf_dir}/embeddings.parquet"))
+    n_tables = _lsh_tables_for_recall(bits, probe_hamming=2)
+    bucketed = emb
+    tables = []
+    for t in range(n_tables):
+        col = "bucket" if t == 0 else f"bucket_{t}"
+        bucketed = bucketed.withColumn(
+            col, _lsh_md5_bucket_col(F.col("embedding"), bits=bits,
+                                     table=t))
+        tables.append(col)
     pairs = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
                                      bucket_col="bucket",
                                      threshold=0.35, probe_hamming=2,
-                                     bits=8)
+                                     bits=bits, bucket_cols=tables)
     comp = connected_components(pairs.select("id_a", "id_b"))
     clusters = (emb.select("vec_id")
                 .join(comp.withColumnRenamed("node", "vec_id"),

@@ -840,7 +840,9 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              bucket_col: str = "bucket",
                              threshold: float = 0.9,
                              probe_hamming: int = 1,
-                             bits: int = 8) -> DataFrame:
+                             bits: int = 8,
+                             bucket_cols: list[str] | None = None
+                             ) -> DataFrame:
     """Multi-probe hyperplane-LSH cosine near-dup pairs.
 
     ``bucket_col`` is a sign-bit bucket (``bits`` hyperplane sign bits
@@ -857,18 +859,34 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     two buckets), so no distinct is needed. Cost: probe-count x |emb|
     rows on one side — still linear in the corpus, the nprobe-style
     recall/cost dial.
+
+    ``bucket_cols`` (multi-TABLE LSH, OR-amplification): at scale the
+    bucket count must grow with the corpus — a fixed 2^bits-cardinality
+    blocking key is O(n^2/2^bits) candidates, quadratic again (the
+    fixed-8-bit twin measured ~2.9e9 candidates / tens of minutes at
+    200k vectors) — but growing bits alone shrinks per-pair survival
+    ~p^bits. The standard fix (same OR-amplification family as minhash
+    BANDS) is L independent plane tables: survival becomes
+    1-(1-P1)^L while candidates stay ~ L * probes * n * occupancy,
+    linear in n at constant occupancy. Pass one bucket column per
+    table; each table runs the same probe join and the union is
+    deduped on (id_a, id_b) — the exactly-once XOR property holds only
+    WITHIN a table. Default (None) = single-table ``[bucket_col]``,
+    bit-identical to the pre-multi-table operator (no dedup shuffle).
     """
     from itertools import combinations
 
     from dotnetvectorsearch_spark.functions.vector import (
         pairwise_cosine_arrow)
 
+    tables = list(bucket_cols) if bucket_cols else [bucket_col]
     masks = [0]
     for h in range(1, probe_hamming + 1):
         masks += [sum(1 << i for i in c)
                   for c in combinations(range(bits), h)]
     emb = _spread(emb, id_col)
-    base = emb.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+    base = emb.select(F.col(id_col), F.col(vec_col),
+                      *[F.col(c) for c in tables])
     base = transient_persist(base)  # probe side + exact side
     # Materialize the persist BEFORE planning the self-join: an
     # InMemoryRelation that is registered but unfilled gives Catalyst
@@ -879,12 +897,6 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     # sizeInBytes; the join then reliably broadcasts the exact side at
     # bench scale and both probe/exact scans hit the cache.
     base.count()
-    probes = base.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.col(bucket_col).bitwiseXOR(F.lit(m)).alias("p")
-            for m in masks])).alias("__probe"))
-    a, b = probes.alias("a"), base.alias("b")
     # The cosine runs as an Arrow-batched pandas UDF AFTER the bucket
     # equi-join, not as a higher-order-function expression: Catalyst
     # pushes a HOF filter into the join CONDITION, where it is evaluated
@@ -894,15 +906,32 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     # (__probe = bucket AND id < id) pruning and scores survivors in
     # vectorized numpy batches; F.round stays JVM-side so rounding
     # matches the SQL oracle exactly.
-    sim = F.round(
-        pairwise_cosine_arrow()(F.col(f"a.{vec_col}"),
-                                F.col(f"b.{vec_col}")), 6)
-    return (a.join(b, (F.col("a.__probe") == F.col(f"b.{bucket_col}"))
+    per_table = []
+    for col in tables:
+        probes = base.select(
+            F.col(id_col), F.col(vec_col),
+            F.explode(F.array(*[
+                F.col(col).bitwiseXOR(F.lit(m)).alias("p")
+                for m in masks])).alias("__probe"))
+        a, b = probes.alias("a"), base.alias("b")
+        sim = F.round(
+            pairwise_cosine_arrow()(F.col(f"a.{vec_col}"),
+                                    F.col(f"b.{vec_col}")), 6)
+        per_table.append(
+            a.join(b, (F.col("a.__probe") == F.col(f"b.{col}"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionByName(t)
+    if len(per_table) > 1:
+        # a pair can surface once per table; the dedup shuffle touches
+        # only pairs PASSING the threshold (small), not candidates
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # ------------------------------------------------------ duplicate clusters

@@ -167,3 +167,53 @@ def test_multiprobe_lifts_semantic_pair_recall(spark):
     assert r2 >= 0.75
     assert r2 > r0
     exact.unpersist()
+
+
+def test_multitable_lsh_superset_no_dups_and_recall_gain(spark):
+    """Multi-table OR-amplification (the bits-grows-with-n scale path):
+    L plane tables must (a) return each qualifying pair at most once,
+    (b) be a superset of every single table's pairs, (c) at HIGH bits
+    (where one table's survival collapses) recover materially more
+    exact pairs than one table — the designed property
+    `_lsh_tables_for_recall` sizes for."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        embedding_neardup_pairs, lsh_bucket_neardup_pairs)
+    from tools.gen_scale_tier import gen_embeddings_clustered
+    import __spark_entry__ as entrymod
+
+    bits, n_tables = 12, 3
+    emb = gen_embeddings_clustered(spark, 300, dim=64, n_clusters=8)
+    emb = emb.select("vec_id", "embedding")
+    cols = []
+    for t in range(n_tables):
+        c = f"b{t}"
+        emb = emb.withColumn(c, entrymod._lsh_md5_bucket_col(
+            F.col("embedding"), bits=bits, table=t))
+        cols.append(c)
+    exact = embedding_neardup_pairs(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        threshold=0.5, allow_unblocked=True).cache()
+    n_exact = exact.count()
+
+    def pairs(use_cols):
+        return lsh_bucket_neardup_pairs(
+            emb, "vec_id", "embedding", bucket_col=use_cols[0],
+            threshold=0.5, probe_hamming=1, bits=bits,
+            bucket_cols=use_cols)
+
+    multi = pairs(cols).cache()
+    n_multi = multi.count()
+    assert multi.select("id_a", "id_b").distinct().count() == n_multi
+    hits = {}
+    for c in cols:
+        single = pairs([c])
+        assert single.join(multi, ["id_a", "id_b"],
+                           "left_anti").count() == 0
+        hits[c] = exact.join(single, ["id_a", "id_b"],
+                             "left_semi").count()
+    multi_hits = exact.join(multi, ["id_a", "id_b"],
+                            "left_semi").count()
+    assert multi_hits > max(hits.values())
+    assert multi_hits / n_exact > 1.2 * max(hits.values()) / n_exact
+    multi.unpersist()
+    exact.unpersist()

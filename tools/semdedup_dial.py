@@ -1,0 +1,220 @@
+"""Characterize the multi-probe LSH cost/recall dial for semdedup_lsh.
+
+VERDICT r5 ("Would the dedup/ANN stack survive 100 TB?") left one
+caveat open: the multi-probe join expands one side 37x at
+probe_hamming=2 (8 bits), and only the recall FLOOR was pinned — "at
+100x the probe explosion needs its cost/recall dial characterized, not
+just its recall floor". This tool measures the whole dial, per
+probe_hamming h in {0, 1, 2}:
+
+  probes        sum_{i<=h} C(8,i) bucket masks (1 / 9 / 37)
+  candidates    bucket-equal candidate pairs the join scores (the cost
+                that scales with corpus size x probes — the quantity a
+                100x capacity plan budgets)
+  pairs_found   candidates passing cosine >= tau (exactly-once by the
+                XOR-mask construction, no distinct)
+  pair_recall   fraction of the EXACT >=tau pair set recovered
+                (exact set = unblocked all-pairs cosine — feasible at
+                these tier sizes, the measurement corpus)
+  kept_agree    downstream kept-flag agreement with semdedup_keep
+                after connected components + keep-min — the decision
+                that actually edits a corpus
+  seconds       end-to-end twin wall time (best of 2, transient caches
+                released inside the region)
+
+Measured on the driver sf0.1 tier (near-uniform embeddings — the
+honest hard case) and the clustered tier from
+`tools/gen_scale_tier.py --clustered` (where semantic dedup is
+meaningful). Writes SEMDEDUP_DIAL.json and (with --md)
+SEMDEDUP_DIAL.md.
+
+Run:  python tools/semdedup_dial.py [--md]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import subprocess
+import sys
+import time
+from itertools import combinations
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from dotnetvectorsearch_spark.caching import release_transient
+from dotnetvectorsearch_spark.operators.dedup import (
+    connected_components,
+    embedding_neardup_pairs,
+    lsh_bucket_neardup_pairs,
+)
+from dotnetvectorsearch_spark.session import get_spark
+
+TAU = 0.35
+BITS = 8
+TIERS = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("clustered", str(ROOT / ".scaletier" / "clustered")),
+]
+
+
+def _kept(emb, pairs):
+    """kept flag per vec_id from a pair list (components + keep-min)."""
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    from pyspark.sql.window import Window
+    cl = (emb.select("vec_id")
+          .join(comp.withColumnRenamed("node", "vec_id"), "vec_id",
+                "left")
+          .select("vec_id", F.coalesce("component", F.col("vec_id"))
+                  .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return cl.select(
+        "vec_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
+
+
+def measure(spark, sf_dir: str) -> dict:
+    emb = entrymod.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    bucketed = emb.withColumn(
+        "bucket", entrymod._lsh_md5_bucket_col(F.col("embedding")))
+    bucketed = bucketed.persist()
+    n = bucketed.count()
+    # ground truth: unblocked exact all-pairs (feasible at tier sizes)
+    exact = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", block_col=None, threshold=TAU,
+        allow_unblocked=True).select("id_a", "id_b").persist()
+    n_exact = exact.count()
+    exact_kept = _kept(emb, exact).withColumnRenamed(
+        "kept", "k_exact").persist()
+    exact_kept.count()
+
+    rows = []
+    for h in (0, 1, 2):
+        n_probes = sum(math.comb(BITS, i) for i in range(h + 1))
+        # candidate volume: bucket-equal (probe, base) id< pairs —
+        # exactly what the scoring join enumerates
+        masks = [0] + [sum(1 << i for i in c)
+                       for hh in range(1, h + 1)
+                       for c in combinations(range(BITS), hh)]
+        probes = bucketed.select(
+            F.col("vec_id"),
+            F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]))
+            .alias("p"))
+        cand = (probes.alias("a")
+                .join(bucketed.alias("b"),
+                      (F.col("a.p") == F.col("b.bucket"))
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .count())
+        # end-to-end twin timing at this dial setting
+        reps = []
+        found = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = lsh_bucket_neardup_pairs(
+                bucketed, "vec_id", "embedding", bucket_col="bucket",
+                threshold=TAU, probe_hamming=h, bits=BITS)
+            found = pairs.count()
+            reps.append(time.perf_counter() - t0)
+            release_transient()
+        pairs = lsh_bucket_neardup_pairs(
+            bucketed, "vec_id", "embedding", bucket_col="bucket",
+            threshold=TAU, probe_hamming=h, bits=BITS)
+        hit = exact.join(pairs.select("id_a", "id_b"),
+                         ["id_a", "id_b"], "left_semi").count()
+        twin_kept = _kept(emb, pairs)
+        agree = (exact_kept.join(twin_kept, "vec_id")
+                 .filter(F.col("k_exact") == F.col("kept")).count())
+        release_transient()
+        rows.append({
+            "probe_hamming": h, "probes": n_probes,
+            "candidates": cand, "pairs_found": found,
+            "pair_recall": round(hit / n_exact, 4) if n_exact else None,
+            "kept_agreement": round(agree / n, 4),
+            "best_sec": round(min(reps), 3),
+            "cold_sec": round(reps[0], 3),
+        })
+        print(f"  h={h}: {json.dumps(rows[-1])}", flush=True)
+    for df in (bucketed, exact, exact_kept):
+        df.unpersist()
+    return {"n_vectors": n, "n_exact_pairs": n_exact, "tau": TAU,
+            "bits": BITS, "dial": rows}
+
+
+def main() -> None:
+    clustered = Path(TIERS[1][1])
+    if not (clustered / "embeddings.parquet").exists():
+        print("generating clustered tier ...")
+        subprocess.run([sys.executable,
+                        str(ROOT / "tools" / "gen_scale_tier.py"),
+                        "--clustered"], check=True)
+    spark = get_spark("semdedup-dial")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for tier, sf_dir in TIERS:
+        print(f"== {tier} ==", flush=True)
+        results[tier] = measure(spark, sf_dir)
+    (ROOT / "SEMDEDUP_DIAL.json").write_text(
+        json.dumps(results, indent=1) + "\n")
+    if "--md" in sys.argv:
+        lines = [
+            "# SemDeDup multi-probe dial — cost vs recall "
+            "(probe_hamming 0 / 1 / 2)",
+            "",
+            "Generated by `python tools/semdedup_dial.py --md` on "
+            "local[32]. The multi-probe LSH twin expands the probe "
+            "side sum_{i<=h} C(8,i) x (1/9/37 buckets); `candidates` "
+            "is the bucket-equal pair volume the cosine join actually "
+            "scores — the budget line a 100x capacity plan reads "
+            "(candidates scale ~ probes x n^2 / 2^bits at uniform "
+            "occupancy, still LINEAR in n for fixed occupancy-growing "
+            "bits). Ground truth = unblocked exact all-pairs cosine "
+            f"at tau={TAU}; kept agreement = downstream keep/drop "
+            "decision match vs `semdedup_keep` after identical "
+            "components+keep-min algebra.",
+            "",
+        ]
+        for tier, r in results.items():
+            lines += [
+                f"## {tier} — {r['n_vectors']} vectors, "
+                f"{r['n_exact_pairs']} exact pairs",
+                "",
+                "| h | probes | candidates | pairs found | pair "
+                "recall | kept agree | best s |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for d in r["dial"]:
+                lines.append(
+                    f"| {d['probe_hamming']} | {d['probes']} | "
+                    f"{d['candidates']} | {d['pairs_found']} | "
+                    f"{d['pair_recall']} | {d['kept_agreement']} | "
+                    f"{d['best_sec']} |")
+            lines.append("")
+        dial = results.get("clustered", {}).get("dial", [])
+        if len(dial) == 3:
+            lines += [
+                "Reading the dial (clustered tier): h=2 buys "
+                f"{dial[2]['pair_recall']} recall at "
+                f"{dial[2]['candidates'] / max(dial[0]['candidates'], 1):.0f}x "
+                "the h=0 candidate volume; h=1 sits at "
+                f"{dial[1]['pair_recall']} recall for "
+                f"{dial[1]['candidates'] / max(dial[0]['candidates'], 1):.0f}x. "
+                "At 100x corpus size the candidate line scales "
+                "linearly with n at fixed occupancy (grow `bits` with "
+                "log2(n) to hold per-bucket density), so the dial "
+                "trades a constant factor, not a complexity class.",
+                "",
+            ]
+        (ROOT / "SEMDEDUP_DIAL.md").write_text("\n".join(lines) + "\n")
+        print("wrote SEMDEDUP_DIAL.md / SEMDEDUP_DIAL.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
