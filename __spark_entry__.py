@@ -592,6 +592,11 @@ def _q_doc_pagerank_lsh(spark, sf_dir):
 
 
 def _q_semdedup_lsh(spark, sf_dir):
+    """See _semdedup_lsh_impl — reference NEARDUP threshold 0.35."""
+    return _semdedup_lsh_impl(spark, sf_dir, threshold=0.35)
+
+
+def _semdedup_lsh_impl(spark, sf_dir, threshold):
     """Scale-correct twin of semdedup_keep: semantic near-dup clusters
     from MULTI-PROBE hyperplane-LSH cosine pairs (md5-deterministic
     planes; side A probes every bucket within hamming 2 — 37 of 256 —
@@ -639,7 +644,8 @@ def _q_semdedup_lsh(spark, sf_dir):
         tables.append(col)
     pairs = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
                                      bucket_col="bucket",
-                                     threshold=0.35, probe_hamming=2,
+                                     threshold=threshold,
+                                     probe_hamming=2,
                                      bits=bits, bucket_cols=tables)
     comp = connected_components(pairs.select("id_a", "id_b"))
     clusters = (emb.select("vec_id")
@@ -652,6 +658,21 @@ def _q_semdedup_lsh(spark, sf_dir):
     return clusters.select(
         "vec_id", "cluster_id",
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
+
+
+def _q_semdedup_lsh_hi(spark, sf_dir):
+    """semdedup_lsh at the REAL SemDeDup operating point tau=0.8 (the
+    paper prunes at cosine ~0.95+ of cluster centroids; 0.8 is ~6.4
+    sigma for 64-d unit vectors, background pair rate ~0). The tau=0.35
+    registry twin keeps the reference NEARDUP threshold for oracle
+    continuity but on near-uniform embeddings 0.35 is only ~2.8 sigma —
+    a CONSTANT fraction (~2.6e-3) of ALL n^2 pairs qualifies, so its
+    OUTPUT is inherently quadratic in the corpus and the sf10 point is
+    output-bound (SCALING_SF10.json). At tau=0.8 the qualifying set is
+    the planted near-dup structure only — output linear in n — which is
+    the regime a 100 TB semantic dedup actually runs; this query pins
+    the engine cost in that regime."""
+    return _semdedup_lsh_impl(spark, sf_dir, threshold=0.8)
 
 
 def _q_incremental_neardup(spark, sf_dir):
@@ -2704,6 +2725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pagerank_lsh": _q_doc_pagerank_lsh,
     "semdedup_lsh": _q_semdedup_lsh,
     "incremental_neardup": _q_incremental_neardup,
+    # -- round 6 additions
+    "semdedup_lsh_hi": _q_semdedup_lsh_hi,
 }
 
 
@@ -4992,6 +5015,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang,
                                    'strata-v1')), 1, 8) < '40000000'
     """
+    # semdedup at the tau=0.8 operating point: identical SQL with only
+    # the threshold swapped (the token '>= 0.35' appears exactly once —
+    # the cosine gate; plane constants are full-precision reprs and
+    # cannot contain it)
+    assert oracles["semdedup_lsh"].count(">= 0.35") == 1
+    oracles["semdedup_lsh_hi"] = oracles["semdedup_lsh"].replace(
+        ">= 0.35", ">= 0.8")
     # incremental near-dup gate: same md5 minhash family as
     # minhash_pairs_md5, bipartite (batch x store) band join, estimate
     # = matching signature components / 16

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "dedup_clusters_lsh",
     "doc_pagerank_lsh",
     "semdedup_lsh",
+    "semdedup_lsh_hi",
     "incremental_neardup",
 ]
 

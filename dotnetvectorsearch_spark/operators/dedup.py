@@ -739,10 +739,60 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def _bipartite_gram_join_volume(tr: DataFrame, tr_id: str,
+                                te: DataFrame, te_id: str,
+                                train_src: DataFrame,
+                                test_src: DataFrame) -> float:
+    """Estimate sum_s df_train(s) * df_test(s) — the EXACT row count of
+    a bipartite gram equi-join — from the two (already persisted)
+    shingle frames, before the join is scheduled. Same estimator
+    doctrine as the ``jaccard_pairs`` guard: exact under ~2k docs per
+    side, else an unbiased deterministic 1/q doc sample per side
+    (independent salts, so E[df_tr * df_te] factorizes); memoized in
+    ``_JP_GUARD_MEMO`` keyed on plan semanticHash + input file
+    fingerprints. Grams hash to longs (collisions over-count = err
+    safe)."""
+    try:
+        sem = (tr._jdf.queryExecution().analyzed().semanticHash(),
+               te._jdf.queryExecution().analyzed().semanticHash())
+        memo_key = (sem, _input_fingerprint(train_src),
+                    _input_fingerprint(test_src))
+    except Exception:  # pragma: no cover - py4j surface drift
+        memo_key = None
+    with _JP_GUARD_LOCK:
+        if memo_key is not None and memo_key in _JP_GUARD_MEMO:
+            return _JP_GUARD_MEMO[memo_key]
+
+    def gram_counts(df, id_c, salt, alias):
+        n = df.count()   # materializes the transient persist
+        q = max(1, n // 2_000)
+        s = df if q == 1 else df.filter(
+            F.xxhash64(F.col(id_c), F.lit(salt)) % q == 0)
+        g = (s.select(F.explode("sh").alias("s"))
+             .groupBy(F.xxhash64("s").alias("__sh"))
+             .agg(F.count(F.lit(1)).alias(alias)))
+        return g, q
+
+    gt, qt = gram_counts(tr, tr_id, "cc-guard-tr", "df_tr")
+    ge, qe = gram_counts(te, te_id, "cc-guard-te", "df_te")
+    n_cand = (gt.join(ge, "__sh")
+              .agg(F.sum(F.col("df_tr").cast("double")
+                         * F.col("df_te")).cast("double"))
+              .collect()[0][0] or 0.0) * qt * qe
+    if memo_key is not None:
+        with _JP_GUARD_LOCK:
+            if len(_JP_GUARD_MEMO) >= _JP_GUARD_MEMO_MAX:
+                _JP_GUARD_MEMO.pop(next(iter(_JP_GUARD_MEMO)))
+            _JP_GUARD_MEMO[memo_key] = n_cand
+    return n_cand
+
+
 def cross_corpus_contamination(train: DataFrame, test: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text", shingle_n: int = 3,
-                               min_overlap: float = 0.5) -> DataFrame:
+                               min_overlap: float = 0.5,
+                               max_candidate_pairs: int | None =
+                               JACCARD_MAX_CANDIDATE_PAIRS) -> DataFrame:
     """Train/eval contamination check: for each (test, train) doc pair
     sharing shingles, the overlap coefficient
     |shared| / |test shingles| — the fraction of the TEST doc already
@@ -753,6 +803,18 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
     Shape: two inverted indexes equi-joined on the shingle value — shuffle
     ∝ corpus sizes; never a cross product. Returns
     (test_id, train_id, overlap) pairs with overlap >= min_overlap.
+
+    Scale bound (ENFORCED — same doctrine as ``jaccard_pairs``/
+    ``search.knn_graph``): the bipartite gram join emits exactly
+    sum_s df_test(s) * df_train(s) rows, which is quadratic-shaped
+    whenever shingles are unselective (boilerplate, tiny vocab:
+    measured ~5.2e9 rows / 70+ GB of shuffle spill at 250k+250k docs
+    on a 31-word vocabulary — a filled disk, not a slow query). The
+    volume is counted from the two gram-frequency tables (doc-sampled
+    past 2k docs/side, unbiased, memoized per input fingerprint)
+    BEFORE the join is scheduled; past ``max_candidate_pairs`` this
+    raises with reroute advice. ``decontaminate`` and the
+    curated_corpus/training_shards capstones inherit the guard.
     """
     tr = (_spread(train, id_col)
           .select(F.col(id_col).alias("train_id"),
@@ -761,7 +823,23 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
           .select(F.col(id_col).alias("test_id"),
                   word_shingles(text_col, shingle_n).alias("sh"))
           )
+    tr = transient_persist(tr)  # guard gram counts + the inverted index
     te = transient_persist(te)  # feeds sizes + the inverted index
+    if max_candidate_pairs is not None:
+        n_cand = _bipartite_gram_join_volume(
+            tr, "train_id", te, "test_id", train, test)
+        if n_cand > max_candidate_pairs:
+            raise ValueError(
+                f"cross_corpus_contamination gram join would emit "
+                f"~{int(n_cand):,} candidate rows (bound "
+                f"{max_candidate_pairs:,}): shingles are too "
+                f"unselective at this scale (hot/boilerplate grams or "
+                f"a tiny vocabulary make the bipartite join "
+                f"quadratic-shaped). Block the join (restrict test to "
+                f"the eval slice actually shipped, partition by "
+                f"lang/source), pre-gate candidates with minhash "
+                f"banding (the incremental_neardup machinery), or "
+                f"raise max_candidate_pairs explicitly")
     te_sizes = te.select("test_id", F.size("sh").alias("n_te"))
     tr_inv = tr.select("train_id", F.explode("sh").alias("s"))
     te_inv = te.select("test_id", F.explode("sh").alias("s"))
@@ -1466,7 +1544,9 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
 def decontaminate(train: DataFrame, test: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 3,
-                  min_overlap: float = 0.5) -> DataFrame:
+                  min_overlap: float = 0.5,
+                  max_candidate_pairs: int | None =
+                  JACCARD_MAX_CANDIDATE_PAIRS) -> DataFrame:
     """Remove from ``train`` every document the eval set contaminates:
     the enforcement step on top of ``cross_corpus_contamination`` — a
     benchmark-hygiene pipeline doesn't report overlap pairs, it DROPS
@@ -1478,7 +1558,8 @@ def decontaminate(train: DataFrame, test: DataFrame,
     surviving train rows unchanged.
     """
     bad = (cross_corpus_contamination(train, test, id_col, text_col,
-                                      shingle_n, min_overlap)
+                                      shingle_n, min_overlap,
+                                      max_candidate_pairs)
            .select(F.col("train_id").alias(id_col)).distinct())
     return train.join(bad, id_col, "left_anti")
 

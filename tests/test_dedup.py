@@ -690,6 +690,30 @@ def test_jaccard_pairs_guard_refuses_past_candidate_bound(spark, dup_docs):
                            max_candidate_pairs=10_000).count() > 0
 
 
+def test_contamination_guard_refuses_past_candidate_bound(spark,
+                                                          dup_docs):
+    # The bipartite gram join volume (sum_s df_test * df_train) is
+    # counted before the join is scheduled — unselective shingles
+    # (boilerplate / tiny vocab) make it quadratic-shaped, and at sf10
+    # the unguarded join filled the disk (~5.2e9 rows / 70+ GB spill).
+    train = dup_docs.filter("doc_id % 2 = 0")
+    test = dup_docs.filter("doc_id % 2 = 1")
+    with pytest.raises(ValueError, match="minhash banding"):
+        D.cross_corpus_contamination(train, test, min_overlap=0.2,
+                                     max_candidate_pairs=3)
+    # the bound is a knob, not a wall — and decontaminate inherits it
+    assert D.cross_corpus_contamination(
+        train, test, min_overlap=0.2,
+        max_candidate_pairs=10_000_000).count() >= 0
+    with pytest.raises(ValueError, match="minhash banding"):
+        D.decontaminate(train, test, min_overlap=0.2,
+                        max_candidate_pairs=3).count()
+    # default bound runs clean (dup_docs: every train doc is a planted
+    # near-copy of a test doc, so all are dropped — 0 survivors is the
+    # CORRECT answer here, the point is the default-bound path works)
+    assert D.decontaminate(train, test, min_overlap=0.2).count() == 0
+
+
 def test_dedup_clusters_pipeline_inherits_guard(spark, dup_docs):
     with pytest.raises(ValueError, match="minhash"):
         D.dedup_clusters(

@@ -94,6 +94,49 @@ def measure(spark, sf_dir: str) -> dict:
         "kept", "k_exact").persist()
     exact_kept.count()
 
+    # --- bits ladder: the adaptive scale path (bits grows with n,
+    # tables grow to hold design-point survival). Measured at FIXED n,
+    # the ladder isolates the recall question: does OR-amplification
+    # hold pair recall flat while the bucket count (and so the
+    # candidate budget per row) shrinks 128x from bits=8 to bits=15?
+    ladder = []
+    for bits in (8, 12, 15):
+        n_tables = entrymod._lsh_tables_for_recall(bits,
+                                                   probe_hamming=2)
+        b2 = emb
+        cols = []
+        for t in range(n_tables):
+            c = f"bl{t}"
+            b2 = b2.withColumn(c, entrymod._lsh_md5_bucket_col(
+                F.col("embedding"), bits=bits, table=t))
+            cols.append(c)
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = lsh_bucket_neardup_pairs(
+                b2, "vec_id", "embedding", bucket_col=cols[0],
+                threshold=TAU, probe_hamming=2, bits=bits,
+                bucket_cols=cols)
+            found = pairs.count()
+            reps.append(time.perf_counter() - t0)
+            release_transient()
+        pairs = lsh_bucket_neardup_pairs(
+            b2, "vec_id", "embedding", bucket_col=cols[0],
+            threshold=TAU, probe_hamming=2, bits=bits,
+            bucket_cols=cols)
+        hit = exact.join(pairs.select("id_a", "id_b"),
+                         ["id_a", "id_b"], "left_semi").count()
+        release_transient()
+        ladder.append({
+            "bits": bits, "tables": n_tables,
+            "probes_per_table":
+                sum(math.comb(bits, i) for i in range(3)),
+            "pairs_found": found,
+            "pair_recall": round(hit / n_exact, 4) if n_exact else None,
+            "best_sec": round(min(reps), 3),
+        })
+        print(f"  bits={bits}: {json.dumps(ladder[-1])}", flush=True)
+
     rows = []
     for h in (0, 1, 2):
         n_probes = sum(math.comb(BITS, i) for i in range(h + 1))
@@ -144,7 +187,7 @@ def measure(spark, sf_dir: str) -> dict:
     for df in (bucketed, exact, exact_kept):
         df.unpersist()
     return {"n_vectors": n, "n_exact_pairs": n_exact, "tau": TAU,
-            "bits": BITS, "dial": rows}
+            "bits": BITS, "dial": rows, "bits_ladder": ladder}
 
 
 def main() -> None:
@@ -195,6 +238,22 @@ def main() -> None:
                     f"{d['candidates']} | {d['pairs_found']} | "
                     f"{d['pair_recall']} | {d['kept_agreement']} | "
                     f"{d['best_sec']} |")
+            lines += [
+                "",
+                "Bits ladder (the adaptive scale path — bits grows "
+                "with n, `_lsh_tables_for_recall` grows tables to "
+                "hold design-point survival; recall must stay ~flat "
+                "while bucket count grows 128x):",
+                "",
+                "| bits | tables | probes/table | pairs found | "
+                "pair recall | best s |",
+                "|---|---|---|---|---|---|",
+            ]
+            for d in r["bits_ladder"]:
+                lines.append(
+                    f"| {d['bits']} | {d['tables']} | "
+                    f"{d['probes_per_table']} | {d['pairs_found']} | "
+                    f"{d['pair_recall']} | {d['best_sec']} |")
             lines.append("")
         dial = results.get("clustered", {}).get("dial", [])
         if len(dial) == 3:
