@@ -169,6 +169,42 @@ def test_multiprobe_lifts_semantic_pair_recall(spark):
     exact.unpersist()
 
 
+def test_adaptive_design_holds_recall_at_high_bits(spark):
+    """Regression floor for the adaptive scale path: at bits=15 (the
+    200k-vector configuration, bucket count 128x the driver tiers') the
+    `_lsh_tables_for_recall`-sized table count must keep clustered-pair
+    recall near the single-table bits=8 level (measured 0.78 vs 0.85 at
+    n=2000, SEMDEDUP_DIAL.md) — the property that makes growing bits
+    with the corpus safe."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        embedding_neardup_pairs, lsh_bucket_neardup_pairs)
+    from tools.gen_scale_tier import gen_embeddings_clustered
+    import __spark_entry__ as entrymod
+
+    bits = 15
+    n_tables = entrymod._lsh_tables_for_recall(bits, probe_hamming=2)
+    assert n_tables >= 2
+    emb = gen_embeddings_clustered(spark, 300, dim=64, n_clusters=8)
+    emb = emb.select("vec_id", "embedding")
+    cols = []
+    for t in range(n_tables):
+        c = f"hb{t}"
+        emb = emb.withColumn(c, entrymod._lsh_md5_bucket_col(
+            F.col("embedding"), bits=bits, table=t))
+        cols.append(c)
+    exact = embedding_neardup_pairs(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        threshold=0.5, allow_unblocked=True).cache()
+    n_exact = exact.count()
+    got = lsh_bucket_neardup_pairs(
+        emb, "vec_id", "embedding", bucket_col=cols[0], threshold=0.5,
+        probe_hamming=2, bits=bits, bucket_cols=cols)
+    recall = exact.join(got, ["id_a", "id_b"], "left_semi").count() \
+        / n_exact
+    exact.unpersist()
+    assert recall >= 0.65
+
+
 def test_multitable_lsh_superset_no_dups_and_recall_gain(spark):
     """Multi-table OR-amplification (the bits-grows-with-n scale path):
     L plane tables must (a) return each qualifying pair at most once,

@@ -255,6 +255,19 @@ def main() -> None:
                     f"{d['probes_per_table']} | {d['pairs_found']} | "
                     f"{d['pair_recall']} | {d['best_sec']} |")
             lines.append("")
+        lines += [
+            "Reading the bits ladder: on the CLUSTERED tier "
+            "(within-cluster cosine ~0.85, at/above the 0.8 design "
+            "point) OR-amplification holds recall ~flat (0.85 -> 0.78) "
+            "while the bucket count grows 128x — the adaptive scale "
+            "path's designed property, measured. On the near-uniform "
+            "sf0.1 tier recall decays with bits because its exact "
+            "pairs sit at cosine 0.35-0.5, BELOW the design point "
+            "where survival is sized — the guarantee is parameterized "
+            "by design_cosine, not universal; pick it at the "
+            "similarity your dedup actually targets.",
+            "",
+        ]
         dial = results.get("clustered", {}).get("dial", [])
         if len(dial) == 3:
             lines += [
