@@ -1254,8 +1254,9 @@ def _q_knn_graph(spark, sf_dir):
 
 def _q_search_topk_mmr(spark, sf_dir):
     """MMR-diversified top-k: distributed top-50 candidate scan, greedy
-    driver-side diversification (lambda=0.7). Iterative greedy selection is
-    not SQL-expressible -> rows-only check."""
+    driver-side diversification (lambda=0.7). The greedy loop is iterative
+    but k is FIXED (5), so the oracle unrolls it into 5 argmax CTE steps —
+    exact value-hash check, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = _collect_query_vec(spark, sf_dir)
     return S.mmr_rerank(emb, qv, k=5, fetch_k=50, lambda_mult=0.7,
@@ -5068,5 +5069,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.doc_id, COALESCE(e.max_est, 0.0) AS max_est,
                (COALESCE(e.max_est, 0.0) >= 0.5) AS is_neardup
         FROM bmh m LEFT JOIN est e ON e.bid = m.doc_id
+    """
+    # MMR (k=5, fetch_k=50, lambda=0.7): greedy selection is iterative,
+    # but k is FIXED, so the loop UNROLLS into 5 argmax steps — each
+    # picks the candidate maximizing round(0.7*qsim - 0.3*max_sim(
+    # selected), 6), ties broken exactly like the operator's first-hit
+    # scan over the (-qsim, id)-ordered candidate list (ORDER BY score
+    # DESC, qsim DESC, vec_id ASC). qsim is the round-6 candidate
+    # similarity, the diversity term uses raw double cosine — both
+    # matching operators/search.py::mmr_rerank bit-for-bit at 6 digits.
+    _mmr_steps = []
+    for _k in range(2, 6):
+        _prev = "s1" if _k == 2 else f"sel{_k - 1}"
+        _mmr_steps.append(f"""
+        s{_k} AS (
+          SELECT vec_id, qsim, emb, {_k} AS mmr_rank FROM (
+            SELECT c.vec_id, c.qsim, c.emb,
+                   round(0.7*c.qsim - 0.3*(SELECT max(
+                       list_cosine_similarity(c.emb, s.emb))
+                       FROM {_prev} s), 6) AS score
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM {_prev}))
+          ORDER BY score DESC, qsim DESC, vec_id ASC LIMIT 1),
+        sel{_k} AS (SELECT * FROM {_prev} UNION ALL SELECT * FROM s{_k}),""")
+    oracles["search_topk_mmr"] = f"""
+        WITH q AS {qvec},
+        cand AS (
+          SELECT e.vec_id,
+                 round({cos.format(a='e.embedding', b='q.qe')}, 6) AS qsim,
+                 CAST(e.embedding AS DOUBLE[]) AS emb
+          FROM embeddings e CROSS JOIN q
+          ORDER BY qsim DESC, e.vec_id ASC LIMIT 50),
+        s1 AS (SELECT vec_id, qsim, emb, 1 AS mmr_rank FROM cand
+               ORDER BY qsim DESC, vec_id ASC LIMIT 1),
+        {"".join(_mmr_steps)}
+        final AS (SELECT * FROM sel5)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, qsim AS similarity,
+               CAST(mmr_rank AS BIGINT) AS mmr_rank
+        FROM final ORDER BY mmr_rank
     """
     return oracles

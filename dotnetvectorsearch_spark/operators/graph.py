@@ -50,13 +50,21 @@ def pagerank_undirected(pairs: DataFrame, src: str = "id_a",
     join per iteration — past ~20 iterations add a localCheckpoint like
     ``dedup.connected_components`` does.
     """
-    edges = (pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-             .union(pairs.select(F.col(dst).alias("src"),
-                                 F.col(src).alias("dst"))))
-    nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = transient_persist(nodes)  # joined every iteration + counted
-    n = nodes.count()
+    # Both directions via one explode, NOT a self-union: a union
+    # evaluates the (expensive) pairs plan once per branch, so the
+    # old nodes-then-edges persist order ran the upstream similarity
+    # join up to 4x (2 for nodes.count through the unpersisted union,
+    # 2 again when the edges persist materialized). One explode per
+    # pair row + persisting edges FIRST and deriving nodes from the
+    # persisted frame evaluates pairs exactly once.
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+    )).alias("e")).select("e.src", "e.dst"))
     edges = transient_persist(edges.repartition("src"))
+    nodes = transient_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.select("src", "deg",
                          F.lit(1.0 / n).alias("rank"))
