@@ -293,3 +293,81 @@ def deterministic_shuffle(df: DataFrame, key_col: str,
             .withColumn("shard", shard)
             .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
             .drop("h"))
+
+
+def token_budget_sample(df: DataFrame, key_col: str, group_col: str,
+                        tokens_col: str, budget: int,
+                        salt: str = "budget-v1",
+                        buckets: int = 4096) -> DataFrame:
+    """Per-group token-budget corpus construction: deterministically
+    order each group's rows by md5(key || salt) and admit rows while the
+    running token total is still below ``budget`` (the straddling row is
+    included — the budget is a fill target, not a hard cap). The greedy
+    hash-order prefix is the standard way to cut a fixed-token training
+    mix per source/language: assignment depends only on (key, salt,
+    budget), so re-runs, engines, and partitionings all agree, and
+    growing the corpus only APPENDS candidates after the existing prefix
+    order — already-admitted rows stay admitted until the budget moves.
+
+    Scale shape — deliberately NOT one window over the group: ``group``
+    is low-cardinality (sources, languages), so
+    ``Window.partitionBy(group).orderBy(hash)`` would sort entire 100 TB
+    groups in single tasks. Instead the hash range is cut into
+    ``buckets`` slices and the admission decision is made per slice:
+
+    1. one map-side-combined aggregate of token sums per (group,
+       bucket) — a tiny frame (groups x buckets rows);
+    2. a window over THAT frame finds each group's cumulative-before
+       bucket totals: buckets that end strictly below the budget are
+       admitted wholesale, buckets that start at/after it are dropped
+       wholesale, and AT MOST ONE straddler bucket per group survives
+       to stage 3 (cumulative sums are monotone);
+    3. only the straddler bucket's rows — ~|group|/buckets of the data —
+       pay the exact hash-order prefix sum, with the bucket's
+       cumulative-before total carried in.
+
+    The per-row verdict is identical to the naive single-window form
+    (asserted in tests); the expensive sort shrinks from the whole group
+    to one slice. Output: the admitted rows as (key, group, tokens).
+    """
+    from pyspark.sql import Window
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if buckets < 2 or buckets > 16 ** 4:
+        raise ValueError(f"buckets must be in [2, 65536], got {buckets}")
+    span = 16 ** 8 // buckets
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long")
+    rows = df.select(F.col(key_col), F.col(group_col),
+                     F.col(tokens_col).cast("long").alias("__t"),
+                     h.alias("__h"))
+    rows = rows.withColumn("__b", (F.col("__h") / F.lit(span))
+                           .cast("long"))
+    per_bucket = (rows.groupBy(group_col, "__b")
+                  .agg(F.sum("__t").alias("__bt")))
+    wb = (Window.partitionBy(group_col).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    admission = (per_bucket
+                 .withColumn("__cb", F.coalesce(F.sum("__bt").over(wb),
+                                                F.lit(0)))
+                 .withColumn(
+                     "__cls",
+                     F.when(F.col("__cb") + F.col("__bt") < budget,
+                            F.lit("full"))
+                     .when(F.col("__cb") >= budget, F.lit("drop"))
+                     .otherwise(F.lit("edge")))
+                 .select(group_col, "__b", "__cb", "__cls"))
+    # groups x buckets rows — always broadcastable.
+    tagged = rows.join(F.broadcast(admission), [group_col, "__b"])
+    full = tagged.filter(F.col("__cls") == "full")
+    edge = tagged.filter(F.col("__cls") == "edge")
+    we = (Window.partitionBy(group_col).orderBy("__h", key_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    edge_kept = (edge
+                 .withColumn("__cum_before",
+                             F.col("__cb")
+                             + F.coalesce(F.sum("__t").over(we), F.lit(0)))
+                 .filter(F.col("__cum_before") < budget))
+    sel = [F.col(key_col), F.col(group_col), F.col("__t").alias(tokens_col)]
+    return full.select(*sel).unionByName(edge_kept.select(*sel))
