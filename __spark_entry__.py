@@ -512,9 +512,14 @@ def _lsh_adaptive_bits(n_rows: int, target_occupancy: int = 8,
     minutes; at bits=15 it's ~40x fewer). Growing bits with log2(n)
     holds per-bucket density constant, so candidates stay LINEAR in n —
     the same doctrine as shingle-keyed minhash bands, whose key
-    cardinality grows with the corpus naturally. At the driver tiers
-    (n <= 5000) this returns ``floor_bits`` = 8, so oracle SQL, bench
-    timings, and fidelity pins at sf0.01/sf0.1 are unchanged."""
+    cardinality grows with the corpus naturally. For n <=
+    ``target_occupancy`` * 2^``floor_bits`` — n <= 2048 at the
+    defaults, NOT 5000 (ceil(log2(5000/8)) = 10) — this returns
+    ``floor_bits`` = 8, so oracle SQL, bench timings, and fidelity pins
+    at the driver tiers (currently <= 2000 embeddings) are unchanged;
+    `_semdedup_lsh_impl` raises loudly if a driver-tier-sized corpus
+    ever resolves to bits != 8 instead of silently hash-mismatching
+    the fixed-8-bit oracle."""
     import math as _math
     if n_rows <= 0:
         return floor_bits
@@ -596,7 +601,8 @@ def _q_semdedup_lsh(spark, sf_dir):
     return _semdedup_lsh_impl(spark, sf_dir, threshold=0.35)
 
 
-def _semdedup_lsh_impl(spark, sf_dir, threshold):
+def _semdedup_lsh_impl(spark, sf_dir, threshold, probe_hamming=2,
+                       target_recall=0.75):
     """Scale-correct twin of semdedup_keep: semantic near-dup clusters
     from MULTI-PROBE hyperplane-LSH cosine pairs (md5-deterministic
     planes; side A probes every bucket within hamming 2 — 37 of 256 —
@@ -631,9 +637,17 @@ def _semdedup_lsh_impl(spark, sf_dir, threshold):
     # (OR-amplification). At the driver tiers n <= 5000 resolves to
     # bits=8 / 1 table, bit-identical to the fixed single-table
     # operator, so the 8-plane oracle below still matches exactly.
-    bits = _lsh_adaptive_bits(_table_rows_memo(
-        emb, f"{sf_dir}/embeddings.parquet"))
-    n_tables = _lsh_tables_for_recall(bits, probe_hamming=2)
+    n_rows = _table_rows_memo(emb, f"{sf_dir}/embeddings.parquet")
+    bits = _lsh_adaptive_bits(n_rows)
+    n_tables = _lsh_tables_for_recall(bits, probe_hamming=probe_hamming,
+                                      target_recall=target_recall)
+    if n_rows <= 2048 and (bits, n_tables) != (8, 1):
+        # The DuckDB oracles for this family hardcode 8 planes / 1
+        # table; fail loudly if a default change ever makes a
+        # driver-tier corpus resolve differently (advisor r6).
+        raise AssertionError(
+            f"driver-tier corpus (n={n_rows}) resolved to bits={bits}/"
+            f"tables={n_tables}, but the fixed oracle assumes 8/1")
     bucketed = emb
     tables = []
     for t in range(n_tables):
@@ -645,7 +659,7 @@ def _semdedup_lsh_impl(spark, sf_dir, threshold):
     pairs = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
                                      bucket_col="bucket",
                                      threshold=threshold,
-                                     probe_hamming=2,
+                                     probe_hamming=probe_hamming,
                                      bits=bits, bucket_cols=tables)
     comp = connected_components(pairs.select("id_a", "id_b"))
     clusters = (emb.select("vec_id")
@@ -671,8 +685,19 @@ def _q_semdedup_lsh_hi(spark, sf_dir):
     output-bound (SCALING_SF10.json). At tau=0.8 the qualifying set is
     the planted near-dup structure only — output linear in n — which is
     the regime a 100 TB semantic dedup actually runs; this query pins
-    the engine cost in that regime."""
-    return _semdedup_lsh_impl(spark, sf_dir, threshold=0.8)
+    the engine cost in that regime.
+
+    Operating point chosen from the measured dial (SEMDEDUP_DIAL.md,
+    clustered tier = the SemDeDup regime): probe_hamming=1 (9 probes)
+    holds kept-decision agreement 0.996 vs h=2's 0.9975 at ~1/4 the
+    candidate volume (138,783 vs 380,139) — h=2's 37 probes buy 0.0015
+    extra agreement for 2.7x the join. target_recall=0.45 sizes the
+    OR-amplified table count on the scale path to hold h=1's measured
+    per-pair survival at the tau=0.8 design cosine (P1(8 bits, h=1) ~
+    0.49) flat as bits grows, and keeps the driver tiers at 1 table so
+    the fixed 8-plane oracle still matches exactly."""
+    return _semdedup_lsh_impl(spark, sf_dir, threshold=0.8,
+                              probe_hamming=1, target_recall=0.45)
 
 
 def _q_incremental_neardup(spark, sf_dir):
@@ -2551,6 +2576,34 @@ def _q_user_value_trends(spark, sf_dir):
     return keyed_trends(events, "user_id", "ts", "value")
 
 
+TOKEN_BUDGET = 2000
+
+
+def _q_token_budget_corpus(spark, sf_dir):
+    """Per-language token-budget corpus cut: admit documents in
+    md5(doc_id||salt) order per lang until the running whitespace-token
+    total reaches TOKEN_BUDGET (straddler included — fill target, not
+    hard cap). This is the training-mix construction step: a fixed
+    token budget per source/language, deterministic across engines and
+    re-runs. The operator's bucketed plan (one tiny per-(group,bucket)
+    aggregate + a window over groups x buckets + an exact prefix sum
+    over ONLY the straddler bucket) avoids the naive
+    Window.partitionBy(lang).orderBy(hash) whole-group single-task
+    sort; per-row equivalence to that naive form is asserted in
+    tests/test_sampling.py::test_token_budget_matches_naive_window and
+    the oracle below IS the naive form. TOKEN_BUDGET=2000 cuts every
+    lang at both driver tiers (per-lang totals 3.5k-11.8k at sf0.01),
+    so the straddler path is exercised in every group."""
+    from dotnetvectorsearch_spark.operators.sampling import (
+        token_budget_sample)
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id", "lang",
+        T.ws_token_count("text").cast("long").alias("tokens"))
+    return token_budget_sample(rows, "doc_id", "lang", "tokens",
+                               budget=TOKEN_BUDGET)
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2728,6 +2781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": _q_incremental_neardup,
     # -- round 6 additions
     "semdedup_lsh_hi": _q_semdedup_lsh_hi,
+    # -- round 7 additions
+    "token_budget_corpus": _q_token_budget_corpus,
 }
 
 
@@ -5016,13 +5071,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang,
                                    'strata-v1')), 1, 8) < '40000000'
     """
-    # semdedup at the tau=0.8 operating point: identical SQL with only
-    # the threshold swapped (the token '>= 0.35' appears exactly once —
-    # the cosine gate; plane constants are full-precision reprs and
-    # cannot contain it)
+    # semdedup at the tau=0.8 operating point: identical SQL with the
+    # threshold swapped AND the probe radius narrowed to hamming<=1 —
+    # the dial-chosen operating point (SEMDEDUP_DIAL.md: h=1 holds
+    # 0.996 kept-agreement at ~1/4 the candidates). Each swapped token
+    # appears exactly once (plane constants are full-precision reprs
+    # and cannot contain them; the comment writes 'hamming<=2' without
+    # spaces).
     assert oracles["semdedup_lsh"].count(">= 0.35") == 1
-    oracles["semdedup_lsh_hi"] = oracles["semdedup_lsh"].replace(
-        ">= 0.35", ">= 0.8")
+    assert oracles["semdedup_lsh"].count("<= 2") == 1
+    oracles["semdedup_lsh_hi"] = (
+        oracles["semdedup_lsh"]
+        .replace(">= 0.35", ">= 0.8")
+        .replace("<= 2", "<= 1")
+        .replace("<=2", "<=1"))  # the SQL comment's no-space mentions
     # incremental near-dup gate: same md5 minhash family as
     # minhash_pairs_md5, bipartite (batch x store) band join, estimate
     # = matching signature components / 16
@@ -5107,5 +5169,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(vec_id AS BIGINT) AS vec_id, qsim AS similarity,
                CAST(mmr_rank AS BIGINT) AS mmr_rank
         FROM final ORDER BY mmr_rank
+    """
+    # token-budget corpus cut: the oracle IS the naive single-window
+    # greedy prefix the bucketed operator is proven equivalent to
+    # (test_token_budget_matches_naive_window). Fixed-width lowercase
+    # 8-hex-char substr orders identically to the operator's numeric
+    # conv(substr,16,10); admit while cumulative-before < budget
+    # (straddler included).
+    oracles["token_budget_corpus"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS tokens,
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'budget-v1'),
+                          1, 8) AS h
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, tokens,
+                   COALESCE(SUM(tokens) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens
+        FROM c WHERE cum_before < {TOKEN_BUDGET}
     """
     return oracles

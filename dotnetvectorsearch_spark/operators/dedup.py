@@ -612,6 +612,7 @@ def _input_fingerprint(df: DataFrame):
     calls only; non-local or stat-failing paths degrade to the path
     string, which still catches file-set changes."""
     import os
+    from urllib.parse import urlparse
 
     try:
         files = sorted(df.inputFiles())
@@ -619,7 +620,12 @@ def _input_fingerprint(df: DataFrame):
         return None
     sig = []
     for f in files[:64]:
-        p = f[7:] if f.startswith("file:") else f
+        # Hadoop renders local URIs as file:/p, file://p, or
+        # file:///p depending on the path-resolution route; a naive
+        # prefix strip mishandles the single-slash form and every stat
+        # degrades to (-1,-1), silently losing the (size, mtime)
+        # sensitivity (advisor r6). urlparse handles all three.
+        p = urlparse(f).path if f.startswith("file:") else f
         try:
             st = os.stat(p)
             sig.append((f, st.st_size, int(st.st_mtime)))
@@ -984,6 +990,16 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     # (__probe = bucket AND id < id) pruning and scores survivors in
     # vectorized numpy batches; F.round stays JVM-side so rounding
     # matches the SQL oracle exactly.
+    # FP-order caveat (advisor r6): numpy einsum/BLAS accumulate the
+    # dot product in a different order than either the old sequential
+    # aggregate() fold or DuckDB's list_cosine_similarity, so oracle
+    # agreement on pairs landing EXACTLY at a rounding/threshold
+    # boundary is probabilistic, not structural (round-6+ runs: no
+    # boundary pair on the driver tiers; 64-d float32-origin inputs
+    # leave ~2^-40 relative slack at round(,6)). If a future tier ever
+    # flips a boundary pair, pin the oracle-checked registry paths back
+    # on the fold-order expression and keep this Arrow path for the
+    # large-tier runs where its ~2x win matters.
     per_table = []
     for col in tables:
         probes = base.select(

@@ -327,8 +327,12 @@ def token_budget_sample(df: DataFrame, key_col: str, group_col: str,
        cumulative-before total carried in.
 
     The per-row verdict is identical to the naive single-window form
-    (asserted in tests); the expensive sort shrinks from the whole group
-    to one slice. Output: the admitted rows as (key, group, tokens).
+    (asserted in tests/test_sampling.py::
+    test_token_budget_matches_naive_window across bucket counts, with
+    the straddler-bucket path verified exercised; the registry query
+    `token_budget_corpus` pins it against the naive form as DuckDB
+    SQL); the expensive sort shrinks from the whole group to one
+    slice. Output: the admitted rows as (key, group, tokens).
     """
     from pyspark.sql import Window
     if budget <= 0:

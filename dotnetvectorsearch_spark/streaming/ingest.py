@@ -575,9 +575,14 @@ def stream_neardup_dedup(stream: DataFrame, out_path: str,
             # min-id doc per md5(text) within the batch, drop hashes
             # already recorded in the short-doc store, and record the
             # survivors' hashes alongside the signature store.
+            # coalesce: md5(NULL) is NULL and the semi-join below never
+            # matches NULL keys, silently dropping null-text docs
+            # (advisor r6) — hash them as '' so they flow through the
+            # min-id gate like any other sig-less doc.
             short = (batch_df.join(sigs.select(id_col), id_col,
                                    "left_anti")
-                     .withColumn("__h", F.md5(F.col(text_col))))
+                     .withColumn("__h", F.md5(
+                         F.coalesce(F.col(text_col), F.lit("")))))
             first_ids = short.groupBy("__h").agg(
                 F.min(id_col).alias(id_col))
             short = short.join(first_ids, [id_col, "__h"], "left_semi")

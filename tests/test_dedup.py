@@ -737,3 +737,27 @@ def test_pagerank_pipeline_inherits_guard(spark, dup_docs):
             D.jaccard_pairs(dup_docs, threshold=0.1,
                             max_candidate_pairs=3),
             "id_a", "id_b", iters=2).count()
+
+
+def test_input_fingerprint_tracks_size_and_mtime(spark, tmp_path):
+    """The guard-memo key must change when an input file is rewritten
+    in place (advisor r6: the old 'file://' prefix strip broke on
+    Hadoop's single-slash 'file:/path' rendering, degrading every stat
+    to (-1,-1) and silently losing (size, mtime) sensitivity)."""
+    import time
+
+    p = str(tmp_path / "fp_docs")
+    spark.range(10).withColumnRenamed("id", "doc_id") \
+        .coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    fp1 = D._input_fingerprint(df)
+    assert fp1 is not None
+    # stats resolved: no (path, -1, -1) degradations
+    assert all(sz >= 0 and mt >= 0 for _, sz, mt in fp1[1]), fp1
+    fp2 = D._input_fingerprint(spark.read.parquet(p))
+    assert fp1 == fp2                       # stable across reads
+    time.sleep(1.1)                         # mtime granularity
+    spark.range(200).withColumnRenamed("id", "doc_id") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    fp3 = D._input_fingerprint(spark.read.parquet(p))
+    assert fp3 != fp1                       # in-place rewrite detected

@@ -580,11 +580,21 @@ def test_stream_neardup_dedup_gates_against_growing_store(
             [(10, "yo"), (11, "yo"), (12, "hi"), (13, "new")],
             schema).write.parquet(str(src / "b3"))
         assert _wait(lambda: _count_parquet(spark, out) == 6)
+        # batch 4: null-text docs must NOT vanish (advisor r6: md5(NULL)
+        # is NULL and a NULL join key never matches — they now hash as
+        # ''): 14/15 dup within the batch (min id 14 survives), 16
+        # repeats the null in a later batch (store hit)
+        spark.createDataFrame([(14, None), (15, None)], schema) \
+            .write.parquet(str(src / "b4"))
+        assert _wait(lambda: _count_parquet(spark, out) == 7)
+        spark.createDataFrame([(16, None), (17, "solo")], schema) \
+            .write.parquet(str(src / "b5"))
+        assert _wait(lambda: _count_parquet(spark, out) == 8)
         q.processAllAvailable()
     finally:
         q.stop()
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
-    assert kept == [1, 5, 8, 9, 10, 13]
+    assert kept == [1, 5, 8, 9, 10, 13, 14, 17]
     store_cols = spark.read.parquet(store).columns
     assert "text" not in store_cols          # signatures only
     # 8 has no signature, so the store holds only shingle-able docs

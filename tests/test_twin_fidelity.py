@@ -253,3 +253,52 @@ def test_multitable_lsh_superset_no_dups_and_recall_gain(spark):
     assert multi_hits / n_exact > 1.2 * max(hits.values()) / n_exact
     multi.unpersist()
     exact.unpersist()
+
+
+def test_semdedup_hi_operating_point_kept_agreement_floor(spark):
+    """Dial-matched floor for the tau=0.8 operating point adopted in
+    round 7 (SEMDEDUP_DIAL.md, clustered tier): probe_hamming=1 holds
+    kept-decision agreement 0.996 vs the exact all-pairs operator at
+    ~1/4 the candidate volume of h=2. Pin: on a clustered corpus (the
+    regime SemDeDup runs in), the h=1 twin's keep/drop decisions agree
+    with exact >= 0.95 after identical components+keep-min algebra."""
+    from pyspark.sql.window import Window as W
+
+    import __spark_entry__ as entrymod
+    from dotnetvectorsearch_spark.operators.dedup import (
+        connected_components, embedding_neardup_pairs,
+        lsh_bucket_neardup_pairs)
+    from tools.gen_scale_tier import gen_embeddings_clustered
+
+    tau = 0.8
+    emb = gen_embeddings_clustered(spark, 500, dim=64, n_clusters=10)
+    emb = emb.select("vec_id", "embedding").cache()
+
+    def kept_flags(pairs):
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        cl = (emb.select("vec_id")
+              .join(comp.withColumnRenamed("node", "vec_id"),
+                    "vec_id", "left")
+              .select("vec_id", F.coalesce("component", F.col("vec_id"))
+                      .alias("cluster_id")))
+        w = W.partitionBy("cluster_id")
+        return cl.select(
+            "vec_id",
+            (F.col("vec_id") == F.min("vec_id").over(w)).alias("kept"))
+
+    exact_pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=tau, allow_unblocked=True)
+    bucketed = emb.withColumn(
+        "bucket", entrymod._lsh_md5_bucket_col(F.col("embedding")))
+    twin_pairs = lsh_bucket_neardup_pairs(
+        bucketed, "vec_id", "embedding", bucket_col="bucket",
+        threshold=tau, probe_hamming=1, bits=8)
+    j = (kept_flags(exact_pairs).withColumnRenamed("kept", "k_exact")
+         .join(kept_flags(twin_pairs).withColumnRenamed("kept", "k_twin"),
+               "vec_id")).cache()
+    n = j.count()
+    agree = j.filter(F.col("k_exact") == F.col("k_twin")).count()
+    j.unpersist()
+    emb.unpersist()
+    assert n == 500
+    assert agree / n >= 0.95
