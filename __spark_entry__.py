@@ -2604,6 +2604,39 @@ def _q_token_budget_corpus(spark, sf_dir):
                                budget=TOKEN_BUDGET)
 
 
+def _q_ann_ivf_serve(spark, sf_dir):
+    """Serve-path IVF ANN: search the PERSISTED index — no fit in the
+    query. ann_ivf_topk measures honest-cold (fit + search) for a
+    one-shot analytic; this entry measures the amortized build-once/
+    query-many path a 100 TB deployment actually runs: read centroids
+    (KBs) + scan only the nprobe/n_cells parquet partitions. Results
+    are bit-identical to ann_ivf_topk (seeded deterministic fit;
+    pinned in tests/test_ann_store.py)."""
+    from dotnetvectorsearch_spark.operators.ann_store import serve_topk
+    qv = _collect_query_vec(spark, sf_dir)
+    return serve_topk(spark, sf_dir, "ivf", qv, k=10)
+
+
+def _q_ann_pq_serve(spark, sf_dir):
+    """Serve-path PQ ANN against the persisted codes table: ADC over
+    m bytes/row + exact rescore of the 200-id shortlist. The codebook
+    fit (the whole of ann_pq_topk's cold cost) happens in the build
+    job (bench.py ann_build_sec), not here."""
+    from dotnetvectorsearch_spark.operators.ann_store import serve_topk
+    qv = _collect_query_vec(spark, sf_dir)
+    return serve_topk(spark, sf_dir, "pq", qv, k=10, shortlist=200)
+
+
+def _q_ann_ivfpq_serve(spark, sf_dir):
+    """Serve-path IVF+PQ ANN: probe-cell partition pruning -> ADC over
+    compressed codes -> exact rescore, all against persisted state.
+    The 100 TB headline number: scan volume ~(nprobe/n_cells) x
+    (m bytes/row), independent of corpus growth."""
+    from dotnetvectorsearch_spark.operators.ann_store import serve_topk
+    qv = _collect_query_vec(spark, sf_dir)
+    return serve_topk(spark, sf_dir, "ivfpq", qv, k=10, shortlist=200)
+
+
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
 # PREFIX of this dict (50 entries in rounds 1-2). The first 50 names below
 # are frozen to the exact set verified in CORRECTNESS_r02.json so the
@@ -2783,6 +2816,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_lsh_hi": _q_semdedup_lsh_hi,
     # -- round 7 additions
     "token_budget_corpus": _q_token_budget_corpus,
+    # -- round 8 additions: amortized serve path against the persisted
+    # ANN index (build cost measured separately in bench ann_build_sec)
+    "ann_ivf_serve": _q_ann_ivf_serve,
+    "ann_pq_serve": _q_ann_pq_serve,
+    "ann_ivfpq_serve": _q_ann_ivfpq_serve,
 }
 
 

@@ -141,6 +141,14 @@ ROWS_ONLY_REASON: dict[str, str] = {
         "reports recall against the exact scan — the exact side IS the "
         "oracle-checked `search_topk`; floor pinned in tests/test_ann.py"),
     "ann_ivfpq_topk": "k-means cells + codebooks; floors in test_ann.py",
+    "ann_ivf_serve": (
+        "serve path over the PERSISTED IVF index (k-means state, not "
+        "SQL-expressible); serve == fit-in-query results pinned in "
+        "tests/test_ann_store.py"),
+    "ann_pq_serve": (
+        "same as ann_ivf_serve for the PQ tier (test_ann_store.py)"),
+    "ann_ivfpq_serve": (
+        "same as ann_ivf_serve for the IVF+PQ tier (test_ann_store.py)"),
     "ann_ivfpq_recall": "same as ann_pq_recall for the IVF+PQ tier",
     "ann_ivfpq_coding_gain": (
         "residual-vs-raw PQ MSE comparison over trained codebooks; "
