@@ -748,7 +748,10 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def _bipartite_gram_join_volume(tr: DataFrame, tr_id: str,
                                 te: DataFrame, te_id: str,
                                 train_src: DataFrame,
-                                test_src: DataFrame) -> float:
+                                test_src: DataFrame,
+                                text_col: str | None = None,
+                                shingle_n: int = 3,
+                                bound: float | None = None) -> float:
     """Estimate sum_s df_train(s) * df_test(s) — the EXACT row count of
     a bipartite gram equi-join — from the two (already persisted)
     shingle frames, before the join is scheduled. Same estimator
@@ -757,7 +760,25 @@ def _bipartite_gram_join_volume(tr: DataFrame, tr_id: str,
     (independent salts, so E[df_tr * df_te] factorizes); memoized in
     ``_JP_GUARD_MEMO`` keyed on plan semanticHash + input file
     fingerprints. Grams hash to longs (collisions over-count = err
-    safe)."""
+    safe).
+
+    Cost fold (VERDICT r6 #5), two tiers:
+
+    1. WORST-CASE SHORT-CIRCUIT: a shared gram contributes at most
+       min(|sh_a|, |sh_b|) rows per (test, train) pair, so the join
+       emits <= n_tr * n_te * min(maxL_tr, maxL_te) rows where maxL is
+       the largest per-doc shingle count. (n, maxL) per side is ONE
+       narrow scan + 1-row agg — no explode, no shuffle of gram
+       occurrences. When that upper bound already clears ``bound``,
+       the join is provably safe and the estimate below never runs
+       (at sf0.1: 2500 x 2500 x 98 = 6.1e8 < 1e9; measured ~1.0s of
+       gram aggregation saved). The bound can only PROVE safety,
+       never fire the guard — a false raise is impossible from this
+       tier.
+    2. Otherwise the sampled gram estimate: ONE side-tagged union
+       aggregation produces both per-gram frequencies (the old
+       two-gram-tables + equi-join shape paid 2 groupBy shuffles + a
+       join + an agg), reusing the (n_tr, n_te) counts from tier 1."""
     try:
         sem = (tr._jdf.queryExecution().analyzed().semanticHash(),
                te._jdf.queryExecution().analyzed().semanticHash())
@@ -769,19 +790,47 @@ def _bipartite_gram_join_volume(tr: DataFrame, tr_id: str,
         if memo_key is not None and memo_key in _JP_GUARD_MEMO:
             return _JP_GUARD_MEMO[memo_key]
 
-    def gram_counts(df, id_c, salt, alias):
-        n = df.count()   # materializes the transient persist
+    def side_stats(src):
+        if text_col is None:
+            return src.count(), None
+        # max TOKEN count upper-bounds the per-doc shingle count
+        # (shingles = tokens - n + 1); the raw split is codegen'd and
+        # costs the same as a bare count, while evaluating the
+        # higher-order shingle expression here measured ~3x the scan.
+        from dotnetvectorsearch_spark.functions.text import WS_PATTERN
+        row = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.split(F.trim(F.col(text_col)), WS_PATTERN)))
+            .alias("max_l")).first()
+        return int(row.n), int(row.max_l or 0)
+
+    n_tr, max_tr = side_stats(train_src)
+    n_te, max_te = side_stats(test_src)
+    if (bound is not None and max_tr is not None and max_te is not None):
+        worst = float(n_tr) * float(n_te) * min(max_tr, max_te)
+        if worst <= bound:
+            if memo_key is not None:
+                with _JP_GUARD_LOCK:
+                    if len(_JP_GUARD_MEMO) >= _JP_GUARD_MEMO_MAX:
+                        _JP_GUARD_MEMO.pop(next(iter(_JP_GUARD_MEMO)))
+                    _JP_GUARD_MEMO[memo_key] = worst
+            return worst
+
+    def sampled(df, id_c, n, salt):
         q = max(1, n // 2_000)
         s = df if q == 1 else df.filter(
             F.xxhash64(F.col(id_c), F.lit(salt)) % q == 0)
-        g = (s.select(F.explode("sh").alias("s"))
-             .groupBy(F.xxhash64("s").alias("__sh"))
-             .agg(F.count(F.lit(1)).alias(alias)))
-        return g, q
+        return s, q
 
-    gt, qt = gram_counts(tr, tr_id, "cc-guard-tr", "df_tr")
-    ge, qe = gram_counts(te, te_id, "cc-guard-te", "df_te")
-    n_cand = (gt.join(ge, "__sh")
+    s_tr, qt = sampled(tr, tr_id, n_tr, "cc-guard-tr")
+    s_te, qe = sampled(te, te_id, n_te, "cc-guard-te")
+    both = (s_tr.select(F.explode("sh").alias("s"),
+                        F.lit(1).alias("is_tr"))
+            .unionByName(s_te.select(F.explode("sh").alias("s"),
+                                     F.lit(0).alias("is_tr"))))
+    n_cand = (both.groupBy(F.xxhash64("s").alias("__sh"))
+              .agg(F.sum("is_tr").alias("df_tr"),
+                   F.sum(1 - F.col("is_tr")).alias("df_te"))
               .agg(F.sum(F.col("df_tr").cast("double")
                          * F.col("df_te")).cast("double"))
               .collect()[0][0] or 0.0) * qt * qe
@@ -833,7 +882,9 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
     te = transient_persist(te)  # feeds sizes + the inverted index
     if max_candidate_pairs is not None:
         n_cand = _bipartite_gram_join_volume(
-            tr, "train_id", te, "test_id", train, test)
+            tr, "train_id", te, "test_id", train, test,
+            text_col=text_col, shingle_n=shingle_n,
+            bound=max_candidate_pairs)
         if n_cand > max_candidate_pairs:
             raise ValueError(
                 f"cross_corpus_contamination gram join would emit "
