@@ -470,6 +470,77 @@ def _lsh_md5_bucket_col(vec_col, bits: int = 8,
     return F.expr(sql)
 
 
+_M64 = "18446744073709551616"
+
+
+def _xxh64_ascii5_steps(gram_col: str) -> tuple[str, str]:
+    """SELECT-list steps (lateral column aliases) computing Spark's
+    ``xxhash64`` — standard XXH64, seed 42 — of a 5-byte ASCII string
+    column in portable SQL, so the ENGINE winnow path (xxhash64 rolling
+    hash) gets an exact external oracle instead of a rows-only check.
+
+    Correct for inputs whose UTF-8 encoding is exactly 5 bytes (char
+    5-grams of the ASCII test corpus; verified ASCII at the sf0.01
+    oracle tier). XXH64 for len<32 skips the stripe accumulators: one
+    4-byte lane, one 1-byte lane, then the avalanche. Every multiply is
+    mod 2^64 via a 32-bit split (intermediates < 2^97, HUGEINT-safe);
+    rotates/shifts are mul/div by powers of two; xor is DuckDB's
+    integer ``xor``. Returns (select_items, final_alias); the final
+    value is cast to signed BIGINT so MIN() ordering matches Spark's
+    LongType exactly.
+    """
+    p1 = "11400714785074694791"
+    p2 = "14029467366897019727"
+    p3 = "1609587929392839161"
+    p5 = "2870177450012600261"
+
+    def mulmod(a: str, b: str) -> str:
+        return (f"(({a} % 4294967296) * {b} + "
+                f"(({a} // 4294967296) * {b}) % 4294967296 * 4294967296) "
+                f"% {_M64}")
+
+    def rotl(x: str, r: int) -> str:
+        return f"({x} * {1 << r} % {_M64} + {x} // {1 << (64 - r)})"
+
+    h0 = str((42 + 2870177450012600261 + 5) % (1 << 64))  # seed + P5 + len
+    steps = [
+        ("k32", f"CAST(ascii(substr({gram_col},1,1)) AS HUGEINT)"
+                f" + ascii(substr({gram_col},2,1)) * 256"
+                f" + ascii(substr({gram_col},3,1)) * 65536"
+                f" + ascii(substr({gram_col},4,1)) * 16777216"),
+        ("b4", f"CAST(ascii(substr({gram_col},5,1)) AS HUGEINT)"),
+        ("x1", f"xor(CAST({h0} AS HUGEINT), k32 * {p1} % {_M64})"),
+        ("r1", rotl("x1", 23)),
+        ("h1", f"({mulmod('r1', p2)} + {p3}) % {_M64}"),
+        ("x2", f"xor(h1, b4 * {p5} % {_M64})"),
+        ("r2", rotl("x2", 11)),
+        ("h2", mulmod("r2", p1)),
+        ("a1", "xor(h2, h2 // 8589934592)"),       # h ^= h >> 33
+        ("a2", mulmod("a1", p2)),
+        ("a3", "xor(a2, a2 // 536870912)"),        # h ^= h >> 29
+        ("a4", mulmod("a3", p3)),
+        ("a5", "xor(a4, a4 // 4294967296)"),       # h ^= h >> 32
+        ("hh", f"CAST(a5 - CASE WHEN a5 >= 9223372036854775808 "
+               f"THEN {_M64} ELSE 0 END AS BIGINT)"),
+    ]
+    items = ",\n                   ".join(f"{e} AS {n}" for n, e in steps)
+    return items, "hh"
+
+
+def _seeded_lsh_planes(num_planes: int = 8, dim: int = 64) -> list:
+    """The SAME plane constants `HyperplaneLSH.fit` draws (seeded numpy
+    RandomState(42), row-normalized, float32-rounded), as exact float64
+    values for inlining into oracle SQL — `bucket_udf` computes its sign
+    bits with strict left-to-right double sums precisely so these
+    literals reproduce the buckets in any engine."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((num_planes, dim))
+    planes = (planes / np.linalg.norm(planes, axis=1, keepdims=True)
+              ).astype(np.float32)
+    return [[float(c) for c in row] for row in planes]
+
+
 _NROWS_MEMO: dict = {}
 
 
@@ -5001,6 +5072,60 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
         ORDER BY similarity DESC, vec_id ASC
         LIMIT 10
+    """
+    # Seeded-numpy hyperplane LSH (the ENGINE ann_lsh_topk path): the
+    # same RandomState(42) plane constants inlined as literals;
+    # bucket_udf sums strictly left-to-right in doubles (cumsum, not
+    # BLAS) so both engines compute identical sign bits. multiprobe
+    # hamming<=2 matches HyperplaneLSH.search(multiprobe_bits=2).
+    _np_bucket_sql = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_seeded_lsh_planes()))
+    oracles["ann_lsh_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, CAST({_np_bucket_sql} AS BIGINT) AS bucket
+            FROM e
+        ), q AS (
+            SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+                   AS similarity
+        FROM b
+        WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 2
+        ORDER BY similarity DESC, vec_id ASC
+        LIMIT 10
+    """
+    # ENGINE winnow path (xxhash64 rolling hash): exact XXH64-in-SQL
+    # over the 5-byte ASCII grams (_xxh64_ascii5_steps) — the last
+    # engine-hash query that needed a rows-only waiver.
+    _xx_items, _xx_final = _xxh64_ascii5_steps("gram")
+    oracles["winnow_fingerprints"] = f"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   substring(t, CAST(i AS INT), 5) AS gram
+            FROM n, UNNEST(range(1, length(t) - 3)) AS r(i)
+        ), h AS (
+            SELECT doc_id, pos,
+                   {_xx_items}
+            FROM g
+        ), w AS (
+            SELECT doc_id,
+                   min({_xx_final}) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND 7 FOLLOWING) AS fp
+            FROM h
+        )
+        SELECT DISTINCT doc_id, fp FROM w
     """
     # Scale-correct twins (SCALING.md): same downstream algebra
     # (connected components / PageRank / keep-min), edges from the

@@ -673,13 +673,21 @@ class HyperplaneLSH:
         return self
 
     def bucket_udf(self):
-        planes = self.planes
+        planes = self.planes.astype(np.float64)
         weights = (1 << np.arange(self.num_planes)).astype(np.int64)
 
         @pandas_udf("long")
         def bucket_of(vecs: pd.Series) -> pd.Series:
-            m = np.stack(vecs.to_numpy()).astype(np.float32)
-            bits = (m @ planes.T) > 0
+            # Strict LEFT-TO-RIGHT double accumulation (cumsum, not
+            # BLAS matmul): bit-identical to an external engine's
+            # sequential list_dot_product over the same double
+            # constants, so the sign bits — hence the bucket ids and
+            # the probed candidate set — are oracle-reproducible. A
+            # float32 matmul's reordered/pairwise sums can flip a
+            # near-zero dot's sign and silently change one bucket.
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            prods = m[:, None, :] * planes[None, :, :]
+            bits = np.cumsum(prods, axis=2)[:, :, -1] > 0
             return pd.Series(bits @ weights)
 
         return bucket_of
@@ -691,8 +699,9 @@ class HyperplaneLSH:
     def probe_buckets(self, query_vec: list[float],
                       multiprobe_bits: int = 1) -> list[int]:
         """Exact bucket + all buckets within `multiprobe_bits` bit flips."""
-        q = np.asarray(query_vec, dtype=np.float32)
-        bits = (self.planes @ q) > 0
+        q = np.asarray(query_vec, dtype=np.float64)
+        # same strict sequential double sum as bucket_udf (oracle parity)
+        bits = np.cumsum(self.planes.astype(np.float64) * q, axis=1)[:, -1] > 0
         base = int((1 << np.arange(self.num_planes))[bits].sum())
         buckets = {base}
         if multiprobe_bits >= 1:

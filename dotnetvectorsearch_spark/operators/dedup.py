@@ -1680,6 +1680,14 @@ def fuzzy_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------------------ bloom filter
 
 
+# Serve-path bloom-filter store: corpus identity -> built filter.
+# Bounded FIFO, lock-guarded (same doctrine as _JP_GUARD_MEMO; a ~1 MB
+# filter x 8 entries bounds driver memory at 8 MB).
+_BLOOM_MEMO: dict[tuple, tuple] = {}
+_BLOOM_MEMO_MAX = 8
+_BLOOM_MEMO_LOCK = threading.Lock()
+
+
 def build_bloom(keys: DataFrame, col: str, n_bits: int = 1 << 23,
                 k_hashes: int = 7) -> tuple[bytes, int, int]:
     """Mergeable Bloom filter over a key column: each partition folds its
@@ -1742,14 +1750,47 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
     below ~10^6 corpus fingerprints the plain anti-join is cheaper —
     use this variant when the fingerprint table is big and the batch
     mostly clean, which is exactly the mature-pipeline regime.
+
+    Exchange bill (the whole point of the variant): the corpus side is
+    never shuffled at all — bloom inserts are idempotent and a
+    left-anti join ignores right-side duplicates, so neither consumer
+    needs a corpus-scale DISTINCT; the filter is built in ONE
+    shuffle-free scan. The batch pays exactly one exchange (the
+    within-batch keep-first groupBy, shared by both probe branches via
+    ReuseExchange) before the bloom probe splits it, so the anti-join's
+    shuffle carries only the might-contain sliver of UNIQUE batch
+    fingerprints.
     """
     import numpy as np
 
     fp_expr = fingerprint(text_col).alias("fp")
-    known = corpus.select("fp").distinct() if corpus_is_fps \
-        else corpus.select(fp_expr).distinct()
-    known = transient_persist(known)
-    bloom, nb, kh = build_bloom(known, "fp", n_bits, k_hashes)
+    known = corpus.select("fp") if corpus_is_fps \
+        else corpus.select(fp_expr)
+    # The filter is SERVE-PATH STATE, not per-batch work: production
+    # maintains it incrementally across ingests (the ann_store
+    # build-once/serve-many contract), so repeated batches against an
+    # unchanged corpus must not pay the corpus scan again. Memo key =
+    # (analyzed-plan semanticHash, input-file fingerprint, sizing) —
+    # the fingerprint keys out in-place corpus rewrites the plan hash
+    # cannot see. A stale entry is impossible (fingerprint covers
+    # size+mtime); a collision only re-serves the same corpus' filter.
+    try:
+        plan_key = known._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - py4j surface drift
+        plan_key = None
+    memo_key = (plan_key, _input_fingerprint(known), n_bits, k_hashes)
+    with _BLOOM_MEMO_LOCK:
+        hit = (_BLOOM_MEMO.get(memo_key)
+               if plan_key is not None else None)
+    if hit is not None:
+        bloom, nb, kh = hit
+    else:
+        bloom, nb, kh = build_bloom(known, "fp", n_bits, k_hashes)
+        if plan_key is not None:
+            with _BLOOM_MEMO_LOCK:
+                if len(_BLOOM_MEMO) >= _BLOOM_MEMO_MAX:
+                    _BLOOM_MEMO.pop(next(iter(_BLOOM_MEMO)))
+                _BLOOM_MEMO[memo_key] = (bloom, nb, kh)
     bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
     @F.pandas_udf("boolean")
     def might_contain(
@@ -1768,16 +1809,23 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
                         >> (pos & np.uint64(63))) & np.uint64(1) != 0
             yield pd.Series(hit)
 
-    batch = new_docs.select(
-        F.col(id_col), fp_expr,
-        F.xxhash64(fp_expr).alias("__h1"),
-        F.xxhash64(F.concat(fp_expr, F.lit("§bloom"))).alias("__h2"))
-    batch = batch.withColumn("__maybe", might_contain("__h1", "__h2"))
-    batch = transient_persist(batch.select(id_col, "fp", "__maybe"))
-    definitely_new = batch.filter(~F.col("__maybe")).select(id_col, "fp")
-    checked = (batch.filter(F.col("__maybe")).select(id_col, "fp")
-               .join(known, "fp", "left_anti"))
-    fresh = definitely_new.unionByName(checked)
-    keep = (fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
-            .select(id_col))
+    # keep-first BEFORE the probe: the one batch shuffle we must pay
+    # anyway now also dedups the probe/join inputs.
+    # asNondeterministic is a PLAN fence, not a semantics statement:
+    # a deterministic probe gets (a) pushed below the aggregate into
+    # both union branches (batch scanned + probed twice) and (b)
+    # INFERRED onto the anti-join's corpus side via constraint
+    # propagation — a full-corpus Python pass that is pure overhead
+    # (every corpus fp is in its own filter) and catastrophic at scale.
+    might_contain = might_contain.asNondeterministic()
+    winners = (new_docs.select(F.col(id_col), fp_expr)
+               .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    probed = winners.withColumn(
+        "__maybe",
+        might_contain(F.xxhash64(F.col("fp")),
+                      F.xxhash64(F.concat(F.col("fp"), F.lit("§bloom")))))
+    definitely_new = probed.filter(~F.col("__maybe")).select(id_col)
+    checked = (probed.filter(F.col("__maybe")).select(id_col, "fp")
+               .join(known, "fp", "left_anti").select(id_col))
+    keep = definitely_new.unionByName(checked)
     return new_docs.join(keep, id_col, "leftsemi")

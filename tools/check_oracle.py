@@ -119,19 +119,16 @@ def main(names: list[str]) -> int:
 # correctness is pinned instead. Rendered into ORACLE_SELFCHECK.md so
 # the ledger itself documents that every skip is a justified one.
 ROWS_ONLY_REASON: dict[str, str] = {
-    "winnow_fingerprints": (
-        "Spark xxhash64 rolling hash (JVM-internal); the md5 twin "
-        "`winnow_fingerprints_md5` runs the same winnowing algebra "
-        "oracle-checked"),
     "minhash_pairs": (
-        "Spark xxhash64 minhash; md5 twin `minhash_pairs_md5` "
+        "Spark xxhash64 minhash over VARIABLE-length word shingles — "
+        "XXH64's stripe loop for unbounded input is not expressible as "
+        "a scalar SQL expression (the fixed-5-byte-gram case IS: see "
+        "the winnow_fingerprints oracle); md5 twin `minhash_pairs_md5` "
         "oracle-checked"),
     "simhash_pairs": (
-        "Spark xxhash64 simhash; md5 twin `simhash_pairs_md5` "
-        "oracle-checked"),
-    "ann_lsh_topk": (
-        "seeded-numpy hyperplanes; deterministic md5-plane twin "
-        "`ann_lsh_topk_md5` oracle-checked"),
+        "Spark xxhash64 simhash over variable-length shingles (same "
+        "XXH64 stripe-loop limit as minhash_pairs); md5 twin "
+        "`simhash_pairs_md5` oracle-checked"),
     "ann_ivf_topk": (
         "k-means training (seeded numpy RNG) not SQL-expressible; "
         "recall vs the oracle-checked exact scan pinned in "
