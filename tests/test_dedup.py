@@ -674,6 +674,28 @@ def test_incremental_dedup_bloom_identical_to_plain(spark, sf_dir):
     assert plain == bloomed and bloomed
 
 
+def test_incremental_dedup_bloom_memoizes_per_corpus(spark, sf_dir,
+                                                     monkeypatch):
+    # The filter is serve-path state (the ann_store contract): repeated
+    # batches against an UNCHANGED corpus must not pay the corpus scan
+    # again, while a different corpus plan must rebuild.
+    from dotnetvectorsearch_spark.operators import dedup as dd
+    dd._BLOOM_MEMO.clear()
+    calls = []
+    orig = dd.build_bloom
+    monkeypatch.setattr(dd, "build_bloom",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+    first = dd.exact_dedup_incremental_bloom(batch, corpus).count()
+    again = dd.exact_dedup_incremental_bloom(batch, corpus).count()
+    assert first == again and len(calls) == 1      # memo hit, same result
+    other = docs.filter("doc_id % 3 = 1")          # different corpus plan
+    dd.exact_dedup_incremental_bloom(batch, other).count()
+    assert len(calls) == 2                         # rebuilt, not reused
+
+
 # ------------------------------------ exact pair/graph candidate bounds
 
 

@@ -1,0 +1,321 @@
+"""DuckDB oracle pairing at the sf1 scale tier (VERDICT r6 missing #3 /
+next-round #4): the SCALING_SF10.json linear/superlinear verdicts were
+Spark-only — this tool re-anchors one full decade above the bench tier
+by running the DuckDB oracle of every runnable twin query on the SAME
+sf1 parquet (tools/gen_scale_tier.py output, 50k docs / 20k vectors /
+1M events) and comparing rows + order-insensitive value hash with the
+check_oracle machinery, plus timing both engines.
+
+The semdedup twins ADAPT above the driver tiers (bits ~ log2(n/8),
+OR-amplified tables — __spark_entry__._lsh_adaptive_bits /
+_lsh_tables_for_recall), so their registry oracle (fixed 8-bit single
+table) is the wrong semantics at sf1; this tool generates the
+TIER-MATCHED oracle SQL from the same plane constants and configuration
+functions the engine uses, so the comparison stays exact instead of
+degrading to rows-only.
+
+A DuckDB side that cannot finish inside the timeout is recorded as
+evidence (`timeout`), not an error — the point of the pairing is to
+measure what the single-node columnar baseline does at 10x the bench
+tier.
+
+Run:  python tools/scale_oracle.py [--md] [--timeout SECONDS]
+Writes SCALING_SF1_ORACLE.json (+ .md with --md).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import duckdb
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import __spark_entry__ as entrymod
+from dotnetvectorsearch_spark.caching import release_transient
+from dotnetvectorsearch_spark.session import get_spark
+from tools.check_oracle import normalize
+
+SF1_DIR = ROOT / ".scaletier" / "sf1"
+SF1_TABLES = ("documents", "embeddings", "events")
+SF1_ROWS = {"documents": 50_000, "embeddings": 20_000, "events": 1_000_000}
+
+# every SCALING_SF10.json query with an oracle (minhash_pairs is the
+# lone rows-only engine-hash variant in that set)
+QUERIES = [
+    "minhash_pairs_md5", "dedup_clusters_lsh", "doc_pagerank_lsh",
+    "semdedup_lsh", "semdedup_lsh_hi", "training_shards",
+    "curated_corpus", "incremental_dedup_bloom", "ccnet_buckets",
+]
+
+# ---------------------------------------------------- tier-matched SQL
+
+# same min-label connected-components tail as oracle_sql()'s _cc_tail
+# (duplicated here because that one is a local of oracle_sql(); the
+# assert in main() keeps the two from drifting)
+CC_TAIL = """
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.b AS node, reach.r
+        FROM reach JOIN edges e ON e.a = reach.node
+    ), comp AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )"""
+
+
+def semdedup_tier_sql(n_rows: int, threshold: float, probe_hamming: int,
+                      target_recall: float) -> str:
+    """The semdedup_lsh oracle at THIS tier's adaptive configuration:
+    bits/tables from the same functions the engine resolves them with,
+    plane constants from the same md5 derivation, pair predicate =
+    'within hamming h in SOME table' (the deduped multi-table union of
+    lsh_bucket_neardup_pairs), then the registry oracle's CC +
+    keep-min tail verbatim."""
+    bits = entrymod._lsh_adaptive_bits(n_rows)
+    n_tables = entrymod._lsh_tables_for_recall(
+        bits, probe_hamming=probe_hamming, target_recall=target_recall)
+    bcols = []
+    for t in range(n_tables):
+        planes = entrymod._lsh_md5_planes(num_planes=bits, offset=t * bits)
+        bsql = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(c) for c in p)
+            + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        bcols.append(f"CAST({bsql} AS BIGINT) AS b{t}")
+    ham = " OR ".join(
+        f"bit_count(xor(x.b{t}, y.b{t})) <= {probe_hamming}"
+        for t in range(n_tables))
+    return f"""
+        WITH RECURSIVE ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), bk AS (
+            SELECT vec_id, v,
+                   {", ".join(bcols)}
+            FROM ev
+        ), pairs AS (
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM bk x JOIN bk y
+              ON ({ham})
+                 AND x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.v, y.v), 6)
+                  >= {threshold}
+        ),
+        {CC_TAIL},
+        cl AS (
+            SELECT ev.vec_id,
+                   COALESCE(c.cluster_id, ev.vec_id) AS cluster_id
+            FROM ev LEFT JOIN comp c ON c.node = ev.vec_id
+        ), m AS (
+            SELECT cluster_id, min(vec_id) AS keeper FROM cl GROUP BY 1
+        )
+        SELECT cl.vec_id, cl.cluster_id, (cl.vec_id = m.keeper) AS kept
+        FROM cl JOIN m USING (cluster_id)
+    """
+
+
+def tier_oracles() -> dict[str, str]:
+    base = entrymod.oracle_sql()
+    out = {n: base[n] for n in QUERIES if n in base}
+    n_vecs = SF1_ROWS["embeddings"]
+    # registry thresholds/radii (see _q_semdedup_lsh / _q_semdedup_lsh_hi)
+    out["semdedup_lsh"] = semdedup_tier_sql(
+        n_vecs, threshold=0.35, probe_hamming=2, target_recall=0.75)
+    out["semdedup_lsh_hi"] = semdedup_tier_sql(
+        n_vecs, threshold=0.8, probe_hamming=1, target_recall=0.45)
+    return out
+
+
+# ------------------------------------------------------------- runners
+
+
+def run_duckdb(sql: str, timeout_s: float):
+    """(elapsed_sec, dataframe) or ('timeout'/'error', message)."""
+    con = duckdb.connect()
+    # Bounded resources: an oracle that needs more than this is a DNF
+    # RESULT (recorded as evidence), not a license to fill the shared
+    # disk — the unbounded first run spilled ~80 GB of temp on the
+    # doc_pagerank_lsh recursive plan before ENOSPC killed it.
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_scale_oracle_spill'")
+    con.sql("SET max_temp_directory_size='24GB'")
+    for t in SF1_TABLES:
+        # gen_scale_tier writes Spark directory-style parquet
+        p = SF1_DIR / f"{t}.parquet"
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{pat}')")
+    fired = threading.Event()
+
+    def watchdog():
+        if not fired.wait(timeout_s):
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001
+                pass
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    try:
+        df = con.execute(sql).fetch_df()
+        return time.perf_counter() - t0, df
+    except Exception as exc:  # noqa: BLE001
+        elapsed = time.perf_counter() - t0
+        msg = f"{type(exc).__name__}: {exc}"
+        if elapsed >= timeout_s * 0.95:
+            kind = "timeout"
+        elif ("memory" in msg.lower() or "temp_directory" in msg.lower()
+              or "space" in msg.lower()):
+            kind = "resource_limit"   # DNF within the declared bounds
+        else:
+            kind = "error"
+        return kind, msg[:300]
+    finally:
+        fired.set()
+        con.close()
+
+
+def main() -> int:
+    write_md = "--md" in sys.argv
+    timeout_s = 900.0
+    if "--timeout" in sys.argv:
+        timeout_s = float(sys.argv[sys.argv.index("--timeout") + 1])
+
+    if not (SF1_DIR / "documents.parquet").exists():
+        print("generating sf1 tier ...", flush=True)
+        subprocess.run([sys.executable,
+                        str(ROOT / "tools" / "gen_scale_tier.py"),
+                        "10", str(SF1_DIR)], check=True)
+
+    # drift guard: the registry oracle this tool re-parameterizes must
+    # still be the 8-bit/h<=2/tau=0.35 single-table shape
+    reg = entrymod.oracle_sql()["semdedup_lsh"]
+    assert reg.count(">= 0.35") == 1 and reg.count("<= 2") == 1, \
+        "registry semdedup oracle changed shape; update semdedup_tier_sql"
+
+    oracles = tier_oracles()
+    spark = get_spark("scale-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        rec: dict = {}
+        # Spark side: bench discipline (cold = rep1, warm = rep2)
+        try:
+            reps = []
+            sdf = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sdf = qs[name](spark, str(SF1_DIR)).toPandas()
+                reps.append(round(time.perf_counter() - t0, 3))
+                release_transient()
+            rec["spark"] = {"cold": reps[0], "warm": reps[1],
+                            "rows": len(sdf)}
+            s_rows, s_cols, s_hash = normalize(sdf)
+        except Exception as exc:  # noqa: BLE001
+            release_transient()
+            rec["spark"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            s_rows = s_cols = s_hash = None
+        # DuckDB side
+        got = run_duckdb(oracles[name], timeout_s)
+        if isinstance(got[0], str):
+            rec["duckdb"] = {got[0]: got[1],
+                             "timeout_s": timeout_s}
+            rec["match"] = None
+        else:
+            elapsed, odf = got
+            # one warm rep unless the cold one is already expensive
+            if elapsed < timeout_s / 4:
+                got2 = run_duckdb(oracles[name], timeout_s)
+                warm = got2[0] if not isinstance(got2[0], str) else None
+            else:
+                warm = None
+            o_rows, o_cols, o_hash = normalize(odf)
+            rec["duckdb"] = {"cold": round(elapsed, 3),
+                             "warm": (round(warm, 3)
+                                      if warm is not None else None),
+                             "rows": o_rows}
+            rec["match"] = (s_rows == o_rows and s_cols == o_cols
+                            and s_hash == o_hash) \
+                if s_rows is not None else None
+        results[name] = rec
+        print(f"{name}: {json.dumps(rec)}", flush=True)
+
+    payload = {
+        "tier": "sf1", "dir": str(SF1_DIR), "rows": SF1_ROWS,
+        "timeout_s": timeout_s, "queries": results,
+    }
+    (ROOT / "SCALING_SF1_ORACLE.json").write_text(
+        json.dumps(payload, indent=1) + "\n")
+    if write_md:
+        _write_md(results, timeout_s)
+    bad = [n for n, r in results.items() if r.get("match") is False]
+    print(f"done: {sum(1 for r in results.values() if r.get('match'))} "
+          f"exact-match, {len(bad)} mismatch {bad}")
+    return 1 if bad else 0
+
+
+def _write_md(results: dict, timeout_s: float) -> None:
+    import subprocess as sp
+    head = sp.run(["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+                  capture_output=True, text=True).stdout.strip()
+    lines = [
+        "# sf1 DuckDB oracle pairing",
+        "",
+        f"Generated by `python tools/scale_oracle.py --md` at `{head}` — "
+        "the oracle column the Spark-only SCALING_SF10.json verdicts "
+        "lacked (VERDICT r6). Same sf1 parquet for both engines "
+        "(50k docs / 20k vectors / 1M events). Timing action is FULL "
+        "MATERIALIZATION on both sides (Spark toPandas vs DuckDB "
+        "fetch_df — the driver-compare discipline), so rows here read "
+        "higher than SCALING_SF10.json's count()-pruned numbers for "
+        "wide outputs (training_shards carries text columns); compare "
+        "within this table, not across artifacts. The semdedup twins "
+        "use TIER-MATCHED oracle SQL (adaptive bits/tables re-derived "
+        "from the engine's own configuration functions) — their exact "
+        "match is the first external validation of the ADAPTIVE "
+        "configuration path.",
+        "",
+        "| query | spark cold | spark warm | duckdb | ratio (spark/duck,"
+        " warm) | exact match |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, rec in results.items():
+        s, d = rec.get("spark", {}), rec.get("duckdb", {})
+        if "err" in s:
+            lines.append(f"| {name} | ERR | | | | |")
+            continue
+        dnf = next((k for k in ("timeout", "resource_limit", "error")
+                    if k in d), None)
+        if dnf:
+            bound = (f">{timeout_s:.0f}s" if dnf == "timeout"
+                     else "48GB mem / 24GB spill")
+            lines.append(
+                f"| {name} | {s['cold']} | {s['warm']} | "
+                f"{dnf} ({bound}) | — (duckdb DNF) | n/a |")
+            continue
+        dt = d["warm"] if d.get("warm") else d["cold"]
+        ratio = round(s["warm"] / dt, 2) if dt else None
+        lines.append(
+            f"| {name} | {s['cold']} | {s['warm']} | {dt} | {ratio} | "
+            f"{'yes' if rec['match'] else 'NO' if rec['match'] is False else 'n/a'} |")
+    lines.append("")
+    (ROOT / "SCALING_SF1_ORACLE.md").write_text("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
