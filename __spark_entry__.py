@@ -2592,8 +2592,11 @@ def _q_incremental_dedup_bloom(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # no global orderBy: the driver compare is order-insensitive and a
+    # range-partitioned sort of the kept ids is a whole extra exchange
+    # (sampling pass included) that no downstream consumer needs
     return (exact_dedup_incremental_bloom(batch, corpus)
-            .select("doc_id").orderBy("doc_id"))
+            .select("doc_id"))
 
 
 def _q_heavy_hitter_terms(spark, sf_dir):
