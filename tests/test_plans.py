@@ -281,3 +281,22 @@ def test_semdedup_lsh_bucket_blocking_is_catalyst(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semdedup_lsh")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_incremental_bloom_probe_stays_off_the_corpus_side(spark, sf_dir):
+    """The bloom probe UDF is a PLAN-FENCED nondeterministic expression:
+    a deterministic probe gets (a) pushed below the keep-first
+    aggregate into both union branches (batch scanned + probed twice)
+    and (b) constraint-INFERRED onto the anti-join's corpus side — a
+    full-corpus Python pass that is catastrophic at scale. Pin the
+    fenced shape: exactly one Arrow probe, the two (runtime-reused)
+    keep-first exchanges and nothing else, and no global sort."""
+    import re
+    plan = _plan(spark, sf_dir, "incremental_dedup_bloom")
+    # one probe node per union branch, both on the DEDUPED batch side;
+    # the pre-fence bug shape had a third on the corpus scan (formatted
+    # mode lists each node twice — count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan
