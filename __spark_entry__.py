@@ -527,7 +527,19 @@ def _xxh64_ascii5_steps(gram_col: str) -> tuple[str, str]:
     return items, "hh"
 
 
-def _seeded_lsh_planes(num_planes: int = 8, dim: int = 64) -> list:
+# The ann_lsh_topk engine/oracle pair must draw the SAME planes: the
+# engine derives dim from len(query_vec) at run time while the oracle
+# inlines literals at oracle_sql() build time. These constants are the
+# single source of truth for both sides; `_q_ann_lsh_topk` asserts the
+# fixture's dim against _LSH_ORACLE_DIM so an embedding-dim change
+# fails loudly AT THE ENGINE with a named cause instead of surfacing
+# as an unexplained oracle hash mismatch (advisor r8).
+_LSH_ORACLE_NUM_PLANES = 8
+_LSH_ORACLE_DIM = 64
+
+
+def _seeded_lsh_planes(num_planes: int = _LSH_ORACLE_NUM_PLANES,
+                       dim: int = _LSH_ORACLE_DIM) -> list:
     """The SAME plane constants `HyperplaneLSH.fit` draws (seeded numpy
     RandomState(42), row-normalized, float32-rounded), as exact float64
     values for inlining into oracle SQL — `bucket_udf` computes its sign
@@ -1664,7 +1676,11 @@ def _q_ann_lsh_topk(spark, sf_dir):
     from dotnetvectorsearch_spark.operators.ann import HyperplaneLSH
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _collect_query_vec(spark, sf_dir)
-    lsh = HyperplaneLSH(num_planes=8).fit(dim=len(qv))
+    assert len(qv) == _LSH_ORACLE_DIM, (
+        f"embedding dim {len(qv)} != _LSH_ORACLE_DIM {_LSH_ORACLE_DIM}: "
+        "the ann_lsh_topk oracle inlines planes drawn at that dim — "
+        "update _LSH_ORACLE_DIM so engine and oracle stay in lockstep")
+    lsh = HyperplaneLSH(num_planes=_LSH_ORACLE_NUM_PLANES).fit(dim=len(qv))
     return lsh.search(lsh.transform(emb), qv, k=10, multiprobe_bits=2)
 
 
@@ -5078,9 +5094,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # Seeded-numpy hyperplane LSH (the ENGINE ann_lsh_topk path): the
     # same RandomState(42) plane constants inlined as literals;
-    # bucket_udf sums strictly left-to-right in doubles (cumsum, not
-    # BLAS) so both engines compute identical sign bits. multiprobe
-    # hamming<=2 matches HyperplaneLSH.search(multiprobe_bits=2).
+    # bucket_udf sums strictly left-to-right in doubles (explicit
+    # per-dim loop, not BLAS) so both engines compute identical sign
+    # bits. multiprobe hamming<=2 matches
+    # HyperplaneLSH.search(multiprobe_bits=2).
     _np_bucket_sql = " + ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(c) for c in p)

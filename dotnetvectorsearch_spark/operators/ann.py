@@ -678,17 +678,22 @@ class HyperplaneLSH:
 
         @pandas_udf("long")
         def bucket_of(vecs: pd.Series) -> pd.Series:
-            # Strict LEFT-TO-RIGHT double accumulation (cumsum, not
-            # BLAS matmul): bit-identical to an external engine's
-            # sequential list_dot_product over the same double
-            # constants, so the sign bits — hence the bucket ids and
-            # the probed candidate set — are oracle-reproducible. A
-            # float32 matmul's reordered/pairwise sums can flip a
-            # near-zero dot's sign and silently change one bucket.
+            # Strict LEFT-TO-RIGHT double accumulation (explicit
+            # per-dimension loop, not BLAS matmul): bit-identical to an
+            # external engine's sequential list_dot_product over the
+            # same double constants, so the sign bits — hence the
+            # bucket ids and the probed candidate set — are
+            # oracle-reproducible. A float32 matmul's reordered /
+            # pairwise sums can flip a near-zero dot's sign and
+            # silently change one bucket. The k-loop keeps the working
+            # set O(batch x planes) — the earlier batch x planes x dim
+            # outer-product + cumsum held ~2x80 MB per 10k-row batch at
+            # 12x64 and scaled with dim (advisor r8).
             m = np.stack(vecs.to_numpy()).astype(np.float64)
-            prods = m[:, None, :] * planes[None, :, :]
-            bits = np.cumsum(prods, axis=2)[:, :, -1] > 0
-            return pd.Series(bits @ weights)
+            acc = np.zeros((m.shape[0], planes.shape[0]))
+            for k in range(planes.shape[1]):
+                acc += m[:, k, None] * planes[None, :, k]
+            return pd.Series((acc > 0) @ weights)
 
         return bucket_of
 

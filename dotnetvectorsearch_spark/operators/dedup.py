@@ -597,20 +597,28 @@ _JP_GUARD_LOCK = threading.Lock()
 
 
 def clear_guard_memo() -> int:
-    """Drop every memoized guard estimate (pair with
-    ``caching.release_transient`` at session boundaries when the
-    underlying corpus may have been rewritten in place)."""
+    """Drop every memoized driver-side structure keyed on input state —
+    the jaccard guard estimates AND the incremental-dedup bloom filters
+    (pair with ``caching.release_transient`` at session boundaries when
+    the underlying corpus may have been rewritten in place). Returns the
+    number of entries dropped across both memos."""
     with _JP_GUARD_LOCK:
         n = len(_JP_GUARD_MEMO)
         _JP_GUARD_MEMO.clear()
+    with _BLOOM_MEMO_LOCK:
+        n += len(_BLOOM_MEMO)
+        _BLOOM_MEMO.clear()
     return n
 
 
 def _input_fingerprint(df: DataFrame):
-    """Cheap driver-side identity of a frame's input files: (count,
-    (path, size, mtime) for the first 64 sorted paths). Local stat
-    calls only; non-local or stat-failing paths degrade to the path
-    string, which still catches file-set changes."""
+    """Cheap driver-side identity of a frame's input files. Covers the
+    FULL file list with aggregates — (count, total size, max mtime_ns)
+    — plus per-file (path, size, mtime_ns) detail for the first 64
+    sorted paths, so a rewrite past the 64th file or a same-second
+    touch still changes the key (advisor r8). Local stat calls only;
+    non-local or stat-failing paths degrade to the path string, which
+    still catches file-set changes."""
     import os
     from urllib.parse import urlparse
 
@@ -619,7 +627,9 @@ def _input_fingerprint(df: DataFrame):
     except Exception:  # pragma: no cover - py4j surface drift
         return None
     sig = []
-    for f in files[:64]:
+    total_size = 0
+    max_mtime_ns = -1
+    for idx, f in enumerate(files):
         # Hadoop renders local URIs as file:/p, file://p, or
         # file:///p depending on the path-resolution route; a naive
         # prefix strip mishandles the single-slash form and every stat
@@ -628,10 +638,14 @@ def _input_fingerprint(df: DataFrame):
         p = urlparse(f).path if f.startswith("file:") else f
         try:
             st = os.stat(p)
-            sig.append((f, st.st_size, int(st.st_mtime)))
+            size, mtime_ns = st.st_size, st.st_mtime_ns
         except OSError:
-            sig.append((f, -1, -1))
-    return (len(files), tuple(sig))
+            size, mtime_ns = -1, -1
+        total_size += size
+        max_mtime_ns = max(max_mtime_ns, mtime_ns)
+        if idx < 64:
+            sig.append((f, size, mtime_ns))
+    return (len(files), total_size, max_mtime_ns, tuple(sig))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -1771,9 +1785,11 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
     # build-once/serve-many contract), so repeated batches against an
     # unchanged corpus must not pay the corpus scan again. Memo key =
     # (analyzed-plan semanticHash, input-file fingerprint, sizing) —
-    # the fingerprint keys out in-place corpus rewrites the plan hash
-    # cannot see. A stale entry is impossible (fingerprint covers
-    # size+mtime); a collision only re-serves the same corpus' filter.
+    # the fingerprint (full-list count + total size + max mtime_ns +
+    # per-file detail) keys out in-place corpus rewrites the plan hash
+    # cannot see. A rewrite that preserves every one of those
+    # observables would still alias, so ``clear_guard_memo()`` is the
+    # explicit invalidation hook for corpus-rewrite session boundaries.
     try:
         plan_key = known._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - py4j surface drift

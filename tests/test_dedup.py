@@ -694,6 +694,12 @@ def test_incremental_dedup_bloom_memoizes_per_corpus(spark, sf_dir,
     other = docs.filter("doc_id % 3 = 1")          # different corpus plan
     dd.exact_dedup_incremental_bloom(batch, other).count()
     assert len(calls) == 2                         # rebuilt, not reused
+    # clear_guard_memo is the public invalidation hook for BOTH memos
+    # (advisor r8: an in-place rewrite preserving count+size+mtime_ns
+    # would alias the fingerprint — the hook is the escape hatch)
+    assert dd.clear_guard_memo() >= 2              # bloom entries counted
+    dd.exact_dedup_incremental_bloom(batch, corpus).count()
+    assert len(calls) == 3                         # rebuilt after clear
 
 
 # ------------------------------------ exact pair/graph candidate bounds
@@ -766,19 +772,20 @@ def test_input_fingerprint_tracks_size_and_mtime(spark, tmp_path):
     in place (advisor r6: the old 'file://' prefix strip broke on
     Hadoop's single-slash 'file:/path' rendering, degrading every stat
     to (-1,-1) and silently losing (size, mtime) sensitivity)."""
-    import time
-
     p = str(tmp_path / "fp_docs")
     spark.range(10).withColumnRenamed("id", "doc_id") \
         .coalesce(1).write.parquet(p)
     df = spark.read.parquet(p)
     fp1 = D._input_fingerprint(df)
     assert fp1 is not None
+    n_files, total_size, max_mtime_ns, sig = fp1
+    assert n_files >= 1 and total_size > 0 and max_mtime_ns > 0
     # stats resolved: no (path, -1, -1) degradations
-    assert all(sz >= 0 and mt >= 0 for _, sz, mt in fp1[1]), fp1
+    assert all(sz >= 0 and mt >= 0 for _, sz, mt in sig), fp1
     fp2 = D._input_fingerprint(spark.read.parquet(p))
     assert fp1 == fp2                       # stable across reads
-    time.sleep(1.1)                         # mtime granularity
+    # nanosecond mtimes: a SAME-SECOND in-place rewrite must still flip
+    # the key (advisor r8 — int-seconds truncation aliased it)
     spark.range(200).withColumnRenamed("id", "doc_id") \
         .coalesce(1).write.mode("overwrite").parquet(p)
     fp3 = D._input_fingerprint(spark.read.parquet(p))
