@@ -2607,20 +2607,24 @@ def _q_training_shards(spark, sf_dir):
 
 
 def _q_incremental_dedup_bloom(spark, sf_dir):
-    """Bloom-prefiltered incremental dedup: IDENTICAL result to
-    incremental_dedup (same oracle), but definitely-new rows (bloom
-    miss) skip the anti-join — the shuffle carries the dup sliver +
-    ~1% false positives instead of the whole batch."""
-    from dotnetvectorsearch_spark.operators.dedup import (
-        exact_dedup_incremental_bloom)
+    """Bloom-prefiltered incremental dedup, SERVED from the persisted
+    fingerprint+bloom store (dedup_store — the ann_store
+    build-once/serve-many contract): IDENTICAL result to
+    incremental_dedup (same oracle) and to the build-in-query
+    exact_dedup_incremental_bloom (pinned in test_dedup), but the
+    corpus is never scanned per call — the bloom comes off disk and
+    the anti-join's corpus side is the narrow persisted fp table.
+    First call per (sf_dir, corpus state) builds the store; bench.py
+    times that build in its separately-reported build phase."""
+    from dotnetvectorsearch_spark.operators.dedup_store import (
+        ensure_bloom_store, serve_incremental_dedup)
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path, _ = ensure_bloom_store(spark, sf_dir)
     # no global orderBy: the driver compare is order-insensitive and a
     # range-partitioned sort of the kept ids is a whole extra exchange
     # (sampling pass included) that no downstream consumer needs
-    return (exact_dedup_incremental_bloom(batch, corpus)
-            .select("doc_id"))
+    return serve_incremental_dedup(batch, spark, path, ids_only=True)
 
 
 def _q_heavy_hitter_terms(spark, sf_dir):

@@ -202,6 +202,18 @@ def main() -> None:
             ann_build[kind] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 - harness boundary
             errors[f"ann_build_{kind}"] = f"{type(exc).__name__}: {exc}"[:500]
+    # Same split for the incremental-dedup fingerprint+bloom store
+    # (round 9): the build is pipeline state maintained per ingest, the
+    # incremental_dedup_bloom row below measures the pure serve path.
+    from dotnetvectorsearch_spark.operators.dedup_store import (
+        ensure_bloom_store)
+    try:
+        t0 = time.perf_counter()
+        ensure_bloom_store(spark, sf_dir, force=True)
+        ann_build["dedup_bloom"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:  # noqa: BLE001 - harness boundary
+        errors["ann_build_dedup_bloom"] = \
+            f"{type(exc).__name__}: {exc}"[:500]
 
     # Two reps per query, BOTH recorded: rep 1 is the honest-cold number
     # (plans compiled by the warm-up pass, but every transient cache is

@@ -1786,8 +1786,6 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
     shuffle carries only the might-contain sliver of UNIQUE batch
     fingerprints.
     """
-    import numpy as np
-
     fp_expr = fingerprint(text_col).alias("fp")
     known = corpus.select("fp") if corpus_is_fps \
         else corpus.select(fp_expr)
@@ -1818,7 +1816,30 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
                 if len(_BLOOM_MEMO) >= _BLOOM_MEMO_MAX:
                     _BLOOM_MEMO.pop(next(iter(_BLOOM_MEMO)))
                 _BLOOM_MEMO[memo_key] = (bloom, nb, kh)
-    bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
+    return _bloom_probe_keep(new_docs, known, bloom, nb, kh,
+                             text_col, id_col)
+
+
+def _bloom_probe_keep(new_docs: DataFrame, known: DataFrame,
+                      bloom, nb: int, kh: int,
+                      text_col: str, id_col: str,
+                      ids_only: bool = False) -> DataFrame:
+    """The probe/join core of the bloom-prefiltered incremental dedup,
+    shared by the build-in-query path (`exact_dedup_incremental_bloom`)
+    and the persisted-store serve path (`dedup_store`). ``known`` is a
+    one-column ``fp`` frame; ``bloom`` the merged bitset over exactly
+    those fingerprints — either raw ``bytes`` or an already-broadcast
+    handle (the serve path broadcasts once per store state and reuses
+    it across calls). ``ids_only=True`` returns just the kept id
+    column and skips the final semi-join back to ``new_docs`` — one
+    fewer batch scan + broadcast when the caller doesn't need the
+    full rows."""
+    import numpy as np
+
+    bc = bloom if not isinstance(bloom, (bytes, bytearray)) else \
+        new_docs.sparkSession.sparkContext.broadcast(bytes(bloom))
+    fp_expr = fingerprint(text_col).alias("fp")
+
     @F.pandas_udf("boolean")
     def might_contain(
             batches: Iterator[Tuple[pd.Series, pd.Series]]
@@ -1855,4 +1876,6 @@ def exact_dedup_incremental_bloom(new_docs: DataFrame, corpus: DataFrame,
     checked = (probed.filter(F.col("__maybe")).select(id_col, "fp")
                .join(known, "fp", "left_anti").select(id_col))
     keep = definitely_new.unionByName(checked)
+    if ids_only:
+        return keep
     return new_docs.join(keep, id_col, "leftsemi")

@@ -702,6 +702,53 @@ def test_incremental_dedup_bloom_memoizes_per_corpus(spark, sf_dir,
     assert len(calls) == 3                         # rebuilt after clear
 
 
+def test_bloom_store_serve_equals_build_in_query(spark, sf_dir,
+                                                 tmp_path):
+    """The persisted fp+bloom store's serve path must return EXACTLY
+    the build-in-query result (round 9: the store amortizes the corpus
+    scan across sessions — it must never change the answer), and a
+    rewritten corpus must trigger a rebuild instead of serving stale
+    fingerprints."""
+    from dotnetvectorsearch_spark.operators import dedup_store as ds
+    from dotnetvectorsearch_spark.operators.dedup import (
+        exact_dedup_incremental_bloom)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter(ds.CORPUS_PRED)
+    path, built = ds.ensure_bloom_store(spark, sf_dir,
+                                        root=str(tmp_path))
+    assert built
+    served = {r.doc_id for r in
+              ds.serve_incremental_dedup(batch, spark, path)
+              .select("doc_id").collect()}
+    in_query = {r.doc_id for r in
+                exact_dedup_incremental_bloom(batch, corpus)
+                .select("doc_id").collect()}
+    assert served == in_query and served
+    # ids_only fast path (what the registry query uses): same keep-set,
+    # single id column, no semi-join back to the batch
+    ids_df = ds.serve_incremental_dedup(batch, spark, path,
+                                        ids_only=True)
+    assert ids_df.columns == ["doc_id"]
+    assert {r.doc_id for r in ids_df.collect()} == served
+    # fresh store: second ensure is a no-op
+    _, built2 = ds.ensure_bloom_store(spark, sf_dir,
+                                      root=str(tmp_path))
+    assert not built2
+    # a DIFFERENT corpus state (simulated via marker tamper — the
+    # marker hashes input files + slice spec + sizing) must rebuild
+    import json as _json
+    from pathlib import Path as _P
+    marker = _P(path) / ds._MARKER
+    meta = _json.loads(marker.read_text())
+    meta["fingerprint"] = "stale"
+    marker.write_text(_json.dumps(meta))
+    _, built3 = ds.ensure_bloom_store(spark, sf_dir,
+                                      root=str(tmp_path))
+    assert built3
+
+
 # ------------------------------------ exact pair/graph candidate bounds
 
 
