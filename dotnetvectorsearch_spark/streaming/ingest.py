@@ -445,10 +445,19 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
     et al. '12 mergeable summaries, so merge order cannot break the
     [est, est + slack] undercount guarantee).
 
-    Per micro-batch cost: one Arrow pass over the batch (k+1 rows per
-    partition out), a union with the <= k+1 stored summary rows, and
-    the compress step — NEVER a rescan of history; state on disk is
-    O(k). Read the current report any time with
+    Per micro-batch cost: ONE Spark job — the Arrow partials pass over
+    the batch, collecting <= (k+1) rows PER PARTITION (never the
+    stream; 1000 executors x 65 rows is ~65k driver rows, the
+    coordinator-merge regime mergeable summaries are built for). The
+    merge-with-stored-summary + compress step runs in plain Python on
+    <= k+1 + collected rows, and the new summary lands via a direct
+    pyarrow write — no second Spark job, no driver collects inside a
+    plan, no Spark write stage. (Round 9: the previous frame-algebra
+    trigger paid 3 driver actions + a Spark write per batch = 5.4 s
+    triggers; this is the same math at <= 1 job. Semantics mirror
+    operators/sketches.mg_merge_compress exactly — same tie-break,
+    same slack bookkeeping — pinned by the exact-regime stream test.)
+    Read the current report any time with
     `mg_top(spark.read.parquet(path))`. Same atomic parquet-swap +
     crash recovery as `stream_rollup_maintenance`.
     """
@@ -456,8 +465,7 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
     import os
     import shutil
 
-    from dotnetvectorsearch_spark.operators.sketches import (
-        mg_merge_compress, mg_partials)
+    from dotnetvectorsearch_spark.operators.sketches import mg_partials
 
     def recover() -> None:
         if os.path.isdir(path):
@@ -472,25 +480,52 @@ def stream_heavy_hitters(stream: DataFrame, col: str, path: str,
         if olds:
             os.rename(olds[-1], path)
 
+    def _merge_compress_py(rows) -> tuple[dict, int]:
+        """Driver-side twin of sketches.mg_merge_compress over (key,
+        est, slack) tuples: sum per-key partials, and if more than k
+        keys survive, subtract the (k+1)-th largest estimate (est
+        desc, key asc tie-break — identical ordering to the frame
+        version) from every key, drop non-positives, fold the
+        subtracted amount into the slack."""
+        counters: dict = {}
+        slack_total = 0
+        for key, est, slack in rows:
+            slack_total += int(slack or 0)
+            if key is not None:
+                counters[key] = counters.get(key, 0) + int(est)
+        if len(counters) > k:
+            ordered = sorted(counters.items(),
+                             key=lambda kv: (-kv[1], kv[0]))
+            m = ordered[k][1]
+            counters = {key: c - m for key, c in ordered[:k] if c > m}
+            slack_total += m
+        return counters, slack_total
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from dotnetvectorsearch_spark.caching import transient_scope
-        spark = batch_df.sparkSession
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         recover()
         stage = f"{path}__stage"
-        # Scoped release: mg_merge_compress registers a transient
-        # persist that must drop each batch (a long-running stream must
-        # not accumulate one cache/batch) — but ONLY this batch's
-        # frame: a global release_transient() here could clear a
-        # concurrent query's registered persist in the same session
-        # (advisor r5).
-        with transient_scope():
-            summary = mg_partials(batch_df, col, k)
-            if os.path.isdir(path):
-                summary = summary.unionByName(
-                    spark.read.parquet(path).select("key", "est", "slack"))
-            merged = mg_merge_compress(summary, k)
-            shutil.rmtree(stage, ignore_errors=True)
-            merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        rows = [(r.key, r.est, r.slack)
+                for r in mg_partials(batch_df, col, k).collect()]
+        if os.path.isdir(path):
+            stored = pq.read_table(path, columns=["key", "est", "slack"])
+            rows.extend(zip(stored.column("key").to_pylist(),
+                            stored.column("est").to_pylist(),
+                            stored.column("slack").to_pylist()))
+        counters, slack_total = _merge_compress_py(rows)
+        table = pa.table({
+            "key": pa.array(list(counters) + [None], type=pa.string()),
+            "est": pa.array(list(counters.values()) + [0],
+                            type=pa.int64()),
+            "slack": pa.array([0] * len(counters) + [slack_total],
+                              type=pa.int64())})
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        pq.write_table(table, os.path.join(stage, "part-0.parquet"))
+        # _SUCCESS last: recover() treats its presence as write-complete
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
         old = f"{path}__old-{batch_id}"
         if os.path.isdir(path):
             os.rename(path, old)

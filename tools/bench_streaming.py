@@ -249,10 +249,12 @@ def _write_md(results: dict, chunks: int) -> None:
             f" | {r['trigger_ms_median']}/{r['trigger_ms_max']} |")
     lines += [
         "",
-        "Notes: `stream_heavy_hitters`'s ~5 s triggers are the "
-        "per-batch parquet summary swap (union with the stored <=k+1 "
-        "rows, compress, atomic rename) — O(k) state, so the trigger "
-        "cost is flat in corpus size. foreachBatch row counts can "
+        "Notes: `stream_heavy_hitters` triggers are ONE Spark job "
+        "(the mapInPandas partials pass; <= k+1 rows per partition "
+        "collected) + a driver-side merge/compress + a direct pyarrow "
+        "summary swap — O(k) state, trigger cost flat in corpus size "
+        "(round 9: was 5.4 s/trigger when the merge ran as 3 driver "
+        "actions + a Spark write). foreachBatch row counts can "
         "slightly exceed the corpus when the final trigger coalesces "
         "files past the stop condition. `stream_dedup` / "
         "`stream_neardup_dedup` stream the 5k-doc table, so their "
