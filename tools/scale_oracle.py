@@ -52,6 +52,7 @@ QUERIES = [
     "minhash_pairs_md5", "dedup_clusters_lsh", "doc_pagerank_lsh",
     "semdedup_lsh", "semdedup_lsh_hi", "training_shards",
     "curated_corpus", "incremental_dedup_bloom", "ccnet_buckets",
+    "dsir_weights_en",
 ]
 
 # ---------------------------------------------------- tier-matched SQL
