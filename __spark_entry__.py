@@ -2746,6 +2746,23 @@ def _q_ann_ivfpq_serve(spark, sf_dir):
 # new queries at the END of the dict — never insert above `tpch_q11`
 # (position 51, the first entry outside the r02 window; it is covered by
 # ORACLE_SELFCHECK.md and was driver-green in r01).
+def _q_retrieval_quality(spark, sf_dir):
+    """Retrieval-quality metrics (MRR@10 / recall@10 / NDCG@10) for a
+    4%-of-corpus query panel under the label-relevance leave-one-out
+    protocol — the evaluation loop a production retrieval deployment
+    runs beside its index (the reference serves raw top-k only;
+    operators/retrieval_eval.py documents the float discipline that
+    keeps the NDCG discounts oracle-exact)."""
+    from dotnetvectorsearch_spark.operators.retrieval_eval import (
+        retrieval_metrics)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    return retrieval_metrics(emb, queries, k=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_topk_filtered": _q_search_topk_filtered,
@@ -2923,6 +2940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_serve": _q_ann_ivf_serve,
     "ann_pq_serve": _q_ann_pq_serve,
     "ann_ivfpq_serve": _q_ann_ivfpq_serve,
+    # -- round 9 additions
+    "retrieval_quality": _q_retrieval_quality,
 }
 
 
@@ -5388,5 +5407,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens
         FROM c WHERE cum_before < {TOKEN_BUDGET}
+    """
+    # retrieval-quality metrics: the NDCG discount terms and ideal
+    # cumulative sums are the SAME generated decimal-literal CASE text
+    # the Spark plan embeds (operators/retrieval_eval.py) — no runtime
+    # log2 on either side, exact decimal DCG sums, double ratios
+    # rounded at 6.
+    from dotnetvectorsearch_spark.operators.retrieval_eval import (
+        dcg_term_case, idcg_case)
+    _dcg = dcg_term_case("t.rnk", 10)
+    _idcg = idcg_case("lc.n_rel", 10)
+    oracles["retrieval_quality"] = f"""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                          label AS ql
+                   FROM embeddings WHERE vec_id % 25 = 0),
+        s AS (SELECT q.qid, q.ql, e.vec_id, e.label,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                         AS similarity
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid, ql, vec_id, label, similarity,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY similarity DESC, vec_id ASC) AS rnk
+              FROM s),
+        t AS (SELECT * FROM r WHERE rnk <= 10),
+        lc AS (SELECT label AS ql, COUNT(*) - 1 AS n_rel
+               FROM embeddings GROUP BY label),
+        per AS (SELECT t.qid, t.ql,
+                       MAX(CASE WHEN t.label = t.ql
+                                THEN CAST(1.0 AS DOUBLE) / t.rnk
+                                ELSE CAST(0.0 AS DOUBLE) END) AS mrr_raw,
+                       SUM(CASE WHEN t.label = t.ql THEN 1 ELSE 0 END)
+                           AS hits,
+                       SUM(CASE WHEN t.label = t.ql THEN {_dcg}
+                                ELSE CAST(0 AS DECIMAL(20,12)) END)
+                           AS dcg
+                FROM t GROUP BY t.qid, t.ql)
+        SELECT per.qid,
+               round(mrr_raw, 6) AS mrr,
+               round(CASE WHEN lc.n_rel > 0
+                          THEN CAST(hits AS DOUBLE) /
+                               CAST(lc.n_rel AS DOUBLE)
+                          ELSE 0.0 END, 6) AS recall_at_k,
+               round(CASE WHEN lc.n_rel > 0
+                          THEN CAST(dcg AS DOUBLE) /
+                               CAST({_idcg} AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM per JOIN lc ON per.ql = lc.ql
     """
     return oracles

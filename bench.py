@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "ann_ivf_serve",
     "ann_pq_serve",
     "ann_ivfpq_serve",
+    # round 9: retrieval-quality metrics (MRR/recall/NDCG @10)
+    "retrieval_quality",
 ]
 
 

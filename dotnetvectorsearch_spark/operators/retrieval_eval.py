@@ -1,0 +1,125 @@
+"""Retrieval-quality metrics: MRR@k, recall@k, NDCG@k per query.
+
+The evaluation loop every retrieval pipeline runs next to its index
+(the reference repo ships search quality by eye — `WebAPI/Program.cs`
+returns raw top-k — this is the measurement layer a production
+deployment adds on top): given a query set drawn from the corpus and a
+relevance protocol (here: label equality, the standard proxy when no
+human qrels exist), compute per-query
+
+  * MRR@k    — 1/rank of the first relevant hit (0 if none in top-k),
+  * recall@k — relevant hits in the top-k / total relevant for the
+    query (leave-one-out: the query row itself never counts),
+  * NDCG@k   — binary-gain DCG normalized by the ideal DCG at this
+    query's relevant-count.
+
+Scale shape: the ranking reuses :func:`search.topk_per_query`
+(broadcast queries -> zero corpus shuffle -> Arrow-local top-k before
+the rank window) with ``exclude_self`` for the leave-one-out protocol;
+everything after ranking touches only Q x k rows, joined with the
+corpus labels by BROADCASTING THE PAIRS (the corpus side is never
+shuffled) and with two tiny broadcast dimension frames (query labels,
+per-label counts). At 100 TB the eval cost is the one scoring scan —
+the metrics are free.
+
+Float discipline (oracle parity): the 1/log2(rank+1) discount terms
+and their cumulative ideal sums are PRECOMPUTED 12-digit decimal
+literals embedded in both the Spark plan and the DuckDB oracle via the
+same generated CASE text — no runtime log2, so libm differences cannot
+desynchronize the engines; the DCG sums are exact decimal arithmetic
+(order-independent), cast to double only for the final ratio.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_EVEN, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TWELVE = Decimal("1e-12")
+
+
+def dcg_discounts(k: int) -> list[str]:
+    """1/log2(rank+1) for rank = 1..k as fixed 12-decimal strings —
+    the shared constants both engines embed as literals."""
+    return [str(Decimal(1.0 / math.log2(r + 1))
+                .quantize(_TWELVE, rounding=ROUND_HALF_EVEN))
+            for r in range(1, k + 1)]
+
+
+def dcg_term_case(rank_expr: str, k: int) -> str:
+    """SQL CASE mapping a rank (1..k) to its decimal discount term.
+    Identical text runs on Spark and DuckDB."""
+    whens = " ".join(
+        f"WHEN {r} THEN CAST({d} AS DECIMAL(20,12))"
+        for r, d in enumerate(dcg_discounts(k), start=1))
+    return (f"CASE {rank_expr} {whens} "
+            f"ELSE CAST(0 AS DECIMAL(20,12)) END")
+
+
+def idcg_case(n_rel_expr: str, k: int) -> str:
+    """SQL CASE mapping least(k, n_relevant) to the ideal DCG — the
+    exact cumulative sum of the same decimal discount terms."""
+    cum = Decimal(0)
+    whens = []
+    for r, d in enumerate(dcg_discounts(k), start=1):
+        cum += Decimal(d)
+        whens.append(f"WHEN {r} THEN CAST({cum} AS DECIMAL(20,12))")
+    return (f"CASE LEAST({k}, {n_rel_expr}) {' '.join(whens)} "
+            f"ELSE CAST(0 AS DECIMAL(20,12)) END")
+
+
+def retrieval_metrics(corpus: DataFrame, queries: DataFrame,
+                      k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Per-query retrieval metrics over a label-relevance protocol.
+
+    ``queries`` must carry (qid, qvec, qlabel) and be drawn FROM
+    ``corpus`` (leave-one-out: the self row is excluded from ranking
+    and from the relevant-count denominator). Returns one row per
+    query: (qid, mrr, recall_at_k, ndcg_at_k), all rounded to 6
+    digits, ordered-insensitively comparable to the SQL twin.
+    """
+    from .search import topk_per_query
+
+    topk = topk_per_query(corpus, queries.select("qid", "qvec"), k=k,
+                          doc_id=id_col, doc_vec=vec_col,
+                          round_digits=6, exclude_self=True)
+    # pairs are Q x k rows — broadcast them onto the corpus labels so
+    # the corpus side never shuffles
+    doc_labels = corpus.select(F.col(id_col), F.col(label_col).alias("__dl"))
+    pairs = doc_labels.join(F.broadcast(topk), id_col)
+    pairs = pairs.join(
+        F.broadcast(queries.select("qid", F.col("qlabel").alias("__ql"))),
+        "qid")
+    rel = F.col("__dl") == F.col("__ql")
+    dcg_term = F.expr(dcg_term_case("rank", k))
+    zero_dec = F.expr("CAST(0 AS DECIMAL(20,12))")
+    per = (pairs.groupBy("qid").agg(
+        F.max(F.when(rel, F.lit(1.0) / F.col("rank"))
+              .otherwise(F.lit(0.0))).alias("__mrr"),
+        F.sum(F.when(rel, F.lit(1)).otherwise(F.lit(0))).alias("__hits"),
+        F.sum(F.when(rel, dcg_term).otherwise(zero_dec)).alias("__dcg"),
+        F.first("__ql").alias("__ql")))
+    # total relevant per query = corpus rows sharing the label, minus
+    # the query row itself (leave-one-out)
+    label_counts = corpus.groupBy(F.col(label_col).alias("__ql")).agg(
+        (F.count(F.lit(1)) - F.lit(1)).alias("__n_rel"))
+    per = per.join(F.broadcast(label_counts), "__ql")
+    idcg = F.expr(idcg_case("__n_rel", k))
+    recall = F.when(
+        F.col("__n_rel") > 0,
+        F.col("__hits").cast("double") / F.col("__n_rel").cast("double")
+    ).otherwise(F.lit(0.0))
+    ndcg = F.when(
+        F.col("__n_rel") > 0,
+        F.col("__dcg").cast("double") / idcg.cast("double")
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "qid",
+        F.round(F.col("__mrr"), 6).alias("mrr"),
+        F.round(recall, 6).alias("recall_at_k"),
+        F.round(ndcg, 6).alias("ndcg_at_k"))

@@ -127,7 +127,8 @@ def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
                    doc_id: str = "vec_id", query_id: str = "qid",
                    doc_vec: str = "embedding", query_vec: str = "qvec",
                    round_digits: int | None = None,
-                   local_prefilter: bool = True) -> DataFrame:
+                   local_prefilter: bool = True,
+                   exclude_self: bool = False) -> DataFrame:
     """Batch similarity join: the k most similar docs for EVERY query row.
 
     Plan: broadcast the (small) query set -> BroadcastNestedLoopJoin scores
@@ -139,6 +140,11 @@ def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
     window, so the exchange carries ~(batches * Q * k) rows instead of N*Q.
     Correct because ranking is a total order (similarity desc, doc id asc):
     every global top-k row is in its batch's local top-k.
+
+    ``exclude_self=True`` drops rows where the doc id equals the query id
+    BEFORE ranking — the leave-one-out protocol when the query set is
+    drawn from the corpus itself (retrieval evaluation, kNN label
+    propagation).
     """
     from pyspark.sql.window import Window
 
@@ -149,6 +155,8 @@ def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
     scored = (docs.select(doc_id, doc_vec)
               .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
               .select(F.col(query_id), F.col(doc_id), sim.alias("similarity")))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(doc_id))
     if local_prefilter:
         import pandas as pd
 

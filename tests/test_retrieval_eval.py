@@ -1,0 +1,134 @@
+"""Retrieval-quality metrics (operators/retrieval_eval.py).
+
+Hand-computed ground truth on a 6-vector corpus where the geometry is
+unambiguous, plus range/protocol invariants on the real fixture and
+the literal-constant discipline that keeps the NDCG discounts
+oracle-exact (no runtime log2 on either engine)."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from dotnetvectorsearch_spark.operators.retrieval_eval import (
+    dcg_discounts,
+    dcg_term_case,
+    idcg_case,
+    retrieval_metrics,
+)
+
+
+def _axis(i: int, dim: int = 4, eps: float = 0.0):
+    v = [0.0] * dim
+    v[i] = 1.0
+    if eps:
+        v[(i + 1) % dim] = eps
+    return v
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """6 vectors, 2 labels. Label 0 sits on axis 0 (ids 0,1,2 at
+    decreasing closeness), label 1 on axis 1 (ids 3,4,5) — every
+    ranking is hand-checkable."""
+    rows = [
+        (0, _axis(0), 0),
+        (1, _axis(0, eps=0.05), 0),
+        (2, _axis(0, eps=0.2), 0),
+        (3, _axis(1), 1),
+        (4, _axis(1, eps=0.05), 1),
+        (5, _axis(1, eps=0.2), 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def _metrics(df):
+    return {r.qid: (r.mrr, r.recall_at_k, r.ndcg_at_k)
+            for r in df.collect()}
+
+
+def test_hand_computed_perfect_and_partial_rankings(tiny):
+    queries = tiny.select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qvec"),
+                          F.col("label").alias("qlabel"))
+    got = _metrics(retrieval_metrics(tiny, queries, k=2))
+    # query 0: nearest are 1 then 2 (both label 0) -> perfect top-2.
+    # n_rel = 2, hits = 2, first relevant at rank 1.
+    d = [Decimal(x) for x in dcg_discounts(2)]
+    assert got[0] == (1.0, 1.0, 1.0)
+    # query 2 (the off-axis one): its nearest is 1, then 0 — still all
+    # label 0; every query in this geometry retrieves its own label
+    # first, so all six are perfect at k=2.
+    for q in range(6):
+        assert got[q] == (1.0, 1.0, 1.0)
+    # idcg at n_rel=2, k=2 really is d1+d2 (sanity on the cum table)
+    assert float(d[0] + d[1]) == pytest.approx(1 + 1 / math.log2(3))
+
+
+def test_relevant_only_at_rank_two(spark):
+    """Corpus where the top hit is the WRONG label: qid 0's nearest
+    neighbour is label 1, the label-0 mate is second. MRR = 1/2,
+    recall = 1/1, NDCG = d2 / d1 (one relevant, ideal puts it first)."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 1),     # closest to q0, wrong label
+        (2, [0.8, 0.3], 0),      # the only relevant, ranks second
+        (3, [0.0, 1.0], 1),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    queries = (corpus.filter("vec_id = 0")
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    got = _metrics(retrieval_metrics(corpus, queries, k=2))
+    d = dcg_discounts(2)
+    expect_ndcg = round(float(Decimal(d[1]) / Decimal(d[0])), 6)
+    assert got[0] == (0.5, 1.0, expect_ndcg)
+
+
+def test_no_relevant_in_corpus_is_all_zero(spark):
+    """A query whose label is unique in the corpus: n_rel = 0 ->
+    every metric is defined 0, never a divide-by-zero."""
+    rows = [(0, [1.0, 0.0], 7), (1, [0.9, 0.1], 1), (2, [0.0, 1.0], 1)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    queries = (corpus.filter("vec_id = 0")
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    got = _metrics(retrieval_metrics(corpus, queries, k=2))
+    assert got[0] == (0.0, 0.0, 0.0)
+
+
+def test_fixture_invariants_and_self_exclusion(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    out = retrieval_metrics(emb, queries, k=10).collect()
+    assert len(out) == queries.count()          # one row per query
+    for r in out:
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0.0 <= r.ndcg_at_k <= 1.0
+        # mrr is 0 or >= 1/k by construction
+        assert r.mrr == 0.0 or r.mrr >= 1.0 / 10
+
+
+def test_discount_literals_are_engine_agnostic():
+    """The CASE texts must carry fixed 12-decimal literals (no log2
+    calls) so Spark and DuckDB cannot drift via libm."""
+    case = dcg_term_case("rank", 10)
+    assert "log" not in case.lower()
+    assert case.count("WHEN") == 10
+    cum = idcg_case("n_rel", 10)
+    assert "log" not in cum.lower()
+    # cumulative table really is the running sum of the terms
+    d = [Decimal(x) for x in dcg_discounts(10)]
+    assert str(sum(d[:3])) in cum
