@@ -2746,6 +2746,27 @@ def _q_ann_ivfpq_serve(spark, sf_dir):
 # new queries at the END of the dict — never insert above `tpch_q11`
 # (position 51, the first entry outside the r02 window; it is covered by
 # ORACLE_SELFCHECK.md and was driver-green in r01).
+def _q_leakage_safe_splits(spark, sf_dir):
+    """Duplicate-cluster-aware train/val/test split: assignment hashes
+    the CLUSTER id, not the doc id, so every member of a near-dup
+    cluster lands in the SAME split — the standard fix for
+    dup-leakage across splits (a near-copy of a test doc in train is
+    silent contamination; `dataset_splits` hashes doc_id and cannot
+    prevent it). Composition of the existing pieces: jaccard
+    candidate pairs -> connected components -> md5 hash-split on the
+    cluster representative. Same determinism contract as hash_split
+    (stable across runs, engines, partitionings)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        dedup_clusters, jaccard_pairs)
+    from dotnetvectorsearch_spark.operators.sampling import hash_split
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                          threshold=0.1)
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    return (hash_split(clusters, "cluster_id", SPLIT_WEIGHTS)
+            .select("doc_id", "cluster_id", "split"))
+
+
 def _q_retrieval_quality(spark, sf_dir):
     """Retrieval-quality metrics (MRR@10 / recall@10 / NDCG@10) for a
     4%-of-corpus query panel under the label-relevance leave-one-out
@@ -2942,6 +2963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_serve": _q_ann_ivfpq_serve,
     # -- round 9 additions
     "retrieval_quality": _q_retrieval_quality,
+    "leakage_safe_splits": _q_leakage_safe_splits,
 }
 
 
@@ -5455,5 +5477,25 @@ def oracle_sql() -> dict[str, str]:
                                CAST({_idcg} AS DOUBLE)
                           ELSE 0.0 END, 6) AS ndcg_at_k
         FROM per JOIN lc ON per.ql = lc.ql
+    """
+    # leakage-safe splits: the dedup_clusters oracle (recursive-CTE
+    # connected components) as a subquery + the SAME md5 threshold
+    # carve as dataset_splits, but hashed on cluster_id — thresholds
+    # generated from SPLIT_WEIGHTS exactly like operators.sampling
+    # .hash_split builds its WHEN chain.
+    _bound = 16 ** 8
+    _total = sum(SPLIT_WEIGHTS.values())
+    _acc = 0.0
+    _whens = []
+    for _name, _w in list(SPLIT_WEIGHTS.items())[:-1]:
+        _acc += _w / _total
+        _whens.append(
+            f"WHEN substr(md5(CAST(cluster_id AS VARCHAR) || 'split-v1'"
+            f"), 1, 8) < '{int(_acc * _bound):08x}' THEN '{_name}'")
+    _last = list(SPLIT_WEIGHTS)[-1]
+    oracles["leakage_safe_splits"] = f"""
+        SELECT doc_id, cluster_id,
+               CASE {' '.join(_whens)} ELSE '{_last}' END AS split
+        FROM ({oracles["dedup_clusters"]}) c
     """
     return oracles

@@ -149,8 +149,10 @@ BENCH_QUERIES = [
     "ann_ivf_serve",
     "ann_pq_serve",
     "ann_ivfpq_serve",
-    # round 9: retrieval-quality metrics (MRR/recall/NDCG @10)
+    # round 9: retrieval-quality metrics (MRR/recall/NDCG @10) and
+    # dup-cluster-aware splits
     "retrieval_quality",
+    "leakage_safe_splits",
 ]
 
 

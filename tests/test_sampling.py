@@ -413,3 +413,32 @@ def test_token_budget_append_only_growth_and_validation(spark, sf_dir):
     with _pytest.raises(ValueError):
         token_budget_sample(rows, "doc_id", "lang", "tokens", 10,
                             buckets=1)
+
+
+def test_leakage_safe_splits_cluster_members_share_split(spark, sf_dir):
+    """The leakage-safe split's defining invariant: every duplicate
+    cluster lands entirely in ONE split, while the plain doc-id split
+    (dataset_splits) demonstrably scatters at least one multi-member
+    cluster across splits on the same corpus — the leakage the
+    cluster-aware variant exists to prevent."""
+    import __spark_entry__ as entry
+
+    out = entry._q_leakage_safe_splits(spark, sf_dir)
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("n_splits"),
+                        F.count(F.lit(1)).alias("n"))
+                   .collect())
+    assert all(r.n_splits == 1 for r in per_cluster)
+    multi = {r.cluster_id for r in per_cluster if r.n > 1}
+    assert multi, "fixture must contain multi-member dup clusters"
+    # negative control: hash-by-doc_id scatters some multi-member
+    # cluster (if it never did, the cluster-aware variant would be
+    # pointless on this corpus)
+    from dotnetvectorsearch_spark.operators.sampling import hash_split
+    naive = hash_split(out.select("doc_id", "cluster_id"), "doc_id",
+                       entry.SPLIT_WEIGHTS)
+    scattered = (naive.filter(F.col("cluster_id").isin(list(multi)))
+                 .groupBy("cluster_id")
+                 .agg(F.countDistinct("split").alias("n_splits"))
+                 .filter(F.col("n_splits") > 1).count())
+    assert scattered > 0
