@@ -71,10 +71,14 @@ def idcg_case(n_rel_expr: str, k: int) -> str:
             f"ELSE CAST(0 AS DECIMAL(20,12)) END")
 
 
+MAX_QUERY_PANEL = 10_000
+
+
 def retrieval_metrics(corpus: DataFrame, queries: DataFrame,
                       k: int = 10, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      label_col: str = "label") -> DataFrame:
+                      label_col: str = "label",
+                      max_panel: int = MAX_QUERY_PANEL) -> DataFrame:
     """Per-query retrieval metrics over a label-relevance protocol.
 
     ``queries`` must carry (qid, qvec, qlabel) and be drawn FROM
@@ -82,12 +86,28 @@ def retrieval_metrics(corpus: DataFrame, queries: DataFrame,
     and from the relevant-count denominator). Returns one row per
     query: (qid, mrr, recall_at_k, ndcg_at_k), all rounded to 6
     digits, ordered-insensitively comparable to the SQL twin.
-    """
-    from .search import topk_per_query
 
-    topk = topk_per_query(corpus, queries.select("qid", "qvec"), k=k,
-                          doc_id=id_col, doc_vec=vec_col,
-                          round_digits=6, exclude_self=True)
+    The panel ships in the scoring UDF's closure so every Arrow batch
+    scores ALL queries in one BLAS matmul (topk_per_query_arrow) —
+    ~30x over the interpreted HOF cosine at Q=80. An eval panel is a
+    FIXED-size artifact by design; the bound is ENFORCED (same
+    doctrine as search.knn_graph): more than ``max_panel`` query rows
+    raise instead of silently collecting an unbounded frame —
+    subsample the panel (sampling.hash_sample) past the bound.
+    """
+    from .search import topk_per_query_arrow
+
+    q_rows = queries.select("qid", "qvec").limit(max_panel + 1).collect()
+    if len(q_rows) > max_panel:
+        raise ValueError(
+            f"retrieval_metrics query panel exceeds max_panel="
+            f"{max_panel}: an eval panel is a fixed-size artifact — "
+            f"subsample it (e.g. sampling.hash_sample) or raise "
+            f"max_panel explicitly")
+    topk = topk_per_query_arrow(
+        corpus, [(r.qid, list(r.qvec)) for r in q_rows], k=k,
+        doc_id=id_col, vec_col=vec_col, round_digits=6,
+        exclude_self=True)
     # pairs are Q x k rows — broadcast them onto the corpus labels so
     # the corpus side never shuffles
     doc_labels = corpus.select(F.col(id_col), F.col(label_col).alias("__dl"))

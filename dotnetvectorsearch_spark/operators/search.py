@@ -178,7 +178,8 @@ def topk_per_query(docs: DataFrame, queries: DataFrame, k: int = DEFAULT_TOP_K,
 def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
                          k: int = DEFAULT_TOP_K, doc_id: str = "vec_id",
                          vec_col: str = "embedding",
-                         round_digits: int | None = None) -> DataFrame:
+                         round_digits: int | None = None,
+                         exclude_self: bool = False) -> DataFrame:
     """Arrow/BLAS variant of :func:`topk_per_query`: one (B x D) @ (D x Q)
     matmul scores ALL queries against each Arrow batch, local top-k per
     query, then one small rank window. The production batch-query shape:
@@ -186,6 +187,8 @@ def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
     higher-order evaluations, and the shuffle carries ~batches*Q*k rows.
     `query_vecs` is [(qid, vector), ...] — small enough to ship in the
     UDF closure (it is the broadcast side by construction).
+    ``exclude_self=True`` masks the doc whose id equals the query id
+    before the local top-k (leave-one-out protocol).
     """
     import numpy as np
     import pandas as pd
@@ -211,10 +214,15 @@ def topk_per_query_arrow(docs: DataFrame, query_vecs: list[tuple[int, list]],
             ids = pdf[doc_id].to_numpy()
             out_q, out_id, out_s = [], [], []
             for j in range(len(qids)):
-                order = np.lexsort((ids, -sims[:, j]))[:k]
+                if exclude_self:
+                    keep = ids != qids[j]
+                    b_ids, b_sims = ids[keep], sims[keep, j]
+                else:
+                    b_ids, b_sims = ids, sims[:, j]
+                order = np.lexsort((b_ids, -b_sims))[:k]
                 out_q.extend([qids[j]] * len(order))
-                out_id.extend(ids[order])
-                out_s.extend(sims[order, j])
+                out_id.extend(b_ids[order])
+                out_s.extend(b_sims[order])
             yield pd.DataFrame({"qid": out_q, doc_id: out_id,
                                 "similarity": out_s})
 

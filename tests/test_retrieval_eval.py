@@ -132,3 +132,14 @@ def test_discount_literals_are_engine_agnostic():
     # cumulative table really is the running sum of the terms
     d = [Decimal(x) for x in dcg_discounts(10)]
     assert str(sum(d[:3])) in cum
+
+
+def test_query_panel_bound_is_enforced(tiny):
+    """The eval panel ships in the UDF closure, so its size is a hard
+    contract: past max_panel the operator must refuse, not silently
+    collect an unbounded frame."""
+    queries = tiny.select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qvec"),
+                          F.col("label").alias("qlabel"))
+    with pytest.raises(ValueError, match="max_panel"):
+        retrieval_metrics(tiny, queries, k=2, max_panel=3)
