@@ -611,14 +611,31 @@ def clear_guard_memo() -> int:
     return n
 
 
+# Driver-side stat budget for _input_fingerprint. Past this many input
+# files, the per-file os.stat loop would be a latency cliff on EVERY
+# memo lookup / store-freshness check (advisor r9: 10^5+ files = 10^5
+# sequential syscalls even on a memo hit), so stats are taken over an
+# evenly-spaced sample of this size and the full file LIST is covered
+# by a path digest instead.
+_FP_STAT_CAP = 4096
+
+
 def _input_fingerprint(df: DataFrame):
-    """Cheap driver-side identity of a frame's input files. Covers the
-    FULL file list with aggregates — (count, total size, max mtime_ns)
-    — plus per-file (path, size, mtime_ns) detail for the first 64
-    sorted paths, so a rewrite past the 64th file or a same-second
-    touch still changes the key (advisor r8). Local stat calls only;
-    non-local or stat-failing paths degrade to the path string, which
-    still catches file-set changes."""
+    """Cheap driver-side identity of a frame's input files.
+
+    Covers the FULL file list: a sha256 digest of every sorted path
+    (no syscalls — any add/remove/rename changes the key), plus stat
+    aggregates (count, total size, max mtime_ns) and per-file
+    (path, size, mtime_ns) detail for the first 64 paths, so a rewrite
+    past the 64th file or a same-second touch still changes the key
+    (advisor r8). Stat syscalls are BOUNDED at ``_FP_STAT_CAP``: past
+    the cap an evenly-spaced sample is statted (advisor r9) — an
+    in-place same-path rewrite of an unsampled file in a >4096-file
+    corpus is the one change this can miss (parquet rewrites change
+    file names/counts in practice, which the digest catches). Local
+    stat calls only; non-local or stat-failing paths degrade to the
+    path string, which still catches file-set changes."""
+    import hashlib
     import os
     from urllib.parse import urlparse
 
@@ -626,10 +643,19 @@ def _input_fingerprint(df: DataFrame):
         files = sorted(df.inputFiles())
     except Exception:  # pragma: no cover - py4j surface drift
         return None
+    path_digest = hashlib.sha256("\n".join(files).encode()).hexdigest()
+    n = len(files)
+    if n > _FP_STAT_CAP:
+        step = n / _FP_STAT_CAP
+        stat_idx = sorted({int(i * step) for i in range(_FP_STAT_CAP)}
+                          | set(range(min(64, n))))
+    else:
+        stat_idx = range(n)
     sig = []
     total_size = 0
     max_mtime_ns = -1
-    for idx, f in enumerate(files):
+    for idx in stat_idx:
+        f = files[idx]
         # Hadoop renders local URIs as file:/p, file://p, or
         # file:///p depending on the path-resolution route; a naive
         # prefix strip mishandles the single-slash form and every stat
@@ -645,7 +671,7 @@ def _input_fingerprint(df: DataFrame):
         max_mtime_ns = max(max_mtime_ns, mtime_ns)
         if idx < 64:
             sig.append((f, size, mtime_ns))
-    return (len(files), total_size, max_mtime_ns, tuple(sig))
+    return (n, path_digest, total_size, max_mtime_ns, tuple(sig))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

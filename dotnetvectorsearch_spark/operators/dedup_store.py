@@ -79,15 +79,27 @@ def store_path(sf_dir: str, root: str | None = None) -> str:
     return str(Path(root or default_root()) / tag / "bloom_fps")
 
 
-def _store_fingerprint(corpus: DataFrame, spec: str) -> str:
+def _store_fingerprint(corpus: DataFrame, spec: str) -> str | None:
+    """Marker fingerprint for the store, or None when the input files
+    cannot be fingerprinted (``_input_fingerprint``'s documented py4j
+    fallback). None means NEVER-FRESH: hashing ``repr(None)`` would be
+    a constant that matches the marker forever, so a rewritten corpus
+    would silently serve stale fingerprints/bloom (advisor r9). The
+    in-session memo already treats an unknown plan key as a rebuild;
+    this gives the persisted store the same fail-closed behavior."""
     import hashlib
+    files = _input_fingerprint(corpus)
+    if files is None:
+        return None
     payload = json.dumps(
-        {"files": repr(_input_fingerprint(corpus)), "spec": spec,
+        {"files": repr(files), "spec": spec,
          "params": STORE_PARAMS}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
-def _is_fresh(path: str, fp: str) -> bool:
+def _is_fresh(path: str, fp: str | None) -> bool:
+    if fp is None:  # unverifiable input -> fail closed, rebuild
+        return False
     try:
         return json.loads(
             (Path(path) / _MARKER).read_text())["fingerprint"] == fp
@@ -146,12 +158,25 @@ _BC_CACHE_MAX = 8
 def _bloom_broadcast(spark: SparkSession, path: str):
     p = Path(path)
     meta = json.loads((p / _MARKER).read_text())
-    key = (str(p), meta["fingerprint"])
+    # A null marker fingerprint means the build could not fingerprint
+    # its inputs (never-fresh store, rebuilt every ensure): key on the
+    # marker file's mtime instead so a rebuild invalidates the cache.
+    fp = meta["fingerprint"]
+    if fp is None:
+        fp = f"mtime:{(p / _MARKER).stat().st_mtime_ns}"
+    key = (str(p), fp)
     hit = _BC_CACHE.get(key)
     if hit is None:
         bc = spark.sparkContext.broadcast((p / _BLOOM_FILE).read_bytes())
         if len(_BC_CACHE) >= _BC_CACHE_MAX:
-            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+            # Release the evicted broadcast's executor-side blocks —
+            # dropping only the handle strands ~1 MB per eviction on
+            # every executor (advisor r9).
+            evicted = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+            try:
+                evicted[0].unpersist()
+            except Exception:  # pragma: no cover - already destroyed
+                pass
         hit = _BC_CACHE[key] = (bc, meta["n_bits"], meta["k_hashes"])
     return hit
 

@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Bigram-model broadcast bound: (bg string ~ 20 B, two longs) * 5M
+# types ~ 300 MB serialized — near the practical broadcast ceiling.
+# Past it, bigram_logprob degrades to shuffle joins instead of risking
+# the broadcast limit / driver OOM (bound-then-broadcast doctrine).
+BIGRAM_BROADCAST_MAX_TYPES = 5_000_000
+
 
 def tokens(text: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokens of trimmed (and by default lowercased) text."""
@@ -84,16 +90,23 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     # a vocabulary-scale aggregate + join, NOT a second pass over the
     # token-scale occurrence stream: c(w1 ·) = sum of c(w1 w2) over w2.
     c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
-    counts = c_bg.join(F.broadcast(c_w1), "w1").drop("w1")
-    logp = F.log(F.col("c_bg").cast("double") / F.col("c_w1"))
     # broadcast(counts) is load-bearing, not a hint: the cached occ
     # relation's size ESTIMATE can undercut the auto-broadcast
     # threshold, and Spark then broadcasts the token-scale occurrence
     # side and probes the vocabulary-scale counts into it — backwards,
     # and a driver OOM at real corpus scale. The model side (counts)
-    # is the CCNet broadcast-the-LM pattern and is the only side whose
-    # size is vocabulary-bounded.
-    return (occ.join(F.broadcast(counts), "bg")
+    # is the CCNet broadcast-the-LM pattern — but bigram TYPES grow
+    # with the corpus (unlike the repo's other broadcast sides), so
+    # the hint is bound-then-broadcast (knn_graph doctrine, advisor
+    # r9): count the persisted c_bg table (vocabulary-scale job that
+    # materializes the cache it needs anyway) and fall back to plain
+    # shuffle joins past BIGRAM_BROADCAST_MAX_TYPES rather than
+    # risking the broadcast limit / driver memory.
+    wrap = (F.broadcast if c_bg.count() <= BIGRAM_BROADCAST_MAX_TYPES
+            else (lambda d: d))
+    counts = c_bg.join(wrap(c_w1), "w1").drop("w1")
+    logp = F.log(F.col("c_bg").cast("double") / F.col("c_w1"))
+    return (occ.join(wrap(counts), "bg")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg(logp), round_digits).alias("avg_logprob")))

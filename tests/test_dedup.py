@@ -825,7 +825,8 @@ def test_input_fingerprint_tracks_size_and_mtime(spark, tmp_path):
     df = spark.read.parquet(p)
     fp1 = D._input_fingerprint(df)
     assert fp1 is not None
-    n_files, total_size, max_mtime_ns, sig = fp1
+    n_files, path_digest, total_size, max_mtime_ns, sig = fp1
+    assert len(path_digest) == 64           # sha256 over full path list
     assert n_files >= 1 and total_size > 0 and max_mtime_ns > 0
     # stats resolved: no (path, -1, -1) degradations
     assert all(sz >= 0 and mt >= 0 for _, sz, mt in sig), fp1
@@ -837,3 +838,80 @@ def test_input_fingerprint_tracks_size_and_mtime(spark, tmp_path):
         .coalesce(1).write.mode("overwrite").parquet(p)
     fp3 = D._input_fingerprint(spark.read.parquet(p))
     assert fp3 != fp1                       # in-place rewrite detected
+
+
+def test_input_fingerprint_stat_calls_bounded(spark, tmp_path,
+                                              monkeypatch):
+    """Past _FP_STAT_CAP input files, per-file os.stat syscalls must be
+    bounded (advisor r9: 10^5-file corpora paid 10^5 sequential stats
+    on EVERY memo lookup) while file-set changes are still caught by
+    the full-path-list digest."""
+    import os as _os
+    p = str(tmp_path / "many_files")
+    spark.range(240).withColumnRenamed("id", "doc_id") \
+        .repartition(12).write.parquet(p)
+    df = spark.read.parquet(p)
+    monkeypatch.setattr(D, "_FP_STAT_CAP", 8)
+    real_stat, calls = _os.stat, []
+    monkeypatch.setattr(_os, "stat",
+                        lambda *a, **k: (calls.append(a),
+                                         real_stat(*a, **k))[1])
+    fp1 = D._input_fingerprint(df)
+    # 12 files > cap of 8: sampled stats only (first-64 union means
+    # <= n here, but must be <= the full count with cap respected via
+    # the sample construction — the detail prefix keeps idx<64, which
+    # covers all 12 here, so instead pin the digest behavior below
+    # with a cap that actually bites the sampling set)
+    assert fp1 is not None and len(calls) <= 12
+    calls.clear()
+    monkeypatch.setattr(D, "_FP_STAT_CAP", 4)
+    # force the sample path with first-64 detail disabled from biting:
+    # the union set is {evenly spaced 4} | {0..63} -> all 12 again;
+    # the REAL bound kicks in when n >> 64. Simulate by monkeypatching
+    # inputFiles to a synthetic 10_000-path list (stat will fail ->
+    # degrade to (-1,-1), which is fine: we count CALLS).
+    fake = [f"/nonexistent/part-{i:05d}.parquet" for i in range(10_000)]
+    monkeypatch.setattr(
+        type(df), "inputFiles", lambda self: fake, raising=False)
+    calls.clear()
+    fp_big = D._input_fingerprint(df)
+    assert fp_big is not None
+    assert len(calls) <= 4 + 64             # sample + first-64 detail
+    # digest still covers the FULL list: dropping one path flips the key
+    monkeypatch.setattr(
+        type(df), "inputFiles", lambda self: fake[:-1], raising=False)
+    assert D._input_fingerprint(df) != fp_big
+
+
+def test_store_unfingerprintable_input_is_never_fresh(spark, sf_dir,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """If the input files cannot be fingerprinted, the persisted store
+    must fail CLOSED (rebuild every ensure) — hashing repr(None) is a
+    constant that would match the marker forever and serve a stale
+    bloom after a corpus rewrite (advisor r9)."""
+    from dotnetvectorsearch_spark.operators import dedup_store as ds
+    monkeypatch.setattr(ds, "_input_fingerprint", lambda df: None)
+    _, built1 = ds.ensure_bloom_store(spark, sf_dir, root=str(tmp_path))
+    _, built2 = ds.ensure_bloom_store(spark, sf_dir, root=str(tmp_path))
+    assert built1 and built2                # never fresh -> always rebuilt
+
+
+def test_bc_cache_eviction_unpersists_broadcast(spark, sf_dir,
+                                                tmp_path, monkeypatch):
+    """Evicting a bloom broadcast from the serve cache must release its
+    executor-side blocks, not just drop the driver handle (advisor r9:
+    each rebuild re-keys and would strand ~1 MB per executor)."""
+    from dotnetvectorsearch_spark.operators import dedup_store as ds
+
+    class FakeBC:
+        unpersisted = False
+        def unpersist(self):
+            FakeBC.unpersisted = True
+
+    path, _ = ds.ensure_bloom_store(spark, sf_dir, root=str(tmp_path))
+    monkeypatch.setattr(ds, "_BC_CACHE", {("old", "key"): (FakeBC(), 1, 1)})
+    monkeypatch.setattr(ds, "_BC_CACHE_MAX", 1)
+    ds._bloom_broadcast(spark, path)
+    assert FakeBC.unpersisted
+    assert ("old", "key") not in ds._BC_CACHE
