@@ -698,7 +698,9 @@ def _q_semdedup_lsh(spark, sf_dir):
 
 
 def _semdedup_lsh_impl(spark, sf_dir, threshold, probe_hamming=2,
-                       target_recall=0.75):
+                       target_recall=0.75,
+                       max_probes="default", per_doc_cap="default",
+                       pairs_only=False):
     """Scale-correct twin of semdedup_keep: semantic near-dup clusters
     from MULTI-PROBE hyperplane-LSH cosine pairs (md5-deterministic
     planes; side A probes every bucket within hamming 2 — 37 of 256 —
@@ -752,13 +754,19 @@ def _semdedup_lsh_impl(spark, sf_dir, threshold, probe_hamming=2,
             col, _lsh_md5_bucket_col(F.col("embedding"), bits=bits,
                                      table=t))
         tables.append(col)
+    if max_probes == "default":
+        max_probes = SEMDEDUP_MAX_PROBES
+    if per_doc_cap == "default":
+        per_doc_cap = SEMDEDUP_PER_DOC_CAP
     pairs = lsh_bucket_neardup_pairs(bucketed, "vec_id", "embedding",
                                      bucket_col="bucket",
                                      threshold=threshold,
                                      probe_hamming=probe_hamming,
                                      bits=bits, bucket_cols=tables,
-                                     max_probes=SEMDEDUP_MAX_PROBES,
-                                     per_doc_cap=SEMDEDUP_PER_DOC_CAP)
+                                     max_probes=max_probes,
+                                     per_doc_cap=per_doc_cap)
+    if pairs_only:
+        return pairs
     comp = connected_components(pairs.select("id_a", "id_b"))
     clusters = (emb.select("vec_id")
                 .join(comp.withColumnRenamed("node", "vec_id"),

@@ -1016,6 +1016,12 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") >= threshold))
 
 
+# Strategy pivot for lsh_bucket_neardup_pairs: past this many bucket
+# memberships (probe + exact rows across tables) the bucket-grouped
+# kernel beats the probe equi-join (see the function docstring).
+LSH_GROUPED_MIN_MEMBERSHIPS = 2_000_000
+
+
 def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              bucket_col: str = "bucket",
@@ -1076,22 +1082,33 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     embeddings. Mirrors exactly in SQL as a row_number() window, so
     oracle parity is structural, not probabilistic.
 
-    Execution shape (judge r9 rewrite): candidates are scored INSIDE
-    bucket groups (``applyInPandas`` over the probe-bucket key), not
-    on joined pair rows. The old probe equi-join materialized two
-    512-byte vector arrays PER CANDIDATE PAIR through the join (sf10:
-    5.8e8 candidates ~ hundreds of GB through the exchange — the
-    measured 218s pair stage); grouping ships each vector once per
-    bucket MEMBERSHIP (probes x N rows), then one numpy matmul per
-    bucket scores every (probe, exact) pair with zero per-pair
-    materialization. Pair enumeration is identical: within a bucket,
+    Execution shape (judge r9 rewrite) — HYBRID on total bucket
+    memberships, counted driver-side from the persisted base:
+
+      * small (<= 2e6 memberships, every driver tier): the probe
+        equi-join against the broadcastable exact side + the row-wise
+        Arrow cosine — no vector shuffle at all; measured fastest at
+        this scale (sf0.1: 1.7s vs 2.9s grouped).
+      * large: candidates are scored INSIDE bucket groups
+        (``applyInPandas`` over ``bucket % 1024`` — coarse, so group
+        count and per-group overhead are FIXED as bits grow; the
+        kernel iterates complete buckets within each group). The join
+        would materialize two 512-byte vector arrays PER CANDIDATE
+        PAIR through the exchange (sf10: 5.8e8 candidates ~ hundreds
+        of GB — the measured 218s pair stage); grouping ships each
+        vector once per MEMBERSHIP and one numpy matmul per bucket
+        scores every (probe, exact) pair (sf10 semdedup pair stage
+        283.6s -> 62.2s end-to-end, 10.2x/decade = linear-or-better
+        under SCALING_SF10's <= ~11x rule).
+
+    Pair enumeration is identical on both paths: within a bucket,
     (probe row p, exact row e) pairs with p.id < e.id — the XOR
     uniqueness argument is unchanged because a pair at bucket distance
-    d meets in exactly one probe bucket per table. The kernel emits
-    UNROUNDED cosines over a threshold-minus-margin prefilter;
+    d meets in exactly one probe bucket per table. The grouped kernel
+    emits UNROUNDED cosines over a threshold-minus-margin prefilter;
     F.round + the exact threshold stay JVM-side so rounding semantics
-    match the SQL oracles exactly (same FP-order caveat as the old
-    Arrow path: numpy matmul accumulation order vs DuckDB's
+    match the SQL oracles exactly (same FP-order caveat as the Arrow
+    join path: numpy accumulation order vs DuckDB's
     list_cosine_similarity makes boundary-pair agreement
     probabilistic, not structural; no boundary pair observed on any
     driver tier).
@@ -1111,54 +1128,114 @@ def lsh_bucket_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     base = emb.select(F.col(id_col), F.col(vec_col),
                       *[F.col(c) for c in tables])
     base = transient_persist(base)  # probe side + exact side
-    # Materialize the persist BEFORE planning the self-union: an
+    # Materialize the persist BEFORE planning the self-union/join: an
     # InMemoryRelation that is registered but unfilled gives Catalyst
     # only estimated child-plan stats and plans become order-dependent
     # across reps (r5 bench: a 9.5s warm vs 3.6s cold plan flip).
-    base.count()
+    n_rows = base.count()
+    # Strategy pivot on total bucket MEMBERSHIPS (probes+exact rows).
+    # Small volumes: the probe equi-join against the (broadcastable)
+    # exact side — no vector shuffle at all, cheapest at driver tiers.
+    # Large volumes: bucket-grouped kernel — the join would
+    # materialize two vector arrays PER CANDIDATE PAIR through the
+    # exchange (sf10: 5.8e8 candidates, the measured 218s pair stage);
+    # grouping ships each vector once per MEMBERSHIP and one numpy
+    # matmul per bucket scores all its pairs. Both paths enumerate the
+    # identical pair set (XOR-uniqueness within a table) — only the FP
+    # accumulation order differs (einsum-per-pair vs matmul-per-
+    # bucket), inside the accepted boundary-pair caveat.
+    memberships = n_rows * (len(masks) + 1) * len(tables)
+    grouped = memberships > LSH_GROUPED_MIN_MEMBERSHIPS
     thr_margin = threshold - 1e-6  # round(x,6)>=t  =>  x > t - 1e-6
+    # Buckets are grouped COARSELY (bucket mod n_groups) so the group
+    # count — and with it the per-group pandas/scheduling overhead —
+    # is FIXED no matter how adaptive bits grow; the kernel iterates
+    # the complete buckets inside each group (grouping by the raw
+    # bucket value put 2^bits * tables tiny groups through
+    # applyInPandas: ~2.5 ms/group of overhead dominated the scan at
+    # bits>=12 — measured 21s at sf1 where the probe join took 3.4s).
+    # Same-bucket rows always share a coarse group, so pair
+    # enumeration is unchanged.
+    n_groups = 1024
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_buckets(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                               "id_b": pd.Series([], dtype="int64"),
                               "cosine": pd.Series([], dtype="float64")})
-        p = pdf[pdf["__role"] == 0]
-        e = pdf[pdf["__role"] == 1]
-        if not len(p) or not len(e):
+        if not len(pdf):
             return empty
-        P = np.stack(p["__v"].to_numpy()).astype(np.float64)
-        E = np.stack(e["__v"].to_numpy()).astype(np.float64)
-        pn = np.linalg.norm(P, axis=1)
-        en = np.linalg.norm(E, axis=1)
-        den = pn[:, None] * en[None, :]
-        sims = P @ E.T
-        np.divide(sims, den, out=sims, where=den != 0.0)
-        sims[den == 0.0] = 0.0  # reference zero-magnitude guard
-        pid = p["__id"].to_numpy()
-        eid = e["__id"].to_numpy()
-        mask = (pid[:, None] < eid[None, :]) & (sims > thr_margin)
-        ii, jj = np.nonzero(mask)
-        if not len(ii):
+        g = pdf["__g"].to_numpy()
+        role = pdf["__role"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        order = np.lexsort((role, g))   # bucket-major, probes first
+        g, role, ids = g[order], role[order], ids[order]
+        V, norms = V[order], norms[order]
+        bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1], True])
+        out_a, out_b, out_s = [], [], []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            r = role[s:t]
+            ne = int(r.sum())
+            if ne == 0 or ne == t - s:
+                continue                # no exact rows or no probes
+            sp = slice(s, t - ne)       # probes (role 0, sorted first)
+            se = slice(t - ne, t)       # exact rows
+            den = norms[sp, None] * norms[se][None, :]
+            sims = V[sp] @ V[se].T
+            np.divide(sims, den, out=sims, where=den != 0.0)
+            sims[den == 0.0] = 0.0      # reference zero-magnitude guard
+            mask = ((ids[sp, None] < ids[se][None, :])
+                    & (sims > thr_margin))
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_a.append(ids[sp][ii])
+                out_b.append(ids[se][jj])
+                out_s.append(sims[ii, jj])
+        if not out_a:
             return empty
-        return pd.DataFrame({"id_a": pid[ii], "id_b": eid[jj],
-                             "cosine": sims[ii, jj]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_s)})
+
+    from dotnetvectorsearch_spark.functions.vector import (
+        pairwise_cosine_arrow)
 
     per_table = []
     for col in tables:
-        probes = base.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-            F.lit(0).alias("__role"),
-            F.explode(F.array(*[
-                F.col(col).bitwiseXOR(F.lit(m)) for m in masks]))
-            .alias("__g"))
-        exact = base.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-            F.lit(1).alias("__role"), F.col(col).alias("__g"))
-        scored = (probes.unionByName(exact)
-                  .groupBy("__g")
-                  .applyInPandas(_score_bucket,
-                                 "id_a long, id_b long, cosine double"))
+        if grouped:
+            probes = base.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                F.lit(0).alias("__role"),
+                F.explode(F.array(*[
+                    F.col(col).bitwiseXOR(F.lit(m)) for m in masks]))
+                .alias("__g"))
+            exact = base.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                F.lit(1).alias("__role"), F.col(col).alias("__g"))
+            scored = (probes.unionByName(exact)
+                      .groupBy((F.col("__g") % n_groups).alias("__gg"))
+                      .applyInPandas(
+                          _score_buckets,
+                          "id_a long, id_b long, cosine double"))
+        else:
+            probes = base.select(
+                F.col(id_col), F.col(vec_col),
+                F.explode(F.array(*[
+                    F.col(col).bitwiseXOR(F.lit(m)) for m in masks]))
+                .alias("__probe"))
+            a, b = probes.alias("a"), base.alias("b")
+            sim = pairwise_cosine_arrow()(F.col(f"a.{vec_col}"),
+                                          F.col(f"b.{vec_col}"))
+            scored = (
+                a.join(b, (F.col("a.__probe") == F.col(f"b.{col}"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        sim.alias("cosine")))
         per_table.append(
             scored.withColumn("cosine", F.round("cosine", 6))
             .filter(F.col("cosine") >= threshold))

@@ -915,3 +915,42 @@ def test_bc_cache_eviction_unpersists_broadcast(spark, sf_dir,
     ds._bloom_broadcast(spark, path)
     assert FakeBC.unpersisted
     assert ("old", "key") not in ds._BC_CACHE
+
+
+def test_lsh_neardup_strategies_agree(spark, sf_dir, monkeypatch):
+    """The hybrid's two execution paths (probe equi-join vs bucket-
+    grouped kernel) must emit the SAME (pair, rounded-cosine) set —
+    the strategy pivot is a cost decision, never a semantics one. Also
+    pins max_probes (truncated probe set is a subset) and per_doc_cap
+    (top-m per id_a, deterministic tie-break)."""
+    from dotnetvectorsearch_spark.operators import dedup as dd
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding")
+           .withColumn("bucket", F.abs(F.xxhash64("vec_id")) % 256))
+    kw = dict(threshold=0.2, probe_hamming=1, bits=8)
+    joined = {tuple(r) for r in dd.lsh_bucket_neardup_pairs(
+        emb, "vec_id", "embedding", **kw).collect()}
+    monkeypatch.setattr(dd, "LSH_GROUPED_MIN_MEMBERSHIPS", 0)
+    grouped = {tuple(r) for r in dd.lsh_bucket_neardup_pairs(
+        emb, "vec_id", "embedding", **kw).collect()}
+    assert grouped == joined and grouped
+    # probe budget: truncating to 1 mask (exact bucket only) is a
+    # subset of the full probe set
+    exact_only = {tuple(r)[:2] for r in dd.lsh_bucket_neardup_pairs(
+        emb, "vec_id", "embedding", max_probes=1, **kw).collect()}
+    assert exact_only <= {t[:2] for t in joined}
+    # per-doc cap: <= m partners per id_a, and the kept ones are the
+    # top-m by (cosine desc, id_b asc)
+    capped = dd.lsh_bucket_neardup_pairs(
+        emb, "vec_id", "embedding", per_doc_cap=2, **kw).collect()
+    by_a = {}
+    for r in capped:
+        by_a.setdefault(r.id_a, []).append((r.id_b, r.cosine))
+    assert all(len(v) <= 2 for v in by_a.values())
+    full_by_a = {}
+    for (ia, ib, c) in joined:
+        full_by_a.setdefault(ia, []).append((ib, c))
+    for ia, kept in by_a.items():
+        want = sorted(full_by_a[ia],
+                      key=lambda t: (-t[1], t[0]))[:2]
+        assert sorted(kept, key=lambda t: (-t[1], t[0])) == want, ia

@@ -214,6 +214,49 @@ def pagerank_fidelity(spark, sf_dir: str) -> dict:
     return out
 
 
+
+def semdedup_cap_fidelity(spark, sf_dir: str) -> dict:
+    """What the O(N*m) per-doc pair cap + 64-probe budget (judge r9)
+    give up vs the UNCAPPED operator at the same LSH configuration:
+    kept-pair recall (|capped ∩ uncapped| / |uncapped|) and — the
+    contract that matters — downstream kept-flag agreement of the
+    semdedup decision. On near-clique clusters the cap drops pairs
+    wholesale (each doc keeps its 32 strongest partners) while the
+    clusters stay connected, so decision agreement should hold ~1.0
+    where pair recall does not."""
+    out = {}
+    for label, thr, h, tr in [("t0.35", 0.35, 2, 0.75),
+                              ("t0.8", 0.8, 1, 0.45)]:
+        capped_p = entrymod._semdedup_lsh_impl(
+            spark, sf_dir, thr, probe_hamming=h, target_recall=tr,
+            pairs_only=True).select("id_a", "id_b").persist()
+        uncapped_p = entrymod._semdedup_lsh_impl(
+            spark, sf_dir, thr, probe_hamming=h, target_recall=tr,
+            max_probes=None, per_doc_cap=None,
+            pairs_only=True).select("id_a", "id_b").persist()
+        n_cap, n_unc = capped_p.count(), uncapped_p.count()
+        n_common = capped_p.join(uncapped_p, ["id_a", "id_b"],
+                                 "left_semi").count()
+        capped = entrymod._semdedup_lsh_impl(
+            spark, sf_dir, thr, probe_hamming=h, target_recall=tr) \
+            .select("vec_id", F.col("kept").alias("k_cap"))
+        uncapped = entrymod._semdedup_lsh_impl(
+            spark, sf_dir, thr, probe_hamming=h, target_recall=tr,
+            max_probes=None, per_doc_cap=None) \
+            .select("vec_id", F.col("kept").alias("k_unc"))
+        j = capped.join(uncapped, "vec_id").persist()
+        n = j.count()
+        same = j.filter(F.col("k_cap") == F.col("k_unc")).count()
+        out[label] = {
+            "n_pairs_capped": n_cap, "n_pairs_uncapped": n_unc,
+            "pair_recall": round(n_common / n_unc, 4) if n_unc else None,
+            "kept_agreement": round(same / n, 4) if n else None}
+        for df in (capped_p, uncapped_p, j):
+            df.unpersist()
+        release_transient()
+    return out
+
+
 def run(sf_dirs: list[str]) -> dict:
     spark = get_spark("twin-fidelity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -225,11 +268,17 @@ def run(sf_dirs: list[str]) -> dict:
         steps = [("pairs", pair_fidelity),
                  ("clusters", cluster_fidelity),
                  ("semdedup", semdedup_fidelity),
+                 ("semdedup_cap", semdedup_cap_fidelity),
                  ("pagerank", pagerank_fidelity)]
         if not (Path(sf_dir) / "embeddings.parquet").exists():
             # documents-only planted tier (gen_scale_tier --mutated):
-            # the embedding-based semdedup twin has nothing to measure
-            steps = [s for s in steps if s[0] != "semdedup"]
+            # the embedding-based semdedup twins have nothing to measure
+            steps = [s for s in steps
+                     if not s[0].startswith("semdedup")]
+        if not (Path(sf_dir) / "documents.parquet").exists():
+            # embeddings-only tier (gen_scale_tier --clustered): only
+            # the embedding-based semdedup families apply
+            steps = [s for s in steps if s[0].startswith("semdedup")]
         for name, fn in steps:
             r[name] = fn(spark, sf_dir)
             release_transient()
@@ -259,19 +308,20 @@ def write_md(results: dict) -> None:
         "",
     ]
     tiers = list(results)
+    pair_tiers = [t for t in tiers if "pairs" in results[t]]
     hdr = "| jaccard bucket |" + "".join(
-        f" {t} twin | {t} prod |" for t in tiers)
-    lines += [hdr, "|" + "---|" * (1 + 2 * len(tiers))]
-    buckets = list(results[tiers[0]]["pairs"]["by_jaccard_bucket"])
+        f" {t} twin | {t} prod |" for t in pair_tiers)
+    lines += [hdr, "|" + "---|" * (1 + 2 * len(pair_tiers))]
+    buckets = list(results[pair_tiers[0]]["pairs"]["by_jaccard_bucket"])
     for b in buckets:
         row = f"| {b} |"
-        for t in tiers:
+        for t in pair_tiers:
             d = results[t]["pairs"]["by_jaccard_bucket"][b]
             row += (f" {d['twin_recall']} (n={d['n_exact']}) "
                     f"| {d['prod_recall']} |")
         lines.append(row)
     lines.append("")
-    for t in tiers:
+    for t in pair_tiers:
         p = results[t]["pairs"]
         lines.append(
             f"- **{t}**: exact pairs >= 0.1: {p['n_exact_pairs_ge_0.1']}; "
@@ -313,6 +363,45 @@ def write_md(results: dict) -> None:
     for label, get in rows:
         lines.append(f"| {label} |" + "".join(
             f" {_cell(get, results[t])} |" for t in tiers))
+    cap_tiers = [t for t in tiers if "semdedup_cap" in results[t]]
+    if cap_tiers:
+        lines += [
+            "",
+            "## Per-doc pair cap + probe budget (judge r9: the O(N*m) "
+            "output bound)",
+            "",
+            "`semdedup_lsh` runs per_doc_cap=32 / max_probes=64 "
+            "(mirrored in its oracle). This table is what the cap "
+            "gives up vs the UNCAPPED operator at the same LSH "
+            "configuration: pair recall drops where per-doc "
+            "neighborhoods exceed 32 (near-clique clusters), but the "
+            "kept/dropped DECISION — the operator's contract — should "
+            "hold, because each doc's 32 strongest partners keep its "
+            "cluster connected. t0.35 = the reference NEARDUP "
+            "threshold (h=2); t0.8 = the SemDeDup operating point "
+            "(h=1).",
+            "",
+            "| metric |" + "".join(f" {t} |" for t in cap_tiers),
+            "|---|" + "---|" * len(cap_tiers),
+        ]
+        for label, key, sub in [
+                ("t0.35: pair recall (capped/uncapped)", "t0.35",
+                 "pair_recall"),
+                ("t0.35: kept-flag agreement", "t0.35",
+                 "kept_agreement"),
+                ("t0.35: pairs capped/uncapped", "t0.35", None),
+                ("t0.8: pair recall (capped/uncapped)", "t0.8",
+                 "pair_recall"),
+                ("t0.8: kept-flag agreement", "t0.8", "kept_agreement"),
+                ("t0.8: pairs capped/uncapped", "t0.8", None),
+        ]:
+            cells = []
+            for t in cap_tiers:
+                d = results[t]["semdedup_cap"][key]
+                cells.append(f"{d['n_pairs_capped']}/"
+                             f"{d['n_pairs_uncapped']}"
+                             if sub is None else str(d[sub]))
+            lines.append(f"| {label} | " + " | ".join(cells) + " |")
     (ROOT / "TWIN_FIDELITY.md").write_text("\n".join(lines) + "\n")
 
 
@@ -327,6 +416,11 @@ def main() -> None:
         mutated = ROOT / ".scaletier" / "mutated"
         if (mutated / "documents.parquet").exists():
             sf_dirs = sf_dirs + [str(mutated)]
+        clustered = ROOT / ".scaletier" / "clustered"
+        if (clustered / "embeddings.parquet").exists():
+            # embeddings-only planted-cluster tier: the regime where
+            # the per-doc pair cap actually binds
+            sf_dirs = sf_dirs + [str(clustered)]
     results = run(sf_dirs)
     (ROOT / "TWIN_FIDELITY.json").write_text(json.dumps(results, indent=1))
     if md:
