@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     # dup-cluster-aware splits
     "retrieval_quality",
     "leakage_safe_splits",
+    # round 10: the persisted IVF index's serve ranking pushed through
+    # the same metric layer (one batched pass over the panel's probe
+    # cells)
+    "ann_quality_ivf",
 ]
 
 

@@ -202,7 +202,41 @@ def main() -> int:
             str(work / "nd_ck")),
     }
 
-    expected = {"stream_dedup": DOC, "stream_neardup_dedup": DOC}
+    expected = {"stream_dedup": DOC, "stream_neardup_dedup": DOC,
+                "stream_neardup_dedup_warmstore": DOC}
+    # warm-store repass: stream the SAME documents against the store
+    # the first neardup pass just built (fresh checkpoint/out). Every
+    # doc now bloom-hits and gates against 5k stored signatures — the
+    # worst case for the serve gate — so this row is the evidence that
+    # trigger cost is batch-sized, not corpus-sized (the r9 design
+    # re-read + re-banded the whole store per trigger, growing with it)
+    paths["stream_neardup_dedup_warmstore"] = lambda: \
+        stream_neardup_dedup(
+            doc_stream(), str(work / "nd_out2"), str(work / "nd_store"),
+            str(work / "nd_ck2"))
+    # sf1-documents row (50k docs, 6250/trigger): the 5k table makes
+    # wall rows/s trigger-floor-bound (625 rows x a ~1.2s floor); this
+    # row shows the SAME path at a realistic micro-batch size, where
+    # the floor amortizes — per-trigger cost is sublinear in batch size
+    sf1_docs = ROOT / ".scaletier" / "sf1" / "documents.parquet"
+    if sf1_docs.exists():
+        d50 = (spark.read.parquet(str(sf1_docs))
+               .select("doc_id", "text",
+                       F.timestamp_seconds(1704067200 + F.col("doc_id"))
+                       .alias("created_at")))
+        doc50_dir = work / "docs50"
+        for i in range(chunks):
+            (d50.filter(F.col("doc_id") % chunks == i).coalesce(1)
+             .write.mode("overwrite")
+             .parquet(str(doc50_dir / f"chunk-{i:02d}")))
+        expected["stream_neardup_dedup_sf1"] = 50_000
+        paths["stream_neardup_dedup_sf1"] = lambda: \
+            stream_neardup_dedup(
+                (spark.readStream.schema(DOC_SCHEMA)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(f"{doc50_dir}/*")),
+                str(work / "nd50_out"), str(work / "nd50_store"),
+                str(work / "nd50_ck"))
     results = {name: _run(spark, name, mk, work,
                           expected.get(name, EV))
                for name, mk in paths.items()}
@@ -258,7 +292,22 @@ def _write_md(results: dict, chunks: int) -> None:
         "slightly exceed the corpus when the final trigger coalesces "
         "files past the stop condition. `stream_dedup` / "
         "`stream_neardup_dedup` stream the 5k-doc table, so their "
-        "rows/s is trigger-floor-bound, not data-bound.",
+        "rows/s is trigger-floor-bound, not data-bound. "
+        "`stream_neardup_dedup` triggers are ONE Spark action (fused "
+        "payload+md5+minhash agg landed via toArrow) + a driver-side "
+        "bloom gate over O(1 MB) state + a bounded bloom-hit sliver "
+        "read of the pre-banded store + direct pyarrow appends "
+        "(round 10: was 9 actions re-reading and re-banding the WHOLE "
+        "store per trigger — 4.3 s triggers); "
+        "`..._warmstore` re-streams the same docs against the "
+        "populated store (every doc bloom-hits and verifies against "
+        "5k stored signatures — the gate's worst case), pinning that "
+        "trigger cost tracks the batch + dup sliver, not the corpus. "
+        "`..._sf1` streams the 50k-doc sf1 table (6250 docs/trigger): "
+        "the ~1.2s trigger floor amortizes and the path clears 2.5k "
+        "rows/s wall — per-trigger cost is sublinear in batch size "
+        "(10x rows -> <2x trigger), so throughput is batch-sizing, "
+        "not engine, bound at the 5k-table row.",
         "",
     ]
     (ROOT / "STREAMING_BENCH.md").write_text("\n".join(lines))
