@@ -563,7 +563,14 @@ class _NdBloom:
     without rescanning history — the heavy-hitters O(k)-summary
     pattern applied to dedup gating. Hashing is driver-side md5 double
     hashing (Kirsch-Mitzenmacher), self-contained: build and probe are
-    both here, so no JVM hash compatibility is needed."""
+    both here, so no JVM hash compatibility is needed.
+
+    SINGLE-WRITER state, like every persisted store in this repo: the
+    owning stream holds the bitset in memory and persists
+    read-modify-write — two concurrent queries on one store_path would
+    clobber each other's bits (a missed key admits near-dups past the
+    gate). Run one neardup stream per store; shard store_path to scale
+    writers."""
 
     def __init__(self, bloom_dir: str):
         import json
