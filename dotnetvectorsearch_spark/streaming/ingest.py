@@ -174,19 +174,32 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on,
 def stream_index_append(vectors: DataFrame, index, path: str,
                         checkpoint: str, vec_col: str = "embedding"):
     """Incremental ANN-index maintenance: assign each arriving vector to
-    its IVF cell and append it into the ``partitionBy(cell)`` parquet
-    index — new vectors are immediately searchable with the same
-    partition-pruned probe path as the batch-built index.
+    its IVF cell (one narrow Arrow matmul against the fixed centroids —
+    no shuffle, no refit) and append it into the ``partitionBy(cell)``
+    parquet index — new vectors are immediately searchable with the
+    same partition-pruned probe path as the batch-built index, with NO
+    rebuild and NO rescan: the build-once/serve-many contract extended
+    to ingest-many.
 
     The centroids stay fixed between retrains (the standard IVF
     maintenance contract: assignment drifts slowly; retrain + full
     rewrite is a periodic batch job, e.g. when cell-size skew passes a
-    threshold). Appends create small files per trigger —
-    ``sources.layout.compact`` per cell-partition is the companion
-    maintenance pass at scale.
+    threshold, or `IVFIndex.refine`). Appends create small files per
+    trigger — ``sources.layout.compact`` per cell-partition is the
+    companion maintenance pass at scale. Appends are at-least-once on
+    replay (the usual foreachBatch caveat).
 
-    ``index`` is a fitted ``operators.ann.IVFIndex``. Returns the started
+    ``index`` is a fitted ``operators.ann.IVFIndex``, or None to
+    resume from the PERSISTED index at ``path`` (the ann_store
+    integration: an ingest job needs only the index directory, not the
+    Python object that built it — round 10). Cell assignments are
+    identical to a batch ``transform`` over the same rows (same
+    centroids, same argmax; pinned in tests). Returns the started
     StreamingQuery."""
+    if index is None:
+        from dotnetvectorsearch_spark.operators.ann import IVFIndex
+        index, _ = IVFIndex.read(vectors.sparkSession, path)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (index.transform(batch_df, vec_col=vec_col)
          .write.mode("append").partitionBy("cell").parquet(path))

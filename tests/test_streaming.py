@@ -727,3 +727,49 @@ def test_stream_funnel_emits_step_completions_across_batches(
                  for r in spark.read.parquet(out_dir).collect())
     assert got == [(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
                    (2, 1, "view")]
+
+
+def test_stream_index_append_resumes_from_persisted_index(
+        spark, sf_dir, tmp_path):
+    """index=None must resume from the PERSISTED index (the ann_store
+    integration: an ingest job holds only the index directory), assign
+    cells identically to the batch transform over the same rows, and
+    make the serve path see the new vectors with no rebuild — the
+    build-once/serve-many contract extended to ingest-many."""
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_index_append)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    seed = emb.filter("vec_id % 2 = 0")
+    ivf = IVFIndex(n_cells=8, nprobe=8).fit(seed)
+    index_path = str(tmp_path / "ivf_idx")
+    ivf.write(seed, index_path)
+    # stream the other half in 2 micro-batches
+    src = tmp_path / "ann_in"
+    src.mkdir()
+    emb.filter("vec_id % 4 = 1").write.parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(str(src / "*")))
+    q = stream_index_append(stream, None, index_path,
+                            str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        emb.filter("vec_id % 4 = 3").write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx2, rows = IVFIndex.read(spark, index_path)
+    assert rows.count() == emb.count()        # all vectors present
+    # cell assignments equal the batch transform (same centroids)
+    got = {(r.vec_id, r.cell) for r in rows.select("vec_id", "cell")
+           .collect()}
+    want = {(r.vec_id, r.cell) for r in
+            ivf.transform(emb).select("vec_id", "cell").collect()}
+    assert got == want
+    # serve sees a streamed vector: full-probe search for vec 1's own
+    # vector must return vec 1 at rank 1
+    qv = list(emb.filter("vec_id = 1").collect()[0].embedding)
+    top = idx2.search(rows, qv, k=1).collect()
+    assert top[0].vec_id == 1

@@ -237,6 +237,29 @@ def main() -> int:
                  .parquet(f"{doc50_dir}/*")),
                 str(work / "nd50_out"), str(work / "nd50_store"),
                 str(work / "nd50_ck"))
+    # streaming ANN ingest: maintain the persisted IVF index from an
+    # embedding stream (assign cells narrow + append to the
+    # partitioned parquet; no refit, no rescan)
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_index_append)
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding")
+    seed = emb.filter("vec_id % 2 = 0")
+    ivf = IVFIndex(n_cells=16, nprobe=4).fit(seed)
+    ivf.write(seed, str(work / "ivf_idx"))
+    emb_dir = work / "emb_chunks"
+    rest = emb.filter("vec_id % 2 = 1")
+    for i in range(chunks):
+        (rest.filter(F.col("vec_id") % (2 * chunks) == 2 * i + 1)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(emb_dir / f"chunk-{i:02d}")))
+    n_rest = rest.count()
+    expected["stream_index_append"] = n_rest
+    paths["stream_index_append"] = lambda: stream_index_append(
+        (spark.readStream.schema("vec_id long, embedding array<float>")
+         .option("maxFilesPerTrigger", 1).parquet(f"{emb_dir}/*")),
+        None, str(work / "ivf_idx"), str(work / "ann_ck"))
     results = {name: _run(spark, name, mk, work,
                           expected.get(name, EV))
                for name, mk in paths.items()}
@@ -307,7 +330,10 @@ def _write_md(results: dict, chunks: int) -> None:
         "the ~1.2s trigger floor amortizes and the path clears 2.5k "
         "rows/s wall — per-trigger cost is sublinear in batch size "
         "(10x rows -> <2x trigger), so throughput is batch-sizing, "
-        "not engine, bound at the 5k-table row.",
+        "not engine, bound at the 5k-table row. `stream_index_append` "
+        "maintains the persisted IVF index from an embedding stream "
+        "(narrow Arrow cell assignment + partitioned append; the "
+        "serve path sees new vectors with no rebuild, no rescan).",
         "",
     ]
     (ROOT / "STREAMING_BENCH.md").write_text("\n".join(lines))
