@@ -571,6 +571,81 @@ def test_decontaminate_drops_flagged_train_docs(spark, dup_docs):
     assert D.decontaminate(dup_docs, clean_probe).count() == 5
 
 
+def test_decontaminate_broadcast_kernel_equals_join_path(spark):
+    """The map-side broadcast-postings kernel and the distributed gram
+    join must produce the IDENTICAL survivor set — including on HALF_UP
+    rounding boundaries of the join path's round(overlap, 6) filter."""
+    import itertools
+    words = ["w%d" % i for i in range(12)]
+    docs = [Row(doc_id=i,
+                text=" ".join(words[j % 12] for j in range(i, i + 9)))
+            for i in range(40)]
+    train = spark.createDataFrame(docs)
+    test = spark.createDataFrame(
+        [Row(doc_id=100 + i,
+             text=" ".join(words[j % 12] for j in range(i, i + 6)))
+         for i in range(0, 12, 2)])
+    for ov in (0.2, 0.5, 0.714286, 1.0):
+        a = sorted(r.doc_id for r in D.decontaminate(
+            train, test, min_overlap=ov).collect())
+        b = sorted(r.doc_id for r in D.decontaminate(
+            train, test, min_overlap=ov,
+            broadcast_max_postings=None).collect())
+        assert a == b, (ov, a, b)
+
+
+def test_decontaminate_min_hits_threshold_is_exact_round_half_up():
+    """_min_hits_to_flag replicates Spark's round(k/n, 6) HALF_UP
+    double semantics on boundaries where raw k/n < min_overlap but the
+    6-place rounding crosses it (5/7 = 0.7142857.. -> 0.714286)."""
+    assert D._min_hits_to_flag(7, 0.714286) == 5      # rounds UP into it
+    assert D._min_hits_to_flag(7, 0.7142861) == 6     # just past rounding
+    assert D._min_hits_to_flag(5, 0.2) == 1
+    assert D._min_hits_to_flag(3, 1.0) == 3
+    assert D._min_hits_to_flag(3, 1.5) >= 1 << 30     # never flags
+
+
+def test_decontaminate_postings_budget_falls_back_to_join(spark,
+                                                          dup_docs):
+    """A test side past the postings budget must route to the guarded
+    distributed join (observable via the inherited candidate guard)."""
+    train = dup_docs.filter("doc_id % 2 = 0")
+    test = dup_docs.filter("doc_id % 2 = 1")
+    with pytest.raises(ValueError, match="minhash banding"):
+        D.decontaminate(train, test, min_overlap=0.2,
+                        max_candidate_pairs=3,
+                        broadcast_max_postings=1).count()
+
+
+def test_decontaminate_broadcast_handles_empty_and_short_docs(spark):
+    """Empty eval side flags nothing; sub-shingle-length train docs
+    (empty shingle set) always survive."""
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="just two"),          # < 3 tokens: no shingles
+        Row(doc_id=2, text="alpha beta gamma delta")])
+    empty_test = spark.createDataFrame(
+        [Row(doc_id=9, text="alpha beta gamma")]).filter("doc_id < 0")
+    assert D.decontaminate(train, empty_test).count() == 2
+    hot_test = spark.createDataFrame(
+        [Row(doc_id=9, text="alpha beta gamma delta")])
+    kept = sorted(r.doc_id for r in
+                  D.decontaminate(train, hot_test,
+                                  min_overlap=0.5).collect())
+    assert kept == [1]
+
+
+def test_decontaminate_broadcast_plan_is_shuffle_free(spark, dup_docs):
+    """The kernel's enforcement plan must contain NO join and NO
+    exchange — decontamination is a map-side filter over train."""
+    test = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over")])
+    plan = (D.decontaminate(dup_docs, test, min_overlap=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_fuzzy_dup_pairs_blocked_levenshtein(spark):
     docs = spark.createDataFrame([
         Row(doc_id=1, text="alpha beta gamma delta epsilon"),
@@ -780,9 +855,12 @@ def test_contamination_guard_refuses_past_candidate_bound(spark,
     assert D.cross_corpus_contamination(
         train, test, min_overlap=0.2,
         max_candidate_pairs=10_000_000).count() >= 0
+    # the guard protects the DISTRIBUTED join path; the broadcast
+    # kernel never schedules that join, so force the join path here
     with pytest.raises(ValueError, match="minhash banding"):
         D.decontaminate(train, test, min_overlap=0.2,
-                        max_candidate_pairs=3).count()
+                        max_candidate_pairs=3,
+                        broadcast_max_postings=None).count()
     # default bound runs clean (dup_docs: every train doc is a planted
     # near-copy of a test doc, so all are dropped — 0 survivors is the
     # CORRECT answer here, the point is the default-bound path works)

@@ -132,12 +132,18 @@ def test_training_shards_curated_chain_computed_once(spark, sf_dir):
     the repo) and feeds two consumers (pack roster + address join): it
     must come from ONE persisted relation, or the chain executes twice
     per run (measured as the bulk of the sf1 capstone cost, judge r9).
-    Same doctrine for decontaminate's train side: the dedup output
-    feeds the shingle index AND the final anti-join."""
+    Decontamination itself rides the broadcast postings kernel (one
+    map-side Arrow filter, no contamination join at all) — so the
+    curated chain has NO anti-join and nothing in it is consumed
+    twice; only training_shards' packed frame still needs the persist."""
     for name in ("training_shards", "curated_corpus"):
         plan = _plan(spark, sf_dir, name)
-        assert "InMemoryTableScan" in plan, name
         assert "CartesianProduct" not in plan, name
+        # the decontamination step is the map-side kernel, not a join
+        assert "ArrowEvalPython" in plan, name
+    # the curated chain alone (no packing) must be join-free past the
+    # exact-dedup keep-first — decontamination adds NO join
+    assert "SortMergeJoin" not in _plan(spark, sf_dir, "curated_corpus")
     # both consumers of packed read the cache, not a recomputation
     plan = _plan(spark, sf_dir, "training_shards")
     assert plan.count("InMemoryTableScan") >= 2
