@@ -1493,6 +1493,32 @@ def _q_decontaminated_docs(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
+def _q_contamination_profile(spark, sf_dir):
+    """Contamination DIAL for the curation pipeline: the distribution
+    of per-train-doc MAX eval overlap, bucketed at the enforcement
+    threshold grid (0.2 steps) — the histogram an operator reads
+    before choosing decontaminate()'s min_overlap. Rides the same
+    broadcast postings kernel as the enforcement queries (zero
+    shuffle over train; the eval index is memoized and shared), then
+    one tiny groupBy over 5 bucket keys."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        max_eval_overlap)
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter(src_num % 2 == 0)
+    test = docs.filter(src_num % 2 == 1)
+    ov = max_eval_overlap(train, test, shingle_n=3)
+    bucket = (F.when(F.col("max_overlap") >= 0.8, "0.80+")
+              .when(F.col("max_overlap") >= 0.6, "0.60-0.80")
+              .when(F.col("max_overlap") >= 0.4, "0.40-0.60")
+              .when(F.col("max_overlap") >= 0.2, "0.20-0.40")
+              .otherwise("0.00-0.20"))
+    return (ov.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.max("max_overlap"), 6)
+                 .alias("bucket_max")))
+
+
 def _q_fuzzy_dup_pairs(spark, sf_dir):
     """Blocked edit-distance near-dup join: share first-2-token block +
     length band, verify bounded levenshtein over the 40-char prefix."""
@@ -3020,6 +3046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_quality": _q_retrieval_quality,
     "leakage_safe_splits": _q_leakage_safe_splits,
     "ann_quality_ivf": _q_ann_quality_ivf,
+    # -- round 10 additions
+    "contamination_profile": _q_contamination_profile,
 }
 
 
@@ -5565,5 +5593,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, cluster_id,
                CASE {' '.join(_whens)} ELSE '{_last}' END AS split
         FROM ({oracles["dedup_clusters"]}) c
+    """
+    # contamination_profile: the contamination_pairs gram machinery
+    # WITHOUT the min_overlap filter, max per train doc (LEFT join so
+    # overlap-free train docs land in the 0.00-0.20 bucket at 0.0),
+    # bucketed on the same 0.2 grid as the Spark CASE chain.
+    oracles["contamination_profile"] = """
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS sn
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, sn, string_split_regex(trim(text), '\\s+') AS t
+            FROM d
+        ), sh AS (
+            SELECT DISTINCT doc_id, sn,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ), te_sizes AS (
+            SELECT doc_id, count(*) AS n_te FROM sh
+            WHERE sn % 2 = 1 GROUP BY 1
+        ), mx AS (
+            SELECT tr.doc_id AS train_id,
+                   max(cnt.n_inter / CAST(te_sizes.n_te AS DOUBLE))
+                       AS mo
+            FROM (
+                SELECT te.doc_id AS test_id, tr_sh.doc_id AS train_id,
+                       count(*) AS n_inter
+                FROM sh te JOIN sh tr_sh ON te.s = tr_sh.s
+                WHERE te.sn % 2 = 1 AND tr_sh.sn % 2 = 0
+                GROUP BY 1, 2
+            ) cnt
+            JOIN te_sizes ON te_sizes.doc_id = cnt.test_id
+            JOIN d tr ON tr.doc_id = cnt.train_id
+            GROUP BY 1
+        ), per_doc AS (
+            SELECT d.doc_id,
+                   round(coalesce(mx.mo, 0.0), 6) AS mo
+            FROM d LEFT JOIN mx ON mx.train_id = d.doc_id
+            WHERE d.sn % 2 = 0
+        )
+        SELECT CASE WHEN mo >= 0.8 THEN '0.80+'
+                    WHEN mo >= 0.6 THEN '0.60-0.80'
+                    WHEN mo >= 0.4 THEN '0.40-0.60'
+                    WHEN mo >= 0.2 THEN '0.20-0.40'
+                    ELSE '0.00-0.20' END AS bucket,
+               count(*) AS n_docs,
+               round(max(mo), 6) AS bucket_max
+        FROM per_doc GROUP BY 1
     """
     return oracles

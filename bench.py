@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     # the same metric layer (one batched pass over the panel's probe
     # cells)
     "ann_quality_ivf",
+    # round 10: the contamination dial (max eval overlap histogram)
+    # over the broadcast postings kernel
+    "contamination_profile",
 ]
 
 

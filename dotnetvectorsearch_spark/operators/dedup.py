@@ -1852,7 +1852,8 @@ def _test_postings_index(test: DataFrame, text_col: str,
     thr = np.fromiter(
         (thr_by_n.setdefault(n, _min_hits_to_flag(n, min_overlap))
          for n in n_te), dtype=np.int64, count=n_test)
-    return grams2id, indptr, post, thr
+    n_te_arr = np.asarray(n_te, dtype=np.float64)
+    return grams2id, indptr, post, thr, n_te_arr
 
 
 def decontaminate(train: DataFrame, test: DataFrame,
@@ -1949,22 +1950,19 @@ def _decon_memo_key(test: DataFrame, shingle_n: int,
     return (sem, fp, shingle_n, min_overlap)
 
 
-def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
-                             id_col: str, text_col: str,
-                             shingle_n: int,
-                             min_overlap: float,
-                             memo_key=None) -> DataFrame:
-    """The map-side decontamination kernel: broadcast test postings,
-    filter train with a vectorized contaminated() pandas UDF."""
-    import numpy as np
-
+def _ensure_decon_index(spark_df: DataFrame, test: DataFrame,
+                        text_col: str, shingle_n: int,
+                        min_overlap: float, memo_key):
+    """Build-or-fetch the broadcast eval postings index: returns
+    (broadcast handle, n_test). Memoized per memo_key (None = never
+    memoize); evicted/raced broadcasts are unpersisted."""
     with _DECON_IDX_LOCK:
         hit = _DECON_IDX_MEMO.get(memo_key) if memo_key else None
     if hit is None:
-        grams2id, indptr, post, thr = _test_postings_index(
+        grams2id, indptr, post, thr, n_te = _test_postings_index(
             test, text_col, shingle_n, min_overlap)
-        bc = train.sparkSession.sparkContext.broadcast(
-            (grams2id, indptr, post, thr))
+        bc = spark_df.sparkSession.sparkContext.broadcast(
+            (grams2id, indptr, post, thr, n_te))
         hit = (bc, len(thr))
         if memo_key is not None:
             with _DECON_IDX_LOCK:
@@ -1985,12 +1983,25 @@ def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
                     except Exception:  # pragma: no cover
                         pass
                     hit = kept
-    bc, n_test = hit
+    return hit
+
+
+def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
+                             id_col: str, text_col: str,
+                             shingle_n: int,
+                             min_overlap: float,
+                             memo_key=None) -> DataFrame:
+    """The map-side decontamination kernel: broadcast test postings,
+    filter train with a vectorized contaminated() pandas UDF."""
+    import numpy as np
+
+    bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
+                                     min_overlap, memo_key)
 
     @F.pandas_udf("boolean")
     def contaminated(
             it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        g2i, ptr, pst, thr = bc.value
+        g2i, ptr, pst, thr, _ = bc.value
         for s in it:
             out = np.zeros(len(s), dtype=bool)
             for i, grams in enumerate(s):
@@ -2011,6 +2022,72 @@ def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
     contaminated = contaminated.asNondeterministic()
     return train.filter(
         ~contaminated(word_shingles(text_col, shingle_n)))
+
+
+def max_eval_overlap(train: DataFrame, test: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     shingle_n: int = 3,
+                     broadcast_max_postings: int | None =
+                     DECONTAMINATE_BROADCAST_MAX_POSTINGS) -> DataFrame:
+    """Per-train-doc contamination DIAL: for every train doc, the
+    maximum overlap coefficient ``round(|shared shingles| / n_test, 6)``
+    against ANY eval doc (0.0 when nothing is shared). Where
+    ``decontaminate`` enforces one threshold, this emits the whole
+    distribution — the histogram a pipeline owner reads BEFORE picking
+    ``min_overlap`` (how much of the corpus sits at 0.15 vs 0.25?).
+
+    Same map-side broadcast postings kernel as ``decontaminate``
+    (zero shuffle, one Arrow pass over train; index memoized and
+    shared with the enforcement queries). The eval side must fit the
+    postings budget — the full pair matrix this summarizes is exactly
+    what the kernel avoids materializing, so past the budget this
+    raises with reroute advice (``cross_corpus_contamination`` +
+    groupBy max is the distributed formulation).
+
+    Rounding matches the SQL engines' HALF_UP ``round(x, 6)`` on the
+    max ratio (``floor(x*1e6 + 0.5)`` on the non-negative double).
+    """
+    import numpy as np
+
+    stats = (test.select(word_shingles(text_col, shingle_n).alias("sh"))
+             .agg(F.sum(F.size("sh")).alias("p")).collect()[0])
+    if broadcast_max_postings is not None and \
+            (stats.p or 0) > broadcast_max_postings:
+        raise ValueError(
+            f"max_eval_overlap eval side carries {stats.p:,} shingle "
+            f"postings (budget {broadcast_max_postings:,}): too large "
+            f"to broadcast. Use cross_corpus_contamination(min_overlap="
+            f"~0) + groupBy(train_id).max(overlap) — the guarded "
+            f"distributed formulation — or raise the budget explicitly")
+    # sentinel key component: the overlap dial ignores the flag
+    # thresholds, so it shares one index per (eval set, shingle_n)
+    # and can never collide with an enforcement key's min_overlap
+    memo_key = _decon_memo_key(test, shingle_n, "max_overlap")
+    bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
+                                     1.0, memo_key)
+
+    @F.pandas_udf("double")
+    def overlap_max(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        g2i, ptr, pst, _, n_te = bc.value
+        for s in it:
+            out = np.zeros(len(s), dtype=np.float64)
+            for i, grams in enumerate(s):
+                if grams is None or len(grams) == 0:
+                    continue
+                gids = [g2i[g] for g in grams if g in g2i]
+                if not gids:
+                    continue
+                hits = np.concatenate(
+                    [pst[ptr[g]:ptr[g + 1]] for g in gids])
+                counts = np.bincount(hits, minlength=n_test)
+                out[i] = float(np.max(counts / n_te))
+            yield pd.Series(np.floor(out * 1e6 + 0.5) / 1e6)
+
+    overlap_max = overlap_max.asNondeterministic()
+    return train.select(
+        F.col(id_col),
+        overlap_max(word_shingles(text_col, shingle_n))
+        .alias("max_overlap"))
 
 
 # ---------------------------------------------------- fuzzy (edit-distance)

@@ -109,6 +109,36 @@ def stream_clean(docs: DataFrame, quality_floor: float = 0.4,
                         watermark=watermark)
 
 
+def stream_decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                         text_col: str = "text", shingle_n: int = 3,
+                         min_overlap: float = 0.5) -> DataFrame:
+    """Streaming eval-set decontamination gate: drop every streamed doc
+    whose shingles cover >= ``min_overlap`` of any eval doc — the
+    ingest-time twin of the batch ``decontaminate`` enforcement (same
+    thresholds, same rounding, identical keep decision; parity pinned
+    in tests/test_streaming.py).
+
+    ``eval_docs`` must be a BATCH frame: the eval set is pipeline
+    STATE, like the ANN index or the dedup bloom store, not stream
+    data. Its broadcast postings index is built ONCE at stream
+    definition (collect + broadcast, memoized), so per-trigger cost is
+    a stateless map-side bincount pass over the micro-batch — no
+    watermark, no state store, no per-trigger jobs against the eval
+    side. At 100 TB of ingest this is a narrow filter that scales with
+    the trigger rate; a changed eval set means redefining the stream
+    (restart the query), which is the correct semantics for a
+    versioned benchmark suite.
+    """
+    from ..operators.dedup import (
+        _decon_memo_key,
+        _decontaminate_broadcast,
+    )
+    memo_key = _decon_memo_key(eval_docs, shingle_n, min_overlap)
+    return _decontaminate_broadcast(docs, eval_docs, "doc_id",
+                                    text_col, shingle_n, min_overlap,
+                                    memo_key=memo_key)
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour rollup. Works on a streaming OR batch
     frame with (ts timestamp, event_type string, value double)."""

@@ -634,6 +634,42 @@ def test_decontaminate_broadcast_handles_empty_and_short_docs(spark):
     assert kept == [1]
 
 
+def test_max_eval_overlap_matches_join_formulation(spark):
+    """The map-side overlap dial must equal the distributed
+    cross_corpus_contamination + groupBy(max) formulation, including
+    0.0 rows for trains that share nothing with the eval set."""
+    words = ["w%d" % i for i in range(10)]
+    train = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=" ".join(words[j % 10] for j in range(i, i + 7)))
+         for i in range(12)]
+        + [Row(doc_id=99, text="zz yy xx ww vv uu")])   # disjoint
+    test = spark.createDataFrame(
+        [Row(doc_id=200 + i,
+             text=" ".join(words[j % 10] for j in range(i, i + 5)))
+         for i in range(0, 10, 3)])
+    got = {r.doc_id: r.max_overlap
+           for r in D.max_eval_overlap(train, test).collect()}
+    # round6 is monotone, so max(round6(overlap)) == round6(max raw):
+    # the join path's pre-rounded pair overlaps max to EXACTLY the
+    # kernel's rounded max
+    exp = {r.train_id: r.mo for r in
+           (D.cross_corpus_contamination(train, test, min_overlap=0.0)
+            .groupBy("train_id")
+            .agg(F.max("overlap").alias("mo"))).collect()}
+    for doc_id, mo in got.items():
+        assert mo == exp.get(doc_id, 0.0), doc_id
+    assert got[99] == 0.0
+    assert len(got) == train.count()
+
+
+def test_max_eval_overlap_postings_budget_raises(spark, dup_docs):
+    test = dup_docs.filter("doc_id % 2 = 1")
+    train = dup_docs.filter("doc_id % 2 = 0")
+    with pytest.raises(ValueError, match="postings"):
+        D.max_eval_overlap(train, test, broadcast_max_postings=1)
+
+
 def test_decontaminate_broadcast_plan_is_shuffle_free(spark, dup_docs):
     """The kernel's enforcement plan must contain NO join and NO
     exchange — decontamination is a map-side filter over train."""

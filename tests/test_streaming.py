@@ -433,6 +433,41 @@ def test_stream_upsert_partitioned_overwrites_slice(spark, tmp_path):
     assert got == {(1, "d1", "a"), (2, "d2", "b-fixed"), (3, "d2", "c")}
 
 
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming eval gate must keep EXACTLY the batch
+    decontaminate survivor set on the same docs (same thresholds,
+    same broadcast kernel)."""
+    from dotnetvectorsearch_spark.operators.dedup import decontaminate
+    from dotnetvectorsearch_spark.sources.io import load_table
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_decontaminate)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    train = docs.filter(src_num % 2 == 0).select("doc_id", "text")
+    eval_docs = docs.filter(src_num % 2 == 1).select("doc_id", "text")
+    src = tmp_path / "decon_src"
+    train.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_decontaminate(stream, eval_docs, min_overlap=0.2)
+         .writeStream.format("memory").queryName("decon_test")
+         .outputMode("append").start())
+    try:
+        assert _wait(lambda: spark.sql(
+            "SELECT * FROM decon_test").count() >= 1)
+        time.sleep(2)
+        got = {r.doc_id for r in
+               spark.sql("SELECT doc_id FROM decon_test").collect()}
+    finally:
+        q.stop()
+    want = {r.doc_id for r in
+            decontaminate(train, eval_docs,
+                          min_overlap=0.2).select("doc_id").collect()}
+    assert got == want
+
+
 def test_stream_clean_matches_batch_composition(spark, sf_dir, tmp_path):
     """stream_clean's survivors carry exactly the batch pipeline's
     surviving fingerprint set (filters + exact dedup), and every

@@ -135,6 +135,7 @@ def main() -> int:
         hourly_rollup,
         sliding_rollup,
         stream_debounce,
+        stream_decontaminate,
         stream_dedup,
         stream_funnel,
         stream_heavy_hitters,
@@ -200,10 +201,22 @@ def main() -> int:
         "stream_neardup_dedup": lambda: stream_neardup_dedup(
             doc_stream(), str(work / "nd_out"), str(work / "nd_store"),
             str(work / "nd_ck")),
+        # stateless eval-set gate over the broadcast postings index
+        # (eval side = odd sources of the same corpus, built once at
+        # stream definition; triggers are a map-side bincount filter)
+        "stream_decontaminate": lambda: mem_sink(
+            stream_decontaminate(
+                doc_stream().select("doc_id", "text"),
+                load_table(spark, SF_DIR, "documents")
+                .filter(F.regexp_extract("source", r"(\d+)", 1)
+                        .cast("int") % 2 == 1)
+                .select("doc_id", "text"),
+                min_overlap=0.2), "append"),
     }
 
     expected = {"stream_dedup": DOC, "stream_neardup_dedup": DOC,
-                "stream_neardup_dedup_warmstore": DOC}
+                "stream_neardup_dedup_warmstore": DOC,
+                "stream_decontaminate": DOC}
     # warm-store repass: stream the SAME documents against the store
     # the first neardup pass just built (fresh checkpoint/out). Every
     # doc now bloom-hits and gates against 5k stored signatures — the
