@@ -1493,6 +1493,23 @@ def _q_decontaminated_docs(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Snapshot change-data-capture: yesterday's corpus (doc_id % 7
+    != 0) vs today's (every doc, with doc_id % 11 == 0 re-edited) —
+    one status row per doc id so the incremental pipeline embeds only
+    added+changed and retires removed. Narrow fingerprint projections
+    full-outer joined on the id; text never shuffles."""
+    from dotnetvectorsearch_spark.operators.dedup import corpus_diff
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" edited v2")))
+        .otherwise(F.col("text")))
+    return corpus_diff(old, new)
+
+
 def _q_contamination_profile(spark, sf_dir):
     """Contamination DIAL for the curation pipeline: the distribution
     of per-train-doc MAX eval overlap, bucketed at the enforcement
@@ -3048,6 +3065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quality_ivf": _q_ann_quality_ivf,
     # -- round 10 additions
     "contamination_profile": _q_contamination_profile,
+    "corpus_diff": _q_corpus_diff,
 }
 
 
@@ -5641,5 +5659,29 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs,
                round(max(mo), 6) AS bucket_max
         FROM per_doc GROUP BY 1
+    """
+    # corpus_diff: same snapshot construction (old = doc_id % 7 != 0,
+    # new = all docs with % 11 == 0 re-edited), fingerprints compared
+    # via the shared md5(normalized text) expression
+    oracles["corpus_diff"] = """
+        WITH o AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text),
+                                           '\\s+', ' ', 'g'))) AS fp
+            FROM documents WHERE doc_id % 7 != 0
+        ), n AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 11 = 0
+                            THEN text || ' edited v2' ELSE text END),
+                       '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
     return oracles

@@ -158,8 +158,9 @@ BENCH_QUERIES = [
     # cells)
     "ann_quality_ivf",
     # round 10: the contamination dial (max eval overlap histogram)
-    # over the broadcast postings kernel
+    # over the broadcast postings kernel, and snapshot CDC
     "contamination_profile",
+    "corpus_diff",
 ]
 
 

@@ -2090,6 +2090,34 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
         .alias("max_overlap"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff (change-data-capture) between two corpus versions:
+    one row per doc id present in EITHER snapshot with its status —
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (same id, different normalized-text fingerprint),
+    ``unchanged``. This is the incremental-ingest primitive: a daily
+    pipeline embeds/indexes only added+changed, retires removed, and
+    skips the (overwhelmingly largest) unchanged slice entirely.
+
+    Shape: two narrow (id, md5-fingerprint) projections FULL OUTER
+    equi-joined on the id. Text never travels — both sides are
+    column-pruned scans that reduce to id + a 32-byte hash before the
+    exchange, so at 100 TB the shuffle is ~40 bytes/doc regardless of
+    document size; co-partitioned/bucketed snapshot layouts
+    (sources/layout.py) make the join zero-shuffle.
+    """
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("__fp_o"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("__fp_n"))
+    status = (F.when(F.col("__fp_o").isNull(), "added")
+              .when(F.col("__fp_n").isNull(), "removed")
+              .when(F.col("__fp_o") == F.col("__fp_n"), "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col), status.alias("status")))
+
+
 # ---------------------------------------------------- fuzzy (edit-distance)
 
 

@@ -634,6 +634,37 @@ def test_decontaminate_broadcast_handles_empty_and_short_docs(spark):
     assert kept == [1]
 
 
+def test_corpus_diff_all_statuses(spark):
+    """Every CDC status is emitted correctly, and 'changed' keys off
+    the NORMALIZED fingerprint (case/whitespace edits are unchanged)."""
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="gamma delta"),
+        Row(doc_id=3, text="epsilon zeta"),
+        Row(doc_id=4, text="eta theta")])
+    new = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),          # unchanged
+        Row(doc_id=2, text="gamma delta EDITED"),  # changed
+        Row(doc_id=3, text="  EPSILON   zeta "),   # normalized-equal
+        Row(doc_id=5, text="iota kappa")])         # added; 4 removed
+    got = {r.doc_id: r.status
+           for r in D.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+
+def test_corpus_diff_never_shuffles_text(spark):
+    """The exchange must carry only (id, fp): the text column is
+    projected away below the join on both sides."""
+    old = spark.createDataFrame([Row(doc_id=1, text="alpha beta")])
+    new = spark.createDataFrame([Row(doc_id=1, text="alpha beta")])
+    plan = (D.corpus_diff(old, new)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    import re
+    for m in re.finditer(r"Exchange[^\n]*", plan):
+        assert "text" not in m.group(0)
+
+
 def test_max_eval_overlap_matches_join_formulation(spark):
     """The map-side overlap dial must equal the distributed
     cross_corpus_contamination + groupBy(max) formulation, including
