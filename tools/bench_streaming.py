@@ -346,7 +346,13 @@ def _write_md(results: dict, chunks: int) -> None:
         "not engine, bound at the 5k-table row. `stream_index_append` "
         "maintains the persisted IVF index from an embedding stream "
         "(narrow Arrow cell assignment + partitioned append; the "
-        "serve path sees new vectors with no rebuild, no rescan).",
+        "serve path sees new vectors with no rebuild, no rescan). "
+        "`stream_decontaminate` gates the doc stream against the "
+        "broadcast eval postings index (built once at stream "
+        "definition, memoized): STATELESS map-side bincount filter "
+        "per trigger — the fastest doc-path triggers in the table, "
+        "no state store, no per-trigger eval jobs; batch parity "
+        "pinned in test_streaming.",
         "",
     ]
     (ROOT / "STREAMING_BENCH.md").write_text("\n".join(lines))
