@@ -1797,13 +1797,22 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "text", "n_chunks", "n_kept"))
 
 
-# Default budget for the broadcast decontamination kernel: total
-# test-side postings (sum of per-doc distinct shingle counts) the
-# driver will collect and broadcast. 8M postings ≈ a 50-100k-doc eval
-# suite ≈ tens of MB on the driver — eval sets are the SMALL side of
-# decontamination by construction; a test side past this is not an
-# eval set and falls back to the distributed gram join.
-DECONTAMINATE_BROADCAST_MAX_POSTINGS = 8_000_000
+# Default budgets for the broadcast decontamination kernel. Two
+# independent bounds, both measured in ONE narrow pre-job before
+# anything is collected:
+# * postings count (sum of per-doc distinct shingle counts) — the
+#   array the kernel gathers over; 32M ≈ a few-hundred-k-doc eval
+#   suite, ~128 MB as int32.
+# * estimated index bytes = postings*4 + distinct_grams*80 — the
+#   gram DICTIONARY is the real memory hazard (distinct grams can
+#   approach postings on diverse text, and Python strings cost ~80 B
+#   each), so the byte estimate uses approx_count_distinct over the
+#   exploded grams and caps the whole broadcast payload.
+# Eval sets are the SMALL side of decontamination by construction; a
+# test side past either bound is not an eval set and falls back to
+# the guarded distributed gram join.
+DECONTAMINATE_BROADCAST_MAX_POSTINGS = 32_000_000
+DECONTAMINATE_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _min_hits_to_flag(n_te: int, min_overlap: float) -> int:
@@ -1825,35 +1834,38 @@ def _test_postings_index(test: DataFrame, text_col: str,
                          shingle_n: int, min_overlap: float):
     """Collect the eval side's inverted shingle index driver-side:
     (gram -> gram_id dict, CSR indptr, postings test-idx array,
-    per-test-doc integer flag thresholds). One small Spark job — the
-    eval set's ids never matter, only its shingle sets."""
+    per-test-doc integer flag thresholds, per-doc shingle counts).
+    One small Spark job, landed as ARROW (`toArrow`) and built with
+    vectorized pyarrow/numpy ops — dictionary-encode assigns gram
+    ids in C++, `np.repeat`/`argsort` build the CSR — so the build
+    is seconds even at ~10M postings, where the row-collect +
+    Python-loop form measured 30s+ (the kernel's driver-side
+    bottleneck at the sf10 tier)."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     sh = (test.select(word_shingles(text_col, shingle_n).alias("sh"))
           .filter(F.size("sh") > 0))
-    rows = sh.collect()
-    grams2id: dict = {}
-    g_ids, t_idx, n_te = [], [], []
-    for j, row in enumerate(rows):
-        grams = row[0]
-        n_te.append(len(grams))
-        for g in grams:
-            gid = grams2id.setdefault(g, len(grams2id))
-            g_ids.append(gid)
-            t_idx.append(j)
-    n_grams, n_test = len(grams2id), len(rows)
-    g_arr = np.asarray(g_ids, dtype=np.int64)
-    t_arr = np.asarray(t_idx, dtype=np.int32)
-    order = np.argsort(g_arr, kind="stable")
-    post = t_arr[order]
+    col = sh.toArrow().column("sh").combine_chunks()
+    n_test = len(col)
+    n_te = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    n_te = n_te.astype(np.int64)
+    enc = col.flatten().dictionary_encode()
+    gid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    grams2id = {s: i for i, s in enumerate(enc.dictionary.to_pylist())}
+    n_grams = len(grams2id)
+    t_idx = np.repeat(np.arange(n_test, dtype=np.int32), n_te)
+    order = np.argsort(gid, kind="stable")
+    post = t_idx[order]
     indptr = np.zeros(n_grams + 1, dtype=np.int64)
-    np.cumsum(np.bincount(g_arr, minlength=n_grams), out=indptr[1:])
+    np.cumsum(np.bincount(gid, minlength=n_grams), out=indptr[1:])
     thr_by_n: dict[int, int] = {}
     thr = np.fromiter(
-        (thr_by_n.setdefault(n, _min_hits_to_flag(n, min_overlap))
+        (thr_by_n.setdefault(int(n), _min_hits_to_flag(int(n),
+                                                       min_overlap))
          for n in n_te), dtype=np.int64, count=n_test)
-    n_te_arr = np.asarray(n_te, dtype=np.float64)
-    return grams2id, indptr, post, thr, n_te_arr
+    return grams2id, indptr, post, thr, n_te.astype(np.float64)
 
 
 def decontaminate(train: DataFrame, test: DataFrame,
@@ -1903,11 +1915,8 @@ def decontaminate(train: DataFrame, test: DataFrame,
         with _DECON_IDX_LOCK:
             memo_hit = memo_key is not None and \
                 memo_key in _DECON_IDX_MEMO
-        if not memo_hit:
-            stats = (test.select(
-                word_shingles(text_col, shingle_n).alias("sh"))
-                .agg(F.sum(F.size("sh")).alias("p")).collect()[0])
-        if memo_hit or (stats.p or 0) <= broadcast_max_postings:
+        if memo_hit or _decon_index_fits(test, text_col, shingle_n,
+                                         broadcast_max_postings):
             return _decontaminate_broadcast(train, test, id_col,
                                             text_col, shingle_n,
                                             min_overlap,
@@ -1934,6 +1943,28 @@ def decontaminate(train: DataFrame, test: DataFrame,
 _DECON_IDX_MEMO: dict[tuple, tuple] = {}
 _DECON_IDX_MEMO_MAX = 16
 _DECON_IDX_LOCK = threading.Lock()
+
+
+def _decon_index_stats(test: DataFrame, text_col: str,
+                       shingle_n: int):
+    """(postings count, approx distinct grams, estimated index bytes)
+    of the eval side — one narrow exploded-gram aggregate job."""
+    row = (test.select(F.explode(
+        word_shingles(text_col, shingle_n)).alias("g"))
+        .agg(F.count(F.lit(1)).alias("p"),
+             F.approx_count_distinct("g").alias("d"))
+        .collect()[0])
+    postings, grams = int(row.p or 0), int(row.d or 0)
+    return postings, grams, postings * 4 + grams * 80
+
+
+def _decon_index_fits(test: DataFrame, text_col: str, shingle_n: int,
+                      max_postings: int,
+                      max_bytes: int =
+                      DECONTAMINATE_BROADCAST_MAX_BYTES) -> bool:
+    postings, _, est_bytes = _decon_index_stats(test, text_col,
+                                                shingle_n)
+    return postings <= max_postings and est_bytes <= max_bytes
 
 
 def _decon_memo_key(test: DataFrame, shingle_n: int,
@@ -2049,20 +2080,27 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
     """
     import numpy as np
 
-    stats = (test.select(word_shingles(text_col, shingle_n).alias("sh"))
-             .agg(F.sum(F.size("sh")).alias("p")).collect()[0])
-    if broadcast_max_postings is not None and \
-            (stats.p or 0) > broadcast_max_postings:
-        raise ValueError(
-            f"max_eval_overlap eval side carries {stats.p:,} shingle "
-            f"postings (budget {broadcast_max_postings:,}): too large "
-            f"to broadcast. Use cross_corpus_contamination(min_overlap="
-            f"~0) + groupBy(train_id).max(overlap) — the guarded "
-            f"distributed formulation — or raise the budget explicitly")
     # sentinel key component: the overlap dial ignores the flag
     # thresholds, so it shares one index per (eval set, shingle_n)
     # and can never collide with an enforcement key's min_overlap
     memo_key = _decon_memo_key(test, shingle_n, "max_overlap")
+    with _DECON_IDX_LOCK:
+        memo_hit = memo_key is not None and memo_key in _DECON_IDX_MEMO
+    if broadcast_max_postings is not None and not memo_hit:
+        postings, _, est_bytes = _decon_index_stats(test, text_col,
+                                                    shingle_n)
+        if postings > broadcast_max_postings or \
+                est_bytes > DECONTAMINATE_BROADCAST_MAX_BYTES:
+            raise ValueError(
+                f"max_eval_overlap eval side carries {postings:,} "
+                f"shingle postings (~{est_bytes // 2**20} MB index; "
+                f"budget {broadcast_max_postings:,} postings / "
+                f"{DECONTAMINATE_BROADCAST_MAX_BYTES // 2**20} MB): "
+                f"too large to broadcast. Use "
+                f"cross_corpus_contamination(min_overlap=~0) + "
+                f"groupBy(train_id).max(overlap) — the guarded "
+                f"distributed formulation — or raise the budget "
+                f"explicitly")
     bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
                                      1.0, memo_key)
 
