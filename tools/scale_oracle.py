@@ -53,6 +53,11 @@ QUERIES = [
     "semdedup_lsh", "semdedup_lsh_hi", "training_shards",
     "curated_corpus", "incremental_dedup_bloom", "ccnet_buckets",
     "dsir_weights_en",
+    # round 10: the broadcast-kernel contamination dial and snapshot
+    # CDC — pairing pins that both new ops hold their exact oracle at
+    # the 10x tier (DuckDB pays the full 61M-row gram join the kernel
+    # avoids for the dial's per-doc max)
+    "contamination_profile", "corpus_diff",
 ]
 
 # ---------------------------------------------------- tier-matched SQL
