@@ -1493,6 +1493,19 @@ def _q_decontaminated_docs(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Keep-best exact dedup: per duplicate cluster keep the highest
+    quality_score doc (tie -> lowest id) — the CCNet/RefinedWeb keep
+    policy; one fingerprint shuffle, argmax as a min(struct) aggregate
+    (no window)."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        exact_dedup_keep_best)
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup_keep_best(docs, T.quality_score("text"))
+    return out.select("doc_id", F.col("cluster_size").cast("long")
+                      .alias("cluster_size"))
+
+
 def _q_corpus_diff(spark, sf_dir):
     """Snapshot change-data-capture: yesterday's corpus (doc_id % 7
     != 0) vs today's (every doc, with doc_id % 11 == 0 re-edited) —
@@ -3066,6 +3079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round 10 additions
     "contamination_profile": _q_contamination_profile,
     "corpus_diff": _q_corpus_diff,
+    "dedup_keep_best": _q_dedup_keep_best,
 }
 
 
@@ -5683,5 +5697,27 @@ def oracle_sql() -> dict[str, str]:
                     WHEN o.fp = n.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+    # dedup_keep_best: quality_scores' exact score expression reused as
+    # a CTE; keep policy = row_number over (quality DESC, doc_id ASC)
+    # per normalized-text fingerprint — identical ordering to the
+    # engine's min(struct(-score, id)) aggregate
+    oracles["dedup_keep_best"] = f"""
+        WITH q AS ({oracles["quality_scores"]}),
+        d AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text),
+                                           '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ), r AS (
+            SELECT d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY d.fp
+                       ORDER BY q.quality DESC, d.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY d.fp) AS cluster_size
+            FROM d JOIN q ON q.doc_id = d.doc_id
+        )
+        SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM r WHERE rn = 1
     """
     return oracles

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     # over the broadcast postings kernel, and snapshot CDC
     "contamination_profile",
     "corpus_diff",
+    "dedup_keep_best",
 ]
 
 

@@ -107,6 +107,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="leftsemi")
 
 
+def exact_dedup_keep_best(df: DataFrame, score: Column,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep-BEST exact dedup: per normalized-text duplicate cluster,
+    keep the row maximizing ``score`` (ties -> lowest id) — the
+    CCNet/RefinedWeb keep policy for when duplicates differ in source
+    quality, vs ``exact_dedup``'s keep-first. Null scores rank worst.
+
+    Same scale shape as keep-first — ONE fingerprint shuffle with
+    map-side partial aggregation: the argmax travels as a single
+    ``min(struct(-score, id))`` aggregate (negating the score makes
+    "best" the struct MINIMUM, so score ties fall through to the
+    lowest id inside the same comparison) — no window function, no
+    per-cluster sort. Returns the kept rows plus ``cluster_size``.
+    """
+    fp = fingerprint(text_col).alias("fp")
+    neg = F.coalesce(-score, F.lit(float("inf")))
+    keyed = df.select(
+        fp, F.struct(neg.alias("ns"),
+                     F.col(id_col).alias("id")).alias("k"))
+    best = (keyed.groupBy("fp")
+            .agg(F.min("k").alias("k"),
+                 F.count(F.lit(1)).alias("cluster_size"))
+            .select(F.col("k.id").alias(id_col), "cluster_size"))
+    return df.join(best, id_col, "inner")
+
+
 def exact_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id",

@@ -634,6 +634,36 @@ def test_decontaminate_broadcast_handles_empty_and_short_docs(spark):
     assert kept == [1]
 
 
+def test_exact_dedup_keep_best_argmax_and_ties(spark):
+    """Keep-best must pick the max-score row per cluster, fall back to
+    the lowest id on score ties, rank null scores worst, and report
+    cluster_size."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="same text here", score=0.2),
+        Row(doc_id=2, text="  SAME   text HERE ", score=0.9),  # best
+        Row(doc_id=3, text="same text here", score=None),      # worst
+        Row(doc_id=4, text="tied cluster words", score=0.5),   # tie ->
+        Row(doc_id=5, text="tied cluster words", score=0.5),   # id 4
+        Row(doc_id=6, text="a singleton document", score=0.1)])
+    kept = {r.doc_id: r.cluster_size for r in
+            D.exact_dedup_keep_best(docs, F.col("score")).collect()}
+    assert kept == {2: 3, 4: 2, 6: 1}
+    # contrast with keep-first, which keeps id 1 for the first cluster
+    first = sorted(r.doc_id for r in D.exact_dedup(docs).collect())
+    assert first == [1, 4, 6]
+
+
+def test_exact_dedup_keep_best_single_exchange(spark, sf_dir):
+    """The argmax must travel as ONE map-side-combined aggregate on the
+    fingerprint — no window sort, at most the fp exchange + the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dotnetvectorsearch_spark.functions.text import quality_score
+    plan = (D.exact_dedup_keep_best(docs, quality_score("text"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_corpus_diff_all_statuses(spark):
     """Every CDC status is emitted correctly, and 'changed' keys off
     the NORMALIZED fingerprint (case/whitespace edits are unchanged)."""
