@@ -1858,18 +1858,18 @@ def _min_hits_to_flag(n_te: int, min_overlap: float) -> int:
 
 
 def _test_postings_index(test: DataFrame, text_col: str,
-                         shingle_n: int, min_overlap: float):
+                         shingle_n: int):
     """Collect the eval side's inverted shingle index driver-side:
     (gram -> gram_id dict, CSR indptr, postings test-idx array,
-    per-test-doc integer flag thresholds, per-doc shingle counts).
-    One small Spark job, landed as ARROW (`toArrow`) and built with
-    vectorized pyarrow/numpy ops — dictionary-encode assigns gram
-    ids in C++, `np.repeat`/`argsort` build the CSR — so the build
-    is seconds even at ~10M postings, where the row-collect +
-    Python-loop form measured 30s+ (the kernel's driver-side
-    bottleneck at the sf10 tier)."""
+    per-doc shingle counts). One small Spark job, landed as ARROW
+    (`toArrow`) and built with vectorized pyarrow/numpy ops —
+    dictionary-encode assigns gram ids in C++, `np.repeat`/`argsort`
+    build the CSR — so the build is seconds even at ~10M postings,
+    where the row-collect + Python-loop form measured 30s+ (the
+    kernel's driver-side bottleneck at the sf10 tier). min_overlap
+    does NOT enter the index: flag thresholds are derived worker-side
+    (`_flag_thresholds`), so one index serves every threshold."""
     import numpy as np
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     sh = (test.select(word_shingles(text_col, shingle_n).alias("sh"))
@@ -1887,12 +1887,20 @@ def _test_postings_index(test: DataFrame, text_col: str,
     post = t_idx[order]
     indptr = np.zeros(n_grams + 1, dtype=np.int64)
     np.cumsum(np.bincount(gid, minlength=n_grams), out=indptr[1:])
+    return grams2id, indptr, post, n_te
+
+
+def _flag_thresholds(n_te, min_overlap: float):
+    """Per-test-doc integer flag thresholds from the per-doc shingle
+    counts — tiny (memoized over the ~O(100) distinct doc lengths),
+    so it runs once per worker inside the UDF."""
+    import numpy as np
+
     thr_by_n: dict[int, int] = {}
-    thr = np.fromiter(
+    return np.fromiter(
         (thr_by_n.setdefault(int(n), _min_hits_to_flag(int(n),
                                                        min_overlap))
-         for n in n_te), dtype=np.int64, count=n_test)
-    return grams2id, indptr, post, thr, n_te.astype(np.float64)
+         for n in n_te), dtype=np.int64, count=len(n_te))
 
 
 def decontaminate(train: DataFrame, test: DataFrame,
@@ -1938,7 +1946,7 @@ def decontaminate(train: DataFrame, test: DataFrame,
     changes the result set.
     """
     if broadcast_max_postings is not None:
-        memo_key = _decon_memo_key(test, shingle_n, min_overlap)
+        memo_key = _decon_memo_key(test, shingle_n)
         with _DECON_IDX_LOCK:
             memo_hit = memo_key is not None and \
                 memo_key in _DECON_IDX_MEMO
@@ -1994,10 +2002,12 @@ def _decon_index_fits(test: DataFrame, text_col: str, shingle_n: int,
     return postings <= max_postings and est_bytes <= max_bytes
 
 
-def _decon_memo_key(test: DataFrame, shingle_n: int,
-                    min_overlap: float):
+def _decon_memo_key(test: DataFrame, shingle_n: int):
     """Memo key for the eval postings index; None when the plan/input
-    identity cannot be established (never memoize blind)."""
+    identity cannot be established (never memoize blind). min_overlap
+    is NOT part of the key — thresholds are derived worker-side, so
+    the enforcement queries and the overlap dial share one index per
+    (eval set, shingle_n)."""
     try:
         sem = test._jdf.queryExecution().analyzed().semanticHash()
         fp = _input_fingerprint(test)
@@ -2005,23 +2015,22 @@ def _decon_memo_key(test: DataFrame, shingle_n: int,
         return None
     if fp is None:
         return None
-    return (sem, fp, shingle_n, min_overlap)
+    return (sem, fp, shingle_n)
 
 
 def _ensure_decon_index(spark_df: DataFrame, test: DataFrame,
-                        text_col: str, shingle_n: int,
-                        min_overlap: float, memo_key):
+                        text_col: str, shingle_n: int, memo_key):
     """Build-or-fetch the broadcast eval postings index: returns
     (broadcast handle, n_test). Memoized per memo_key (None = never
     memoize); evicted/raced broadcasts are unpersisted."""
     with _DECON_IDX_LOCK:
         hit = _DECON_IDX_MEMO.get(memo_key) if memo_key else None
     if hit is None:
-        grams2id, indptr, post, thr, n_te = _test_postings_index(
-            test, text_col, shingle_n, min_overlap)
+        grams2id, indptr, post, n_te = _test_postings_index(
+            test, text_col, shingle_n)
         bc = spark_df.sparkSession.sparkContext.broadcast(
-            (grams2id, indptr, post, thr, n_te))
-        hit = (bc, len(thr))
+            (grams2id, indptr, post, n_te))
+        hit = (bc, len(n_te))
         if memo_key is not None:
             with _DECON_IDX_LOCK:
                 if memo_key not in _DECON_IDX_MEMO and \
@@ -2054,12 +2063,13 @@ def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
     import numpy as np
 
     bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
-                                     min_overlap, memo_key)
+                                     memo_key)
 
     @F.pandas_udf("boolean")
     def contaminated(
             it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        g2i, ptr, pst, thr, _ = bc.value
+        g2i, ptr, pst, n_te = bc.value
+        thr = _flag_thresholds(n_te, min_overlap)
         for s in it:
             out = np.zeros(len(s), dtype=bool)
             for i, grams in enumerate(s):
@@ -2107,10 +2117,7 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
     """
     import numpy as np
 
-    # sentinel key component: the overlap dial ignores the flag
-    # thresholds, so it shares one index per (eval set, shingle_n)
-    # and can never collide with an enforcement key's min_overlap
-    memo_key = _decon_memo_key(test, shingle_n, "max_overlap")
+    memo_key = _decon_memo_key(test, shingle_n)
     with _DECON_IDX_LOCK:
         memo_hit = memo_key is not None and memo_key in _DECON_IDX_MEMO
     if broadcast_max_postings is not None and not memo_hit:
@@ -2129,11 +2136,11 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
                 f"distributed formulation — or raise the budget "
                 f"explicitly")
     bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
-                                     1.0, memo_key)
+                                     memo_key)
 
     @F.pandas_udf("double")
     def overlap_max(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        g2i, ptr, pst, _, n_te = bc.value
+        g2i, ptr, pst, n_te = bc.value
         for s in it:
             out = np.zeros(len(s), dtype=np.float64)
             for i, grams in enumerate(s):

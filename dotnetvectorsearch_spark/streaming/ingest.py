@@ -133,7 +133,7 @@ def stream_decontaminate(docs: DataFrame, eval_docs: DataFrame,
         _decon_memo_key,
         _decontaminate_broadcast,
     )
-    memo_key = _decon_memo_key(eval_docs, shingle_n, min_overlap)
+    memo_key = _decon_memo_key(eval_docs, shingle_n)
     return _decontaminate_broadcast(docs, eval_docs, "doc_id",
                                     text_col, shingle_n, min_overlap,
                                     memo_key=memo_key)
