@@ -1493,6 +1493,22 @@ def _q_decontaminated_docs(spark, sf_dir):
             .select("doc_id", "n_chars"))
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: per-label centroid shift
+    between an 'old' snapshot (even vec_ids) and a 'new' one (odd
+    vec_ids, deterministically perturbed by +0.02*label per dim to
+    simulate drift) — cosine and L2 of the exact centroids, the signal
+    that decides when the persisted ANN index needs a refit."""
+    from dotnetvectorsearch_spark.operators.ann import centroid_drift
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = (emb.filter(F.col("vec_id") % 2 == 1)
+           .withColumn("embedding", F.transform(
+               "embedding",
+               lambda x: x + F.lit(0.02) * F.col("label"))))
+    return centroid_drift(old, new, by="label")
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Keep-best exact dedup: per duplicate cluster keep the highest
     quality_score doc (tie -> lowest id) — the CCNet/RefinedWeb keep
@@ -3080,6 +3096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_profile": _q_contamination_profile,
     "corpus_diff": _q_corpus_diff,
     "dedup_keep_best": _q_dedup_keep_best,
+    "embedding_drift": _q_embedding_drift,
 }
 
 
@@ -5719,5 +5736,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
         FROM r WHERE rn = 1
+    """
+    # embedding_drift: label_centroids' rounded-mean machinery on both
+    # snapshot slices (odd side perturbed identically to the Spark
+    # query), cosine/L2 of the assembled centroids
+    oracles["embedding_drift"] = """
+        WITH vo AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id % 2 = 0
+        ), vn AS (
+            SELECT label,
+                   [x + 0.02 * label for x in CAST(embedding AS DOUBLE[])]
+                       AS e
+            FROM embeddings WHERE vec_id % 2 = 1
+        ), mo AS (
+            SELECT label, r.i AS pos,
+                   round(CAST(SUM(CAST(e[r.i] AS DECIMAL(27,12)))
+                              AS DOUBLE) / count(*), 6) AS m
+            FROM vo, UNNEST(range(1, len(e) + 1)) AS r(i)
+            GROUP BY label, r.i
+        ), mn AS (
+            SELECT label, r.i AS pos,
+                   round(CAST(SUM(CAST(e[r.i] AS DECIMAL(27,12)))
+                              AS DOUBLE) / count(*), 6) AS m
+            FROM vn, UNNEST(range(1, len(e) + 1)) AS r(i)
+            GROUP BY label, r.i
+        ), co AS (
+            SELECT label, list(m ORDER BY pos) AS c FROM mo GROUP BY 1
+        ), cn AS (
+            SELECT label, list(m ORDER BY pos) AS c FROM mn GROUP BY 1
+        ), counts_o AS (
+            SELECT label, count(*) AS n_old FROM vo GROUP BY 1
+        ), counts_n AS (
+            SELECT label, count(*) AS n_new FROM vn GROUP BY 1
+        )
+        SELECT coalesce(co.label, cn.label) AS label,
+               CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+               CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+               CASE WHEN co.c IS NOT NULL AND cn.c IS NOT NULL THEN
+                   round(list_cosine_similarity(co.c, cn.c), 6)
+               END AS cosine_drift,
+               CASE WHEN co.c IS NOT NULL AND cn.c IS NOT NULL THEN
+                   round(sqrt(list_dot_product(
+                       [co.c[i] - cn.c[i] for i in range(1, len(co.c) + 1)],
+                       [co.c[i] - cn.c[i] for i in range(1, len(co.c) + 1)]
+                   )), 6)
+               END AS l2_drift
+        FROM co FULL OUTER JOIN cn ON co.label = cn.label
+        LEFT JOIN counts_o ON counts_o.label = coalesce(co.label, cn.label)
+        LEFT JOIN counts_n ON counts_n.label = coalesce(co.label, cn.label)
     """
     return oracles

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "contamination_profile",
     "corpus_diff",
     "dedup_keep_best",
+    "embedding_drift",
 ]
 
 

@@ -283,6 +283,46 @@ def centroids_by(emb: DataFrame, by: str, vec_col: str = "embedding",
     return assembled.select(F.col(by), mean_arr.alias(out))
 
 
+def centroid_drift(old: DataFrame, new: DataFrame, by: str = "label",
+                   vec_col: str = "embedding",
+                   round_digits: int = 6) -> DataFrame:
+    """Per-group embedding-distribution drift between two snapshots:
+    (group, n_old, n_new, cosine_drift, l2_drift) over the groups'
+    exact centroids — the monitoring signal an ANN deployment tracks
+    to decide when the persisted IVF/PQ index needs a refit (cell
+    geometry goes stale when the distribution moves, not when rows
+    append). FULL OUTER on the group key so appearing/disappearing
+    groups surface (null drift, zero count on the missing side).
+
+    Cost shape: two ``centroids_by`` aggregates (shuffles on shrinking
+    (group, pos) data) + two tiny count aggregates + a groups-scale
+    join — the raw vectors never join, never broadcast, never reach
+    the driver.
+    """
+    from dotnetvectorsearch_spark.functions.vector import (
+        cosine_similarity)
+
+    co = centroids_by(old, by, vec_col, out="c_old",
+                      round_digits=round_digits)
+    cn = centroids_by(new, by, vec_col, out="c_new",
+                      round_digits=round_digits)
+    n_old = old.groupBy(by).agg(F.count(F.lit(1)).alias("n_old"))
+    n_new = new.groupBy(by).agg(F.count(F.lit(1)).alias("n_new"))
+    j = (co.join(cn, by, "full_outer")
+         .join(n_old, by, "left").join(n_new, by, "left"))
+    both = F.col("c_old").isNotNull() & F.col("c_new").isNotNull()
+    cos = F.when(both, F.round(
+        cosine_similarity("c_old", "c_new"), round_digits))
+    l2 = F.when(both, F.round(F.sqrt(F.aggregate(
+        F.zip_with("c_old", "c_new", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)), round_digits))
+    return j.select(
+        F.col(by),
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        cos.alias("cosine_drift"), l2.alias("l2_drift"))
+
+
 def _kmeans_fit_plain(sample: np.ndarray, n_codes: int, seed: int,
                       iters: int = 15) -> np.ndarray:
     """Seeded k-means++ WITHOUT unit-normalization (PQ subvectors are not

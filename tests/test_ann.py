@@ -225,6 +225,31 @@ def test_centroids_by_exact_mean(spark):
     assert out[2] == [2.0, 2.0]
 
 
+def test_centroid_drift_values_and_missing_groups(spark):
+    """Identical snapshots drift 0 (cosine 1); a known shift produces
+    the closed-form L2; groups on one side only surface with null
+    drift and a zero count on the missing side."""
+    import math
+    from pyspark.sql import Row
+    old = spark.createDataFrame([
+        Row(label=1, embedding=[1.0, 0.0]),
+        Row(label=1, embedding=[0.0, 1.0]),
+        Row(label=3, embedding=[1.0, 1.0])])       # disappears
+    new = spark.createDataFrame([
+        Row(label=1, embedding=[1.5, 0.5]),
+        Row(label=1, embedding=[0.5, 1.5]),        # centroid +0.5/dim
+        Row(label=9, embedding=[2.0, 0.0])])       # appears
+    out = {r.label: r for r in
+           A.centroid_drift(old, new, "label").collect()}
+    r1 = out[1]
+    assert (r1.n_old, r1.n_new) == (2, 2)
+    # old centroid (.5,.5) -> new (1,1): same direction, cosine 1
+    assert r1.cosine_drift == 1.0
+    assert r1.l2_drift == round(math.sqrt(0.25 + 0.25), 6)
+    assert (out[3].n_new, out[3].cosine_drift) == (0, None)
+    assert (out[9].n_old, out[9].l2_drift) == (0, None)
+
+
 def test_ivf_refine_improves_centroid_fit(emb, qvec):
     """Distributed Lloyd refinement must not worsen the mean cosine
     between vectors and their assigned centroid (Lloyd monotonicity,
