@@ -1850,7 +1850,14 @@ def _min_hits_to_flag(n_te: int, min_overlap: float) -> int:
     with Decimal so the two kernels agree on every boundary)."""
     from decimal import ROUND_HALF_UP, Decimal
     q = Decimal("0.000001")
-    for k in range(max(1, int(min_overlap * n_te) - 1), n_te + 1):
+    # Scan start must be <= the true threshold. round(k/n,6) >=
+    # min_overlap can hold while k/n is up to half a rounding quantum
+    # (5e-7) BELOW min_overlap, so the safe lower bound is
+    # n*(min_overlap - 5e-7); int()-2 gives slack for the float
+    # products themselves. The old int(min_overlap*n)-1 start was only
+    # safe while 5e-7*n < 1 (n < ~2M distinct shingles) — advisor r10.
+    start = max(1, int(n_te * (min_overlap - 5e-7)) - 2)
+    for k in range(start, n_te + 1):
         r = float(Decimal(k / n_te).quantize(q, rounding=ROUND_HALF_UP))
         if r >= min_overlap:
             return k
@@ -1946,16 +1953,18 @@ def decontaminate(train: DataFrame, test: DataFrame,
     changes the result set.
     """
     if broadcast_max_postings is not None:
-        memo_key = _decon_memo_key(test, shingle_n)
-        with _DECON_IDX_LOCK:
-            memo_hit = memo_key is not None and \
-                memo_key in _DECON_IDX_MEMO
-        if memo_hit or _decon_index_fits(test, text_col, shingle_n,
-                                         broadcast_max_postings):
-            return _decontaminate_broadcast(train, test, id_col,
-                                            text_col, shingle_n,
-                                            min_overlap,
-                                            memo_key=memo_key)
+        memo_key = _decon_memo_key(test, shingle_n, text_col)
+        try:
+            # budget enforcement happens INSIDE _ensure_decon_index,
+            # atomically with the memo lookup/build (advisor r10: a
+            # separate pre-check raced FIFO eviction — the index could
+            # be rebuilt unguarded between check and build)
+            return _decontaminate_broadcast(
+                train, test, id_col, text_col, shingle_n, min_overlap,
+                memo_key=memo_key,
+                max_postings=broadcast_max_postings)
+        except DeconBudgetExceeded:
+            pass  # route to the guarded distributed join below
     train = transient_persist(train)
     bad = (cross_corpus_contamination(train, test, id_col, text_col,
                                       shingle_n, min_overlap,
@@ -1965,7 +1974,7 @@ def decontaminate(train: DataFrame, test: DataFrame,
 
 
 # Postings-index memo: (test-plan semanticHash, test input-file
-# fingerprint, shingle_n, min_overlap) -> (broadcast handle, n_test).
+# fingerprint, shingle_n, text_col) -> (broadcast handle, n_test).
 # The eval side of decontamination is reused across every query of a
 # session (curated_corpus, decontaminated_docs and training_shards all
 # decontaminate against the same split), so the collect + broadcast is
@@ -1993,21 +2002,21 @@ def _decon_index_stats(test: DataFrame, text_col: str,
     return postings, grams, postings * 4 + grams * 80
 
 
-def _decon_index_fits(test: DataFrame, text_col: str, shingle_n: int,
-                      max_postings: int,
-                      max_bytes: int =
-                      DECONTAMINATE_BROADCAST_MAX_BYTES) -> bool:
-    postings, _, est_bytes = _decon_index_stats(test, text_col,
-                                                shingle_n)
-    return postings <= max_postings and est_bytes <= max_bytes
+class DeconBudgetExceeded(ValueError):
+    """The eval side's shingle postings index is too large to collect
+    and broadcast. ``decontaminate`` catches this and reroutes to the
+    guarded distributed gram join; dial/streaming callers propagate it
+    (the message carries the reroute advice)."""
 
 
-def _decon_memo_key(test: DataFrame, shingle_n: int):
+def _decon_memo_key(test: DataFrame, shingle_n: int, text_col: str):
     """Memo key for the eval postings index; None when the plan/input
     identity cannot be established (never memoize blind). min_overlap
     is NOT part of the key — thresholds are derived worker-side, so
     the enforcement queries and the overlap dial share one index per
-    (eval set, shingle_n)."""
+    (eval set, shingle_n, text_col). text_col IS part of the key: the
+    postings are built from that column, and one eval frame can carry
+    several text columns (advisor r10)."""
     try:
         sem = test._jdf.queryExecution().analyzed().semanticHash()
         fp = _input_fingerprint(test)
@@ -2015,17 +2024,40 @@ def _decon_memo_key(test: DataFrame, shingle_n: int):
         return None
     if fp is None:
         return None
-    return (sem, fp, shingle_n)
+    return (sem, fp, shingle_n, text_col)
 
 
 def _ensure_decon_index(spark_df: DataFrame, test: DataFrame,
-                        text_col: str, shingle_n: int, memo_key):
+                        text_col: str, shingle_n: int, memo_key,
+                        max_postings: int | None = None,
+                        max_bytes: int =
+                        DECONTAMINATE_BROADCAST_MAX_BYTES):
     """Build-or-fetch the broadcast eval postings index: returns
     (broadcast handle, n_test). Memoized per memo_key (None = never
-    memoize); evicted/raced broadcasts are unpersisted."""
+    memoize); evicted/raced broadcasts are unpersisted.
+
+    When ``max_postings`` is set and the memo misses, the postings/byte
+    budget is checked HERE — atomically with the build decision — and
+    a :class:`DeconBudgetExceeded` is raised past it. A memo hit skips
+    the check (the index already exists; using it costs nothing new).
+    """
     with _DECON_IDX_LOCK:
         hit = _DECON_IDX_MEMO.get(memo_key) if memo_key else None
     if hit is None:
+        if max_postings is not None:
+            postings, _, est_bytes = _decon_index_stats(
+                test, text_col, shingle_n)
+            if postings > max_postings or est_bytes > max_bytes:
+                raise DeconBudgetExceeded(
+                    f"eval side carries {postings:,} shingle postings "
+                    f"(~{est_bytes // 2**20} MB index; budget "
+                    f"{max_postings:,} postings / "
+                    f"{max_bytes // 2**20} MB): too large to "
+                    f"broadcast. Use the guarded distributed "
+                    f"formulation (cross_corpus_contamination; for "
+                    f"the dial: min_overlap=~0 + "
+                    f"groupBy(train_id).max(overlap)) or raise the "
+                    f"budget explicitly")
         grams2id, indptr, post, n_te = _test_postings_index(
             test, text_col, shingle_n)
         bc = spark_df.sparkSession.sparkContext.broadcast(
@@ -2057,13 +2089,17 @@ def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
                              id_col: str, text_col: str,
                              shingle_n: int,
                              min_overlap: float,
-                             memo_key=None) -> DataFrame:
+                             memo_key=None,
+                             max_postings: int | None = None) -> DataFrame:
     """The map-side decontamination kernel: broadcast test postings,
-    filter train with a vectorized contaminated() pandas UDF."""
+    filter train with a vectorized contaminated() pandas UDF. Raises
+    :class:`DeconBudgetExceeded` when ``max_postings`` is set, the
+    memo misses, and the eval side exceeds the budget."""
     import numpy as np
 
     bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
-                                     memo_key)
+                                     memo_key,
+                                     max_postings=max_postings)
 
     @F.pandas_udf("boolean")
     def contaminated(
@@ -2117,26 +2153,10 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
     """
     import numpy as np
 
-    memo_key = _decon_memo_key(test, shingle_n)
-    with _DECON_IDX_LOCK:
-        memo_hit = memo_key is not None and memo_key in _DECON_IDX_MEMO
-    if broadcast_max_postings is not None and not memo_hit:
-        postings, _, est_bytes = _decon_index_stats(test, text_col,
-                                                    shingle_n)
-        if postings > broadcast_max_postings or \
-                est_bytes > DECONTAMINATE_BROADCAST_MAX_BYTES:
-            raise ValueError(
-                f"max_eval_overlap eval side carries {postings:,} "
-                f"shingle postings (~{est_bytes // 2**20} MB index; "
-                f"budget {broadcast_max_postings:,} postings / "
-                f"{DECONTAMINATE_BROADCAST_MAX_BYTES // 2**20} MB): "
-                f"too large to broadcast. Use "
-                f"cross_corpus_contamination(min_overlap=~0) + "
-                f"groupBy(train_id).max(overlap) — the guarded "
-                f"distributed formulation — or raise the budget "
-                f"explicitly")
-    bc, n_test = _ensure_decon_index(train, test, text_col, shingle_n,
-                                     memo_key)
+    memo_key = _decon_memo_key(test, shingle_n, text_col)
+    bc, n_test = _ensure_decon_index(
+        train, test, text_col, shingle_n, memo_key,
+        max_postings=broadcast_max_postings)
 
     @F.pandas_udf("double")
     def overlap_max(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

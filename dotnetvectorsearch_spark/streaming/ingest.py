@@ -111,7 +111,9 @@ def stream_clean(docs: DataFrame, quality_floor: float = 0.4,
 
 def stream_decontaminate(docs: DataFrame, eval_docs: DataFrame,
                          text_col: str = "text", shingle_n: int = 3,
-                         min_overlap: float = 0.5) -> DataFrame:
+                         min_overlap: float = 0.5,
+                         broadcast_max_postings: int | None = None
+                         ) -> DataFrame:
     """Streaming eval-set decontamination gate: drop every streamed doc
     whose shingles cover >= ``min_overlap`` of any eval doc — the
     ingest-time twin of the batch ``decontaminate`` enforcement (same
@@ -128,15 +130,28 @@ def stream_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     the trigger rate; a changed eval set means redefining the stream
     (restart the query), which is the correct semantics for a
     versioned benchmark suite.
+
+    The eval side is subject to the same postings/byte budget as the
+    batch kernel (``broadcast_max_postings``; None = the module
+    default): past it this raises :class:`DeconBudgetExceeded` at
+    stream DEFINITION time with reroute advice, instead of silently
+    collecting an unbounded index onto the driver (advisor r10). There
+    is no distributed fallback on a stream — an eval set past the
+    budget is not a broadcastable gate; decontaminate it in the batch
+    compaction pass instead.
     """
     from ..operators.dedup import (
+        DECONTAMINATE_BROADCAST_MAX_POSTINGS,
         _decon_memo_key,
         _decontaminate_broadcast,
     )
-    memo_key = _decon_memo_key(eval_docs, shingle_n)
+    if broadcast_max_postings is None:
+        broadcast_max_postings = DECONTAMINATE_BROADCAST_MAX_POSTINGS
+    memo_key = _decon_memo_key(eval_docs, shingle_n, text_col)
     return _decontaminate_broadcast(docs, eval_docs, "doc_id",
                                     text_col, shingle_n, min_overlap,
-                                    memo_key=memo_key)
+                                    memo_key=memo_key,
+                                    max_postings=broadcast_max_postings)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -1129,3 +1129,47 @@ def test_lsh_neardup_strategies_agree(spark, sf_dir, monkeypatch):
         want = sorted(full_by_a[ia],
                       key=lambda t: (-t[1], t[0]))[:2]
         assert sorted(kept, key=lambda t: (-t[1], t[0])) == want, ia
+
+
+def test_min_hits_to_flag_safe_past_2m_shingles():
+    """At n_te >= ~2M the old scan start int(m*n)-1 could overshoot the
+    true HALF_UP threshold by one (advisor r10). At n=5M, m=0.5 the
+    smallest flagging k is 2,499,998 (0.4999996 rounds UP to 0.500000);
+    the old start of 2,499,999 skipped it."""
+    assert D._min_hits_to_flag(5_000_000, 0.5) == 2_499_998
+
+
+def test_decon_memo_key_and_index_are_per_text_col(spark):
+    """One eval frame, two text columns: the broadcast postings index
+    must be keyed (and built) per text_col — a second call on another
+    column must not silently filter against the first column's index
+    (advisor r10, medium)."""
+    phrase = "alpha beta gamma delta epsilon"
+    test = spark.createDataFrame(
+        [Row(doc_id=9, text=phrase, alt="one two three four five")])
+    k_text = D._decon_memo_key(test, 3, "text")
+    k_alt = D._decon_memo_key(test, 3, "alt")
+    if k_text is not None or k_alt is not None:
+        assert k_text != k_alt
+    train = spark.createDataFrame([Row(doc_id=1, text=phrase, alt=phrase)])
+    # call 1 (text): train.text == test.text -> dropped; memoizes index
+    assert D.decontaminate(train, test, text_col="text",
+                           min_overlap=0.5).count() == 0
+    # call 2 (alt): train.alt == test.TEXT but shares nothing with
+    # test.alt -> must be KEPT. A stale text-column index drops it.
+    kept = D.decontaminate(train, test, text_col="alt",
+                           min_overlap=0.5).count()
+    assert kept == 1
+
+
+def test_stream_decontaminate_enforces_postings_budget(spark):
+    """The streaming gate must run the same postings/byte budget as the
+    batch kernel before collecting the eval index (advisor r10) — and
+    raise at definition time, since a stream has no join fallback."""
+    from dotnetvectorsearch_spark.streaming.ingest import stream_decontaminate
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta")])
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=9, text="alpha beta gamma delta epsilon zeta")])
+    with pytest.raises(ValueError, match="postings"):
+        stream_decontaminate(docs, eval_docs, broadcast_max_postings=1)
