@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     "corpus_diff",
     "dedup_keep_best",
     "embedding_drift",
+    # round 11: recall-targeted nprobe auto-tuning curve over the
+    # persisted IVF index (one exact scan derives the whole curve),
+    # and the composed daily-incremental-ingest capstone (CDC ->
+    # dedup gate -> decontamination gate -> index-add manifest)
+    "ann_nprobe_tuning",
+    "incremental_corpus_update",
 ]
 
 

@@ -2210,6 +2210,62 @@ def corpus_diff(old: DataFrame, new: DataFrame,
             .select(F.col(id_col), status.alias("status")))
 
 
+def incremental_update_manifest(old: DataFrame, new: DataFrame,
+                                eval_docs: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                shingle_n: int = 3,
+                                min_overlap: float = 0.2) -> DataFrame:
+    """Daily-incremental-ingest decision manifest: one row per doc id
+    in either snapshot with (id, status, action) —
+
+      * ``retire``            — status ``removed``: doc left the corpus
+      * ``keep``              — ``unchanged``: never re-fingerprinted,
+                                re-embedded or re-indexed; the
+                                overwhelmingly-largest slice costs ZERO
+      * ``skip_duplicate``    — added/changed doc whose normalized
+                                fingerprint already exists among the
+                                retained unchanged docs, or that loses
+                                the in-batch keep-first (min id) race
+      * ``skip_contaminated`` — dedup survivor whose shingles cover
+                                >= ``min_overlap`` of any eval doc
+                                (same broadcast postings kernel +
+                                HALF_UP rounding as ``decontaminate``)
+      * ``index_add``         — embed + append to the serving index
+                                (``streaming.stream_index_append``)
+
+    Scale shape: CDC and the dedup gate shuffle only (id, 32-byte md5)
+    projections; the contamination gate is the zero-shuffle map-side
+    bincount kernel over ONLY the added+changed candidates, never the
+    standing corpus; ``keep`` rows exit after the fingerprint join.
+    """
+    d = transient_persist(
+        corpus_diff(old, new, id_col, text_col)
+        .join(new.select(F.col(id_col),
+                         fingerprint(text_col).alias("__fp"),
+                         F.col(text_col)),
+              id_col, "left"))              # removed rows: null fp/text
+    standing = (d.filter(F.col("status") == "unchanged")
+                .select("__fp").distinct())
+    cand = d.filter(F.col("status").isin("added", "changed"))
+    first = cand.groupBy("__fp").agg(F.min(id_col).alias("__first"))
+    surv = (cand.join(first, "__fp")
+            .filter(F.col(id_col) == F.col("__first"))
+            .join(standing, "__fp", "left_anti")
+            .select(F.col(id_col), F.col(text_col)))
+    ov = max_eval_overlap(surv, eval_docs, id_col, text_col, shingle_n)
+    action = (F.when(F.col("status") == "removed", "retire")
+              .when(F.col("status") == "unchanged", "keep")
+              .when(F.col("max_overlap").isNull(), "skip_duplicate")
+              .when(F.col("max_overlap") >= min_overlap,
+                    "skip_contaminated")
+              .otherwise("index_add"))
+    return (d.select(F.col(id_col), F.col("status"))
+            .join(ov, id_col, "left")
+            .select(F.col(id_col), F.col("status"),
+                    action.alias("action")))
+
+
 # ---------------------------------------------------- fuzzy (edit-distance)
 
 

@@ -108,3 +108,82 @@ def test_registry_serve_queries(spark, sf_dir, store_root, monkeypatch):
         got = _ids(qs[serve](spark, sf_dir))
         expect = _ids(qs[topk](spark, sf_dir))
         assert got == expect, (serve, got, expect)
+
+
+@pytest.fixture(scope="module")
+def ivf_and_panel(spark, sf_dir, store_root):
+    path, _ = ann_store.ensure_index(spark, sf_dir, "ivf",
+                                     root=store_root)
+    idx, rows = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = [(r.vec_id, list(r.embedding)) for r in
+             emb.filter("vec_id % 25 = 7")
+             .select("vec_id", "embedding").collect()]
+    return idx, rows.persist(), panel
+
+
+def test_nprobe_recall_curve_monotone_and_exact_at_full_probe(
+        ivf_and_panel):
+    idx, rows, panel = ivf_and_panel
+    curve = ann_store.nprobe_recall_curve(idx, rows, panel, k=10)
+    assert sorted(curve) == list(range(1, idx.n_cells + 1))
+    vals = [curve[p] for p in sorted(curve)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))  # monotone
+    assert vals[-1] == 1.0       # full probe == exact scan
+    assert vals[0] < 1.0         # sanity: nprobe=1 actually loses
+
+
+def test_nprobe_recall_curve_matches_direct_ivf_measurement(
+        spark, ivf_and_panel):
+    """The one-scan closed form must equal recall measured by actually
+    running the IVF serve (ivf_topk_panel) at each probe setting."""
+    from dotnetvectorsearch_spark.operators.ann import (
+        IVFIndex as IVF, ivf_topk_panel)
+    from dotnetvectorsearch_spark.operators.search import (
+        topk_per_query_arrow)
+    idx, rows, panel = ivf_and_panel
+    curve = ann_store.nprobe_recall_curve(idx, rows, panel, k=10)
+    exact_sets: dict[int, set] = {}
+    exact = topk_per_query_arrow(rows, panel, k=10, round_digits=6,
+                                 exclude_self=True)
+    for r in exact.select("qid", "vec_id").collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for p in (1, 2, idx.n_cells // 2, idx.n_cells):
+        probe = IVF(n_cells=idx.n_cells, nprobe=p, seed=idx.seed)
+        probe.centroids = idx.centroids
+        tk = ivf_topk_panel(rows, probe, panel, k=10,
+                            exclude_self=True, round_digits=6)
+        got: dict[int, set] = {}
+        for r in tk.select("qid", "vec_id").collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        rec = sum(len(got.get(q, set()) & s) / 10
+                  for q, s in exact_sets.items()) / len(exact_sets)
+        assert round(rec, 4) == curve[p], (p, rec, curve[p])
+
+
+def test_choose_nprobe_picks_smallest_meeting_target(ivf_and_panel):
+    idx, rows, panel = ivf_and_panel
+    chosen, curve = ann_store.choose_nprobe(idx, rows, panel,
+                                            target_recall=0.9, k=10)
+    assert curve[chosen] >= 0.9
+    assert all(curve[p] < 0.9 for p in curve if p < chosen)
+    # unreachable target -> full probe (exact) fallback
+    full, _ = ann_store.choose_nprobe(idx, rows, panel,
+                                      target_recall=1.01, k=10)
+    assert full == idx.n_cells
+
+
+def test_ann_nprobe_tuning_registry_query(spark, sf_dir, store_root,
+                                          monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", store_root)
+    import __spark_entry__ as entry
+    rows = entry.queries()["ann_nprobe_tuning"](spark, sf_dir).collect()
+    by_p = {r.nprobe: r for r in rows}
+    assert len(rows) == len(by_p) > 0
+    chosen = [r for r in rows if r.chosen]
+    assert len(chosen) == 1
+    c = chosen[0]
+    # the chosen point meets the 0.9 target unless it's the full-probe
+    # fallback; nothing smaller meets it
+    assert c.recall_at_10 >= 0.9 or c.nprobe == max(by_p)
+    assert all(r.recall_at_10 < 0.9 for r in rows if r.nprobe < c.nprobe)

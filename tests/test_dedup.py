@@ -1173,3 +1173,39 @@ def test_stream_decontaminate_enforces_postings_budget(spark):
         [Row(doc_id=9, text="alpha beta gamma delta epsilon zeta")])
     with pytest.raises(ValueError, match="postings"):
         stream_decontaminate(docs, eval_docs, broadcast_max_postings=1)
+
+
+def test_incremental_update_manifest_all_actions(spark):
+    """Planted snapshot pair exercising every action: retire (left the
+    corpus), keep (unchanged), skip_duplicate (fingerprint twin of a
+    standing doc AND an in-batch keep-first loser), skip_contaminated
+    (covers an eval doc), index_add (clean survivor)."""
+    base = "alpha beta gamma delta epsilon zeta"
+    clean = "completely novel words about some fresh topic entirely"
+    clean2 = "another brand new document with different clean content"
+    evalt = "the secret held out benchmark prompt text"
+    old = spark.createDataFrame([
+        Row(doc_id=1, text=base),        # stays unchanged
+        Row(doc_id=2, text="doomed doc text leaving the corpus now"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=1, text=base),                    # keep
+        Row(doc_id=3, text="  " + base.upper()),     # dup of standing 1
+        Row(doc_id=4, text=clean),                   # index_add
+        Row(doc_id=5, text=clean2),                  # in-batch first
+        Row(doc_id=6, text=clean2 + " "),            # in-batch loser
+        Row(doc_id=7, text=evalt),                   # contaminated
+    ])
+    eval_docs = spark.createDataFrame([Row(doc_id=90, text=evalt)])
+    got = {r.doc_id: (r.status, r.action) for r in
+           D.incremental_update_manifest(
+               old, new, eval_docs, min_overlap=0.2).collect()}
+    assert got == {
+        1: ("unchanged", "keep"),
+        2: ("removed", "retire"),
+        3: ("added", "skip_duplicate"),
+        4: ("added", "index_add"),
+        5: ("added", "index_add"),
+        6: ("added", "skip_duplicate"),
+        7: ("added", "skip_contaminated"),
+    }

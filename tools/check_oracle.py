@@ -147,6 +147,17 @@ ROWS_ONLY_REASON: dict[str, str] = {
     "ann_ivfpq_serve": (
         "same as ann_ivf_serve for the IVF+PQ tier (test_ann_store.py)"),
     "ann_ivfpq_recall": "same as ann_pq_recall for the IVF+PQ tier",
+    "ann_quality_ivf": (
+        "retrieval metrics of the persisted IVF index's serve ranking "
+        "— k-means serve state, not SQL-expressible; metric "
+        "invariants (metrics_from_topk == retrieval_metrics on the "
+        "exact ranking, batched panel == per-query search, full-probe "
+        "IVF == exact) pinned in tests/test_retrieval_eval.py"),
+    "ann_nprobe_tuning": (
+        "recall-vs-nprobe curve over k-means centroid state, not "
+        "SQL-expressible; closed form == direct ivf_topk_panel "
+        "measurement, monotonicity, and smallest-meeting-target "
+        "choice pinned in tests/test_ann_store.py"),
     "ann_ivfpq_coding_gain": (
         "residual-vs-raw PQ MSE comparison over trained codebooks; "
         "gain invariant pinned in tests/test_ann.py"),
