@@ -2478,10 +2478,18 @@ def _bloom_probe_keep(new_docs: DataFrame, known: DataFrame,
     might_contain = might_contain.asNondeterministic()
     winners = (new_docs.select(F.col(id_col), fp_expr)
                .groupBy("fp").agg(F.min(id_col).alias(id_col)))
-    probed = winners.withColumn(
+    # persist the probed sliver: the keep-set is the UNION of the
+    # ~maybe branch and the anti-joined maybe branch, and without a
+    # materialization boundary BOTH branches re-execute the batch
+    # scan + keep-first aggregate + Python probe (measured: 2
+    # ArrowEvalPython / 6 scans in the plan; ~2x the serve cost at
+    # sf1). The persisted frame is (id, fp, bool) over ONE ingest
+    # batch — trigger-sized by construction, never corpus-sized.
+    probed = transient_persist(winners.withColumn(
         "__maybe",
         might_contain(F.xxhash64(F.col("fp")),
-                      F.xxhash64(F.concat(F.col("fp"), F.lit("§bloom")))))
+                      F.xxhash64(F.concat(F.col("fp"),
+                                          F.lit("§bloom"))))))
     definitely_new = probed.filter(~F.col("__maybe")).select(id_col)
     checked = (probed.filter(F.col("__maybe")).select(id_col, "fp")
                .join(known, "fp", "left_anti").select(id_col))

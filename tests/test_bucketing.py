@@ -53,3 +53,42 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # grouping key == bucket key: no shuffle
     assert agg.count() > 0
+
+
+def test_corpus_diff_bucketed_snapshots_no_exchange(spark, sf_dir,
+                                                    tmp_path):
+    """Snapshot CDC on id-bucketed snapshot layouts is shuffle-free:
+    corpus_diff's narrow (id, fingerprint) projections preserve the
+    bucket partitioning, so the full-outer equi-join plans with NO
+    Exchange — the zero-shuffle layout dedup.corpus_diff's docstring
+    promises, and the ingest pattern for daily 100 TB snapshot pairs
+    (pay the id-shuffle once at snapshot write, never per diff)."""
+    from dotnetvectorsearch_spark.operators.dedup import corpus_diff
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cdb LOCATION '{tmp_path}/cdb'")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 11 == 0,
+                       F.concat(F.col("text"), F.lit(" edited v2")))
+        .otherwise(F.col("text")))
+    try:
+        write_bucketed(old, "cdb.snap_old", "doc_id", n_buckets=8,
+                       sort_col="doc_id")
+        write_bucketed(new, "cdb.snap_new", "doc_id", n_buckets=8,
+                       sort_col="doc_id")
+        d = corpus_diff(spark.table("cdb.snap_old"),
+                        spark.table("cdb.snap_new"))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan         # full outer, co-bucketed
+        # same result as the plain-layout diff
+        got = {(r.doc_id, r.status) for r in d.collect()}
+        want = {(r.doc_id, r.status)
+                for r in corpus_diff(old, new).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.snap_old")
+        spark.sql("DROP TABLE IF EXISTS cdb.snap_new")
+        spark.sql("DROP DATABASE IF EXISTS cdb")

@@ -904,6 +904,11 @@ def test_bloom_store_serve_equals_build_in_query(spark, sf_dir,
                                         ids_only=True)
     assert ids_df.columns == ["doc_id"]
     assert {r.doc_id for r in ids_df.collect()} == served
+    # the keep-set union's branches must share ONE materialized probe
+    # pass (r11: without the boundary both branches re-ran the batch
+    # scan + keep-first agg + Python probe — measured 2x serve cost)
+    assert "InMemoryTableScan" in (
+        ids_df._jdf.queryExecution().executedPlan().toString())
     # fresh store: second ensure is a no-op
     _, built2 = ds.ensure_bloom_store(spark, sf_dir,
                                       root=str(tmp_path))
