@@ -2116,13 +2116,20 @@ def _decontaminate_broadcast(train: DataFrame, test: DataFrame,
                     continue
                 hits = np.concatenate(
                     [pst[ptr[g]:ptr[g + 1]] for g in gids])
-                # unique over the hit list, NOT bincount(minlength=
-                # n_test): per-doc cost O(hits log hits) instead of an
-                # O(n_test) array allocation per train doc — at a 250k-
-                # doc eval suite the bincount form allocated 2 MB per
-                # train doc and dominated the sf100 kernel pass (r11)
-                t_idx, cnt = np.unique(hits, return_counts=True)
-                out[i] = bool(np.any(cnt >= thr[t_idx]))
+                # Hybrid counting, chosen per doc by a cost model
+                # (measured crossover ~16x, r11): sparse hit lists
+                # (real corpora — diverse vocab, few eval docs share a
+                # doc's grams) count via O(hits log hits) np.unique;
+                # dense ones (this synthetic 31-word vocabulary, where
+                # hot grams make hits ~ n_test/5) via the O(n_test)
+                # bincount, whose memset+scatter beats a sort there.
+                # Identical flags either way.
+                if hits.size * 16 < n_test:
+                    t_idx, cnt = np.unique(hits, return_counts=True)
+                    out[i] = bool(np.any(cnt >= thr[t_idx]))
+                else:
+                    counts = np.bincount(hits, minlength=n_test)
+                    out[i] = bool(np.any(counts >= thr))
             yield pd.Series(out)
 
     # plan fence (same doctrine as the bloom probe): a deterministic
@@ -2176,12 +2183,14 @@ def max_eval_overlap(train: DataFrame, test: DataFrame,
                     continue
                 hits = np.concatenate(
                     [pst[ptr[g]:ptr[g + 1]] for g in gids])
-                # O(hits log hits) unique, not an O(n_test) bincount
-                # allocation per doc (see `contaminated` above); docs
-                # sharing nothing with a test doc contribute ratio 0,
-                # which never raises the max
-                t_idx, cnt = np.unique(hits, return_counts=True)
-                out[i] = float(np.max(cnt / n_te[t_idx]))
+                # same hybrid cost model as `contaminated`; unshared
+                # test docs contribute ratio 0, never raising the max
+                if hits.size * 16 < n_test:
+                    t_idx, cnt = np.unique(hits, return_counts=True)
+                    out[i] = float(np.max(cnt / n_te[t_idx]))
+                else:
+                    counts = np.bincount(hits, minlength=n_test)
+                    out[i] = float(np.max(counts / n_te))
             yield pd.Series(np.floor(out * 1e6 + 0.5) / 1e6)
 
     overlap_max = overlap_max.asNondeterministic()
