@@ -311,15 +311,18 @@ def test_incremental_bloom_probe_stays_off_the_corpus_side(spark, sf_dir):
     a deterministic probe gets (a) pushed below the keep-first
     aggregate into both union branches (batch scanned + probed twice)
     and (b) constraint-INFERRED onto the anti-join's corpus side — a
-    full-corpus Python pass that is catastrophic at scale. Pin the
-    fenced shape: exactly one Arrow probe, the two (runtime-reused)
-    keep-first exchanges and nothing else, and no global sort."""
+    full-corpus Python pass that is catastrophic at scale. r11
+    additionally persists the probed sliver, so the keep-set union's
+    two branches share ONE materialized probe instead of re-running
+    the scan + keep-first agg + probe per branch (was 2 ArrowEvalPython
+    / 2 exchanges). Pin the shape: exactly one Arrow probe and one
+    keep-first exchange, both branches reading the cache, no probe on
+    the corpus side, and no global sort."""
     import re
     plan = _plan(spark, sf_dir, "incremental_dedup_bloom")
-    # one probe node per union branch, both on the DEDUPED batch side;
-    # the pre-fence bug shape had a third on the corpus scan (formatted
-    # mode lists each node twice — count the numbered detail headers)
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
-    assert plan.count("Arguments: hashpartitioning") == 2
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    # the shared materialization boundary: one cached probe, two reads
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 2
     assert "rangepartitioning" not in plan.lower()
     assert "BatchEvalPython" not in plan
