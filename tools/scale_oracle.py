@@ -331,18 +331,20 @@ def _write_md(results: dict, timeout_s: float) -> None:
         "",
         "Floor classification of the >2x rows (r10 verdict #2 — the "
         "formal bound, so the letter stops re-litigating): "
-        "`incremental_dedup_bloom` is SERVE-FLOOR-BOUND. Its remaining "
-        "warm time decomposes as ~0.12s bare scan+toPandas of the same "
-        "10k-row batch (measured; i.e. DuckDB's ENTIRE 0.13s runtime "
-        "~= Spark's bare collect floor on this machine) + the "
-        "keep-first exchange + one Arrow probe round-trip; r10 "
-        "measured a persist variant as a negative result (reverted), "
-        "r11 removed the duplicated probe pass (the union's branches "
-        "now share one materialized probe — 2x serve win, "
-        "InMemoryTableScan pinned in test_dedup), and what is left is "
-        "fixed per-job cost that AMORTIZES with batch size — the "
-        "decade rows are near-flat while DuckDB's grow with the "
-        "corpus. `corpus_diff`'s scale path is the doc_id-BUCKETED "
+        "`incremental_dedup_bloom` is SERVE-FLOOR-BOUND. Its warm "
+        "time decomposes as ~0.12s bare scan+toPandas of the same "
+        "10k-row batch (measured; i.e. DuckDB's ENTIRE runtime on "
+        "this row ~= Spark's bare collect floor on this machine) + "
+        "the keep-first exchange + one Arrow probe round-trip + the "
+        "probe-sliver cache build; the absolute wobbles 0.4-0.9s with "
+        "session page-cache state while the engine work inside it is "
+        "fixed per-JOB, not per-row — the decade rows are near-flat "
+        "while DuckDB's grow with the corpus. r10 measured a persist-"
+        "the-corpus variant as a negative result (reverted); r11 "
+        "removed the duplicated probe pass (the union's branches now "
+        "share one materialized probe — 2x serve win in same-session "
+        "A/B, single ArrowEvalPython + single exchange pinned in "
+        "test_plans). `corpus_diff`'s scale path is the doc_id-BUCKETED "
         "snapshot layout (zero-Exchange full-outer plan pinned in "
         "test_bucketing; measured warm 0.35s at this tier vs 0.49-0.79s "
         "plain = ~1.4x of the DuckDB row, inside the 2x gate) at a "
