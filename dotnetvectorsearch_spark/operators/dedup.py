@@ -2037,12 +2037,36 @@ def _ensure_decon_index(spark_df: DataFrame, test: DataFrame,
     memoize); evicted/raced broadcasts are unpersisted.
 
     When ``max_postings`` is set and the memo misses, the postings/byte
-    budget is checked HERE — atomically with the build decision — and
-    a :class:`DeconBudgetExceeded` is raised past it. A memo hit skips
-    the check (the index already exists; using it costs nothing new).
+    budget is checked HERE, on the same code path as the build — no
+    window where a budget check passes and a different, larger index
+    gets built. The check-and-build is per CALLER, not globally
+    locked: two concurrent first callers each pay the stats job +
+    postings build + broadcast, and ``setdefault`` reconciles — the
+    loser's broadcast is unpersisted, so the race costs duplicated
+    work once, never a leak (a per-key build lock isn't worth
+    serializing every cold call for). A memo hit skips the check (the
+    index already exists; using it costs nothing new — but see
+    ``stream_decontaminate``'s note on passing a STRICTER budget than
+    the one the index was memoized under).
     """
     with _DECON_IDX_LOCK:
         hit = _DECON_IDX_MEMO.get(memo_key) if memo_key else None
+    if hit is not None and max_postings is not None:
+        # A memo hit skips the BUILD, not the caller's budget: a
+        # stream defined with a STRICTER budget than the batch call
+        # that populated the memo must still refuse (advisor r11) —
+        # the postings count is read off the live broadcast value,
+        # no stats job. (The byte estimate is not re-derived on a
+        # hit; the postings count is the budget's primary axis.)
+        n_post = len(hit[0].value[2])
+        if n_post > max_postings:
+            raise DeconBudgetExceeded(
+                f"eval side carries {n_post:,} shingle postings — "
+                f"over this caller's budget of {max_postings:,} "
+                f"(the index was memoized under a looser budget). "
+                f"Use the guarded distributed formulation "
+                f"(cross_corpus_contamination) or raise the budget "
+                f"explicitly")
     if hit is None:
         if max_postings is not None:
             postings, _, est_bytes = _decon_index_stats(
@@ -2228,12 +2252,38 @@ def corpus_diff(old: DataFrame, new: DataFrame,
             .select(F.col(id_col), status.alias("status")))
 
 
+def _cdc_attach(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """CDC status + new-side (fingerprint, text) attach as ONE
+    full-outer join of two narrow projections — `new` is normalized
+    and md5'd exactly once, and the joined row carries everything the
+    downstream ingest gates need (removed rows: null fp/text). On
+    id-bucketed snapshot layouts this plans with ZERO Exchange
+    (pinned in tests/test_bucketing.py), the same layout win
+    `corpus_diff` measures — pay the snapshot shuffle at write time,
+    never per ingest run."""
+    n_proj = new.select(F.col(id_col),
+                        fingerprint(text_col).alias("__fp"),
+                        F.col(text_col))
+    o_proj = old.select(F.col(id_col),
+                        fingerprint(text_col).alias("__fp_o"))
+    status = (F.when(F.col("__fp").isNull(), "removed")
+              .when(F.col("__fp_o").isNull(), "added")
+              .when(F.col("__fp_o") == F.col("__fp"), "unchanged")
+              .otherwise("changed"))
+    return (o_proj.join(n_proj, id_col, "full_outer")
+            .select(F.col(id_col), status.alias("status"),
+                    F.col("__fp"), F.col(text_col)))
+
+
 def incremental_update_manifest(old: DataFrame, new: DataFrame,
                                 eval_docs: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
                                 shingle_n: int = 3,
-                                min_overlap: float = 0.2) -> DataFrame:
+                                min_overlap: float = 0.2,
+                                broadcast_delta: bool = True) -> DataFrame:
     """Daily-incremental-ingest decision manifest: one row per doc id
     in either snapshot with (id, status, action) —
 
@@ -2252,24 +2302,45 @@ def incremental_update_manifest(old: DataFrame, new: DataFrame,
       * ``index_add``         — embed + append to the serving index
                                 (``streaming.stream_index_append``)
 
-    Scale shape: CDC and the dedup gate shuffle only (id, 32-byte md5)
-    projections; the contamination gate is the zero-shuffle map-side
-    bincount kernel over ONLY the added+changed candidates, never the
-    standing corpus; ``keep`` rows exit after the fingerprint join.
+    Scale shape — the standing corpus is NEVER shuffled; only the
+    DELTA (added+changed) is:
+
+      * ``new`` is fingerprinted ONCE: a single (id, md5, text)
+        projection feeds both the CDC status and the dedup gate (no
+        second normalize+md5 pass over the snapshot);
+      * CDC + fingerprint attach is ONE full-outer equi-join of two
+        narrow projections — on id-bucketed snapshot layouts
+        (``sources.layout`` / ``write_bucketed``) it plans with ZERO
+        Exchange (pinned in tests/test_bucketing.py), so a daily 100 TB
+        ingest pays the snapshot shuffle once at write time, not per
+        run;
+      * the in-batch keep-first race is one row_number window over the
+        delta only (delta-sized (id, md5) exchange);
+      * the standing-fingerprint check BROADCASTS the delta winners'
+        fps and left-semi-probes the unchanged slice map-side — the
+        dominant ``keep`` slice is scanned once, shuffled never;
+      * the contamination gate is the zero-shuffle map-side postings
+        kernel over ONLY the dedup survivors.
+
+    With ``broadcast_delta=False`` the winner-fp set and the action
+    attach fall back to shuffle joins — the bulk-re-ingest shape where
+    the "delta" is the whole corpus and a broadcast would not fit;
+    incremental semantics are identical (pinned in test_dedup).
     """
-    d = transient_persist(
-        corpus_diff(old, new, id_col, text_col)
-        .join(new.select(F.col(id_col),
-                         fingerprint(text_col).alias("__fp"),
-                         F.col(text_col)),
-              id_col, "left"))              # removed rows: null fp/text
-    standing = (d.filter(F.col("status") == "unchanged")
-                .select("__fp").distinct())
+    d = transient_persist(_cdc_attach(old, new, id_col, text_col))
     cand = d.filter(F.col("status").isin("added", "changed"))
-    first = cand.groupBy("__fp").agg(F.min(id_col).alias("__first"))
-    surv = (cand.join(first, "__fp")
-            .filter(F.col(id_col) == F.col("__first"))
-            .join(standing, "__fp", "left_anti")
+    winners = (cand
+               .withColumn("__rn", F.row_number().over(
+                   Window.partitionBy("__fp")
+                   .orderBy(F.col(id_col).asc())))
+               .filter(F.col("__rn") == 1)
+               .select(F.col(id_col), F.col("__fp"), F.col(text_col)))
+    maybe_bc = F.broadcast if broadcast_delta else (lambda df: df)
+    standing_hits = (d.filter(F.col("status") == "unchanged")
+                     .join(maybe_bc(winners.select("__fp")),
+                           "__fp", "left_semi")
+                     .select("__fp").distinct())
+    surv = (winners.join(maybe_bc(standing_hits), "__fp", "left_anti")
             .select(F.col(id_col), F.col(text_col)))
     ov = max_eval_overlap(surv, eval_docs, id_col, text_col, shingle_n)
     action = (F.when(F.col("status") == "removed", "retire")
@@ -2279,7 +2350,7 @@ def incremental_update_manifest(old: DataFrame, new: DataFrame,
                     "skip_contaminated")
               .otherwise("index_add"))
     return (d.select(F.col(id_col), F.col("status"))
-            .join(ov, id_col, "left")
+            .join(maybe_bc(ov), id_col, "left")
             .select(F.col(id_col), F.col("status"),
                     action.alias("action")))
 

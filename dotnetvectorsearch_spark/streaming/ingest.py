@@ -138,7 +138,11 @@ def stream_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     collecting an unbounded index onto the driver (advisor r10). There
     is no distributed fallback on a stream — an eval set past the
     budget is not a broadcastable gate; decontaminate it in the batch
-    compaction pass instead.
+    compaction pass instead. The budget binds even when a prior batch
+    call already memoized this eval set's index under a looser budget:
+    a memo hit re-checks the caller's postings budget against the
+    live index (advisor r11), so a stream never silently rides an
+    index it would have refused to build.
     """
     from ..operators.dedup import (
         DECONTAMINATE_BROADCAST_MAX_POSTINGS,

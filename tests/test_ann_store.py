@@ -187,3 +187,69 @@ def test_ann_nprobe_tuning_registry_query(spark, sf_dir, store_root,
     # fallback; nothing smaller meets it
     assert c.recall_at_10 >= 0.9 or c.nprobe == max(by_p)
     assert all(r.recall_at_10 < 0.9 for r in rows if r.nprobe < c.nprobe)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_and_panel(spark, sf_dir, store_root):
+    path, _ = ann_store.ensure_index(spark, sf_dir, "ivfpq",
+                                     root=store_root)
+    idx, prows = IVFPQIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").persist()
+    panel = [(r.vec_id, list(r.embedding)) for r in
+             emb.filter("vec_id % 25 = 7").collect()]
+    return idx, prows.persist(), emb, panel
+
+
+def test_ivfpq_recall_curve_matches_direct_serve(spark,
+                                                 ivfpq_and_panel):
+    """The one-pass shortlist-rank closed form must equal recall
+    measured by ACTUALLY running the IVF+PQ serve (probe -> ADC
+    shortlist -> exact rescore, the ANN_QUALITY serve-k+1/drop-self
+    protocol) at each probe setting — the validation VERDICT r11 #4
+    demanded before trusting the shortcut on the ADC tier."""
+    from dotnetvectorsearch_spark.operators.search import (
+        topk_per_query_arrow)
+    idx, prows, emb, panel = ivfpq_and_panel
+    k = 10
+    curve = ann_store.ivfpq_recall_curve(idx, prows, emb, panel, k=k,
+                                         shortlist=50)
+    exact_sets: dict[int, set] = {}
+    exact = topk_per_query_arrow(emb, panel, k=k, round_digits=6,
+                                 exclude_self=True)
+    for r in exact.select("qid", "vec_id").collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for p in (1, 4, idx.ivf.n_cells):
+        probe = IVFPQIndex(n_cells=idx.ivf.n_cells, nprobe=p,
+                           m=idx.pq.m,
+                           n_codes=idx.pq.codebooks.shape[1],
+                           seed=idx.pq.seed, coding=idx.coding)
+        probe.ivf.centroids = idx.ivf.centroids
+        probe.pq.codebooks = idx.pq.codebooks
+        probe.cell_means = idx.cell_means
+        hit = 0
+        for qid, qvec in panel:
+            rows = probe.search(prows, qvec, k + 1, rescore=emb,
+                                shortlist=50).collect()
+            got: list[int] = []
+            for r in rows:                  # ordered (sim desc, id asc)
+                if r.vec_id == qid:
+                    continue
+                got.append(r.vec_id)
+                if len(got) == k:
+                    break
+            hit += len(set(got) & exact_sets.get(qid, set()))
+        rec = round(hit / (len(panel) * k), 4)
+        assert rec == curve[p], (p, rec, curve[p])
+
+
+def test_choose_nprobe_ivfpq_meets_target(ivfpq_and_panel):
+    idx, prows, emb, panel = ivfpq_and_panel
+    chosen, curve = ann_store.choose_nprobe_ivfpq(
+        idx, prows, emb, panel, target_recall=0.9, k=10)
+    assert sorted(curve) == list(range(1, idx.ivf.n_cells + 1))
+    if curve[chosen] >= 0.9:
+        assert all(curve[p] < 0.9 for p in curve if p < chosen)
+    else:  # best-effort fallback: shortlist cut caps the tier
+        assert chosen == idx.ivf.n_cells
+        assert all(curve[p] < 0.9 for p in curve)

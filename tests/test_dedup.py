@@ -1180,6 +1180,22 @@ def test_stream_decontaminate_enforces_postings_budget(spark):
         stream_decontaminate(docs, eval_docs, broadcast_max_postings=1)
 
 
+def test_stream_decontaminate_budget_binds_on_memo_hit(spark):
+    """A batch call memoizes the eval index under the default budget;
+    a stream then defined with a STRICTER budget on the same eval set
+    must still refuse — the memo hit used to bypass the budget check
+    entirely (advisor r11)."""
+    from dotnetvectorsearch_spark.streaming.ingest import stream_decontaminate
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="omega psi chi phi upsilon tau")])
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=9, text="omega psi chi phi upsilon tau sigma")])
+    # memoize the index under the (loose) default budget
+    D.decontaminate(docs, eval_docs, min_overlap=0.5).count()
+    with pytest.raises(ValueError, match="looser budget"):
+        stream_decontaminate(docs, eval_docs, broadcast_max_postings=1)
+
+
 def test_incremental_update_manifest_all_actions(spark):
     """Planted snapshot pair exercising every action: retire (left the
     corpus), keep (unchanged), skip_duplicate (fingerprint twin of a
@@ -1202,10 +1218,7 @@ def test_incremental_update_manifest_all_actions(spark):
         Row(doc_id=7, text=evalt),                   # contaminated
     ])
     eval_docs = spark.createDataFrame([Row(doc_id=90, text=evalt)])
-    got = {r.doc_id: (r.status, r.action) for r in
-           D.incremental_update_manifest(
-               old, new, eval_docs, min_overlap=0.2).collect()}
-    assert got == {
+    want = {
         1: ("unchanged", "keep"),
         2: ("removed", "retire"),
         3: ("added", "skip_duplicate"),
@@ -1214,3 +1227,14 @@ def test_incremental_update_manifest_all_actions(spark):
         6: ("added", "skip_duplicate"),
         7: ("added", "skip_contaminated"),
     }
+    got = {r.doc_id: (r.status, r.action) for r in
+           D.incremental_update_manifest(
+               old, new, eval_docs, min_overlap=0.2).collect()}
+    assert got == want
+    # broadcast_delta=False (the bulk-re-ingest fallback where the
+    # "delta" is too big to broadcast) is semantics-identical
+    got_shuffle = {r.doc_id: (r.status, r.action) for r in
+                   D.incremental_update_manifest(
+                       old, new, eval_docs, min_overlap=0.2,
+                       broadcast_delta=False).collect()}
+    assert got_shuffle == want

@@ -279,10 +279,43 @@ def main() -> int:
          .parquet(str(emb_dir / f"chunk-{i:02d}")))
     n_rest = rest.count()
     expected["stream_index_append"] = n_rest
+    # Trigger sizing (r11 verdict #5): per-file triggers are 125
+    # vectors against a ~700ms trigger floor (assign UDF launch +
+    # partitioned parquet append + checkpoint), so the r11 row
+    # measured the FLOOR (158-173 rows/s), the same pattern the
+    # neardup row had before r11 fixed it. The 1k backlog's correct
+    # configuration is ONE backlog-sized trigger (Trigger.AvailableNow
+    # semantics); multi-trigger amortization at scale is the sf1
+    # row's job below.
     paths["stream_index_append"] = lambda: stream_index_append(
         (spark.readStream.schema("vec_id long, embedding array<float>")
-         .option("maxFilesPerTrigger", 1).parquet(f"{emb_dir}/*")),
+         .option("maxFilesPerTrigger", chunks)
+         .parquet(f"{emb_dir}/*")),
         None, str(work / "ivf_idx"), str(work / "ann_ck"))
+    # sf1-embeddings row (10k appended vectors, 1250/trigger): the 2k
+    # sf0.1 table makes every trigger floor-bound, so scale evidence
+    # for the per-trigger cost needs the bigger tier (mirrors the
+    # stream_neardup_dedup_sf1 precedent).
+    sf1_emb = ROOT / ".scaletier" / "sf1" / "embeddings.parquet"
+    if sf1_emb.exists():
+        emb1 = (spark.read.parquet(str(sf1_emb))
+                .select("vec_id", "embedding"))
+        seed1 = emb1.filter("vec_id % 2 = 0")
+        ivf1 = IVFIndex(n_cells=16, nprobe=4).fit(seed1)
+        ivf1.write(seed1, str(work / "ivf_idx_sf1"))
+        rest1 = emb1.filter("vec_id % 2 = 1")
+        emb1_dir = work / "emb1_chunks"
+        for i in range(chunks):
+            (rest1.filter(F.col("vec_id") % (2 * chunks) == 2 * i + 1)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(str(emb1_dir / f"chunk-{i:02d}")))
+        expected["stream_index_append_sf1"] = rest1.count()
+        paths["stream_index_append_sf1"] = lambda: stream_index_append(
+            (spark.readStream
+             .schema("vec_id long, embedding array<float>")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{emb1_dir}/*")),
+            None, str(work / "ivf_idx_sf1"), str(work / "ann_ck1"))
     results = {name: _run(spark, name, mk, work,
                           expected.get(name, EV))
                for name, mk in paths.items()}
@@ -361,7 +394,13 @@ def _write_md(results: dict, chunks: int) -> None:
         "not engine, bound at the 5k-table row. `stream_index_append` "
         "maintains the persisted IVF index from an embedding stream "
         "(narrow Arrow cell assignment + partitioned append; the "
-        "serve path sees new vectors with no rebuild, no rescan). "
+        "serve path sees new vectors with no rebuild, no rescan); its "
+        "1k backlog is consumed as ONE backlog-sized trigger (r11 "
+        "verdict #5 — per-file 125-vector triggers measured the "
+        "~700ms trigger floor, not the append path), and "
+        "`stream_index_append_sf1` streams 10x the vectors "
+        "(1250/trigger) to show the per-trigger cost amortizing, the "
+        "same two-row treatment as the neardup pair. "
         "`stream_decontaminate` gates the doc stream against the "
         "broadcast eval postings index (built once at stream "
         "definition, memoized): STATELESS map-side bincount filter "

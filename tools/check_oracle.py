@@ -158,6 +158,12 @@ ROWS_ONLY_REASON: dict[str, str] = {
         "SQL-expressible; closed form == direct ivf_topk_panel "
         "measurement, monotonicity, and smallest-meeting-target "
         "choice pinned in tests/test_ann_store.py"),
+    "ann_nprobe_tuning_ivfpq": (
+        "serve-recall-vs-nprobe curve over k-means + PQ codebook "
+        "state, not SQL-expressible; the shortlist-rank closed form "
+        "== direct per-nprobe IVF+PQ serve reruns and the "
+        "smallest-meeting-target choice are pinned in "
+        "tests/test_ann_store.py"),
     "ann_ivfpq_coding_gain": (
         "residual-vs-raw PQ MSE comparison over trained codebooks; "
         "gain invariant pinned in tests/test_ann.py"),
@@ -230,6 +236,13 @@ def _write_md(ledger, failures: int) -> None:
         "",
         f"**{n_ok} oracle-checked OK, {n_rows} rows-only "
         f"(no SQL-expressible oracle), {n_fail} failing.**",
+        "",
+        "Note: the driver's per-round `CORRECTNESS_r{N}.json` covers "
+        "only the FROZEN 50-query registry prefix (its fixed compare "
+        "set since round 4); THIS ledger is the full-registry "
+        "correctness evidence — every registry query, including the "
+        "ones added after the prefix froze, checked with the same "
+        "three-way compare (advisor r11).",
         "",
         "| query | status | rows | spark sec |",
         "|---|---|---|---|",
