@@ -369,16 +369,24 @@ def choose_nprobe_ivfpq(idx, prows: DataFrame, emb: DataFrame,
 def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
                query_vec: list[float], k: int = 10,
                shortlist: int = 200,
-               root: str | None = None) -> DataFrame:
+               root: str | None = None,
+               nprobe: int | None = None) -> DataFrame:
     """Search the PERSISTED index — the amortized serve path.
 
     Reads trained state + codes/cells from disk; for pq/ivfpq the
     float-vector table is touched only for the broadcast-semi-join
     rescore of the ``shortlist`` ids. Builds the index first iff it is
-    missing or stale (idempotent; a fresh store makes this a no-op)."""
+    missing or stale (idempotent; a fresh store makes this a no-op).
+
+    ``nprobe`` overrides the index's fitted probe width at SERVE time
+    (ivf/ivfpq only; probe width is a query-time knob — no state
+    depends on it, so a `choose_nprobe` / `choose_nprobe_ivfpq` tuned
+    value applies to an already-written index without any rebuild)."""
     path, _ = ensure_index(spark, sf_dir, kind, root)
     if kind == "ivf":
         idx, rows = IVFIndex.read(spark, path)
+        if nprobe is not None:
+            idx.nprobe = nprobe
         return idx.search(rows, query_vec, k=k)
     emb = load_table(spark, sf_dir, "embeddings")
     if kind == "pq":
@@ -386,5 +394,7 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
         return idx.search(codes, query_vec, k, rescore=emb,
                           shortlist=shortlist)
     idx, rows = IVFPQIndex.read(spark, path)
+    if nprobe is not None:
+        idx.ivf.nprobe = nprobe
     return idx.search(rows, query_vec, k, rescore=emb,
                       shortlist=shortlist)

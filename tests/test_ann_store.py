@@ -253,3 +253,24 @@ def test_choose_nprobe_ivfpq_meets_target(ivfpq_and_panel):
     else:  # best-effort fallback: shortlist cut caps the tier
         assert chosen == idx.ivf.n_cells
         assert all(curve[p] < 0.9 for p in curve)
+
+
+def test_serve_topk_nprobe_override(spark, sf_dir, store_root, qv):
+    """A tuned nprobe applies to an already-written index at SERVE
+    time, no rebuild: full probe == the exact brute-force top-k, and
+    the override does not touch the persisted state (a subsequent
+    default serve still probes the fitted width)."""
+    from dotnetvectorsearch_spark.operators.ann import brute_force_topk
+    from dotnetvectorsearch_spark.sources.io import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = ann_store.INDEX_PARAMS["ivf"]["n_cells"]
+    full = ann_store.serve_topk(spark, sf_dir, "ivf", qv, k=5,
+                                root=store_root, nprobe=n_cells)
+    exact = brute_force_topk(emb, qv, k=5)
+    assert _ids(full) == _ids(exact)
+    default_again = ann_store.serve_topk(spark, sf_dir, "ivf", qv,
+                                         k=5, root=store_root)
+    fitted = ann_store.serve_topk(
+        spark, sf_dir, "ivf", qv, k=5, root=store_root,
+        nprobe=ann_store.INDEX_PARAMS["ivf"]["nprobe"])
+    assert _ids(default_again) == _ids(fitted)
