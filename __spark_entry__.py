@@ -3030,6 +3030,24 @@ def _q_ann_nprobe_tuning_ivfpq(spark, sf_dir):
         "nprobe int, recall_at_10 double, chosen boolean")
 
 
+def _q_ann_index_health(spark, sf_dir):
+    """Maintenance probe for the persisted IVF index — the two signals
+    the IVF maintenance contract watches between retrains: cell-size
+    skew (appends assign against FIXED centroids, so corpus drift
+    piles rows into hot cells that stop pruning — past the factor the
+    documented cue is the periodic `IVFIndex.refine` + rewrite job)
+    and per-cell file fragmentation (every streamed append trigger
+    lands a small file per touched cell; past the bound the cue is
+    `ann_store.compact_index`, which rewrites each cell to one file
+    without touching trained state — search parity pinned in
+    tests/test_ann_store.py). One aggregation over the index + a
+    1-row broadcast attach. Rows-only: reads the persisted index
+    store, not a driver-registered table."""
+    from dotnetvectorsearch_spark.operators.ann_store import (
+        index_health)
+    return index_health(spark, sf_dir, "ivf")
+
+
 # Eval-suite size held FIXED as the corpus grows — the deployment
 # shape (eval suites don't scale with the train corpus). At driver
 # scale the cap doesn't bind (every doc_id < 500k), so these are
@@ -3284,6 +3302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_nprobe_tuning_ivfpq": _q_ann_nprobe_tuning_ivfpq,
     "curated_corpus_fixed_eval": _q_curated_corpus_fixed_eval,
     "training_shards_fixed_eval": _q_training_shards_fixed_eval,
+    "ann_index_health": _q_ann_index_health,
 }
 
 

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "ann_nprobe_tuning_ivfpq",
     "curated_corpus_fixed_eval",
     "training_shards_fixed_eval",
+    "ann_index_health",
 ]
 
 

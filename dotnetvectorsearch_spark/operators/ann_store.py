@@ -206,6 +206,89 @@ def choose_nprobe(idx, rows: DataFrame,
     return idx.n_cells, curve
 
 
+def index_health(spark: SparkSession, sf_dir: str, kind: str = "ivf",
+                 root: str | None = None,
+                 hot_cell_factor: float = 4.0,
+                 max_files_per_cell: int = 8) -> DataFrame:
+    """Maintenance probe for a persisted cell-partitioned index — the
+    two signals the IVF maintenance contract watches between retrains:
+
+      * **cell-size skew** (``load_factor`` = cell rows / mean cell
+        rows): appends assign against FIXED centroids, so a drifting
+        corpus piles rows into a few cells; a hot cell stops pruning
+        (probing it rescans a growing fraction of the corpus). Past
+        ``hot_cell_factor`` the cell is flagged — the documented cue
+        to schedule the periodic ``IVFIndex.refine`` + rewrite batch
+        job (stream_index_append docstring).
+      * **fragmentation** (``n_files``): every streamed append trigger
+        lands a small file per touched cell; small files kill scan
+        efficiency at 100 TB (per-file open cost, tiny row groups with
+        useless stats). Past ``max_files_per_cell`` the cell is
+        flagged for :func:`compact_index`.
+
+    One aggregation over the index (rows + distinct files per cell via
+    ``input_file_name``), one tiny broadcast of the total — no
+    corpus-side shuffle beyond the n_cells-row agg. Returns one row
+    per cell: (cell, n_rows, n_files, load_factor, hot, fragmented).
+    """
+    import pyspark.sql.functions as F
+
+    path, _ = ensure_index(spark, sf_dir, kind, root)
+    rows = spark.read.parquet(path)
+    # input_file_name is nondeterministic, so it must be projected as
+    # a column BEFORE the aggregate (Catalyst rejects it inside one)
+    per_cell = (rows.withColumn("__f", F.input_file_name())
+                .groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("__f").alias("n_files")))
+    total = per_cell.agg(F.sum("n_rows").alias("__t"),
+                         F.count(F.lit(1)).alias("__c"))
+    mean_rows = F.col("__t") / F.col("__c")
+    return (per_cell.join(F.broadcast(total))
+            .withColumn("load_factor",
+                        F.round(F.col("n_rows") / mean_rows, 4))
+            .withColumn("hot", F.col("load_factor") >= hot_cell_factor)
+            .withColumn("fragmented",
+                        F.col("n_files") > max_files_per_cell)
+            .select("cell", "n_rows", "n_files", "load_factor", "hot",
+                    "fragmented")
+            .orderBy("cell"))
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Rewrite a cell-partitioned index directory so each cell holds
+    ONE file — the companion maintenance pass for streamed appends
+    (`stream_index_append` lands a small file per touched cell per
+    trigger; this restores per-cell scan efficiency without touching
+    trained state). Returns the number of cell partitions rewritten.
+
+    The rewrite goes through a sibling temp dir and then swaps the
+    ``cell=*`` partition dirs, so the underscore-prefixed trained
+    state (``_centroids`` / ``_meta`` / the store's fingerprint
+    marker) is never rewritten and a reader mid-swap sees whole
+    files. ``repartition("cell")`` puts every row of a cell in one
+    task, so partitionBy emits exactly one file per cell. Local-fs
+    directory moves here; on a distributed store this is the same
+    pattern via FileSystem.rename (the Delta/Iceberg OPTIMIZE
+    analogue). Search results are unaffected — same rows, same
+    trained state (pinned in tests/test_ann_store.py)."""
+    import shutil
+    from pathlib import Path as _P
+
+    tmp = f"{path.rstrip('/')}__compact_tmp"
+    (spark.read.parquet(path)
+     .repartition("cell")
+     .write.partitionBy("cell").mode("overwrite").parquet(tmp))
+    n = 0
+    for d in _P(path).glob("cell=*"):
+        shutil.rmtree(d)
+    for d in _P(tmp).glob("cell=*"):
+        shutil.move(str(d), str(_P(path) / d.name))
+        n += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 def ivfpq_recall_curve(idx, prows: DataFrame, emb: DataFrame,
                        panel: list[tuple[int, list[float]]],
                        k: int = 10, shortlist: int = 200,

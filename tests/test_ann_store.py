@@ -274,3 +274,42 @@ def test_serve_topk_nprobe_override(spark, sf_dir, store_root, qv):
         spark, sf_dir, "ivf", qv, k=5, root=store_root,
         nprobe=ann_store.INDEX_PARAMS["ivf"]["nprobe"])
     assert _ids(default_again) == _ids(fitted)
+
+
+def test_index_health_and_compact(spark, sf_dir, tmp_path):
+    """Maintenance loop: a fresh store is unflagged; streamed-append
+    fragmentation trips the per-cell file bound; compact_index
+    rewrites every cell to ONE file without changing search results
+    or trained state."""
+    root = str(tmp_path / "store")
+    health = ann_store.index_health(spark, sf_dir, "ivf", root=root)
+    rows = health.collect()
+    assert 0 < len(rows) <= ann_store.INDEX_PARAMS["ivf"]["n_cells"]
+    assert all(not r.fragmented for r in rows)
+    assert all(r.n_rows > 0 for r in rows)
+    # simulate 9 streamed append triggers: small files pile up per cell
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    idx, _ = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    for _ in range(9):
+        (idx.transform(emb)
+         .write.mode("append").partitionBy("cell").parquet(path))
+    frag = ann_store.index_health(spark, sf_dir, "ivf", root=root)
+    assert any(r.fragmented for r in frag.collect())
+    # search parity: same query before/after compaction (duplicates
+    # from the repeated append included — compaction must not drop or
+    # reorder anything)
+    qv = emb.filter("vec_id = 3").collect()[0].embedding
+    def _topk():
+        i2, rows2 = IVFIndex.read(spark, path)
+        return [(r.vec_id, r.similarity)
+                for r in i2.search(rows2, qv, k=15).collect()]
+    want = _topk()
+    n = ann_store.compact_index(spark, path)
+    assert n > 0
+    assert _topk() == want
+    after = ann_store.index_health(spark, sf_dir, "ivf", root=root)
+    arows = after.collect()
+    assert all(r.n_files == 1 for r in arows)
+    assert all(not r.fragmented for r in arows)

@@ -167,6 +167,11 @@ ROWS_ONLY_REASON: dict[str, str] = {
     "ann_ivfpq_coding_gain": (
         "residual-vs-raw PQ MSE comparison over trained codebooks; "
         "gain invariant pinned in tests/test_ann.py"),
+    "ann_index_health": (
+        "maintenance probe over the persisted index STORE (cell skew "
+        "+ per-cell file fragmentation via input_file_name), not a "
+        "driver-registered table; flag semantics and compact_index "
+        "search parity pinned in tests/test_ann_store.py"),
     "ann_recall": "recall-vs-exact report; floor pinned in test_ann.py",
     "approx_distinct_users": (
         "Spark approx_count_distinct (HLL++) — JVM sketch internals; "
