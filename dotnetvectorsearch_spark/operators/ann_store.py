@@ -229,7 +229,11 @@ def index_health(spark: SparkSession, sf_dir: str, kind: str = "ivf",
     One aggregation over the index (rows + distinct files per cell via
     ``input_file_name``), one tiny broadcast of the total — no
     corpus-side shuffle beyond the n_cells-row agg. Returns one row
-    per cell: (cell, n_rows, n_files, load_factor, hot, fragmented).
+    per NON-EMPTY cell: (cell, n_rows, n_files, load_factor, hot,
+    fragmented); a centroid missing from the output entirely is the
+    complementary signal (a dead cell that attracts no assignments —
+    compare against the trained n_cells, e.g.
+    ``INDEX_PARAMS[kind]['n_cells'] - health.count()``).
     """
     import pyspark.sql.functions as F
 
@@ -374,6 +378,8 @@ def ivfpq_recall_curve(idx, prows: DataFrame, emb: DataFrame,
     for r in wrows:
         qi = qindex[r.qid]
         wi = fill.get(qi, 0)
+        if wi >= kk:        # duplicated id in prows joined twice —
+            continue        # extra copies carry identical thresholds
         fill[qi] = wi + 1
         codes = np.asarray(r[codes_col], dtype=np.int64)
         s32 = (offs[qi][r[cell_col]]

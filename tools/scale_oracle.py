@@ -58,6 +58,11 @@ QUERIES = [
     # the 10x tier (DuckDB pays the full 61M-row gram join the kernel
     # avoids for the dial's per-doc max)
     "contamination_profile", "corpus_diff",
+    # round 12: the incremental-ingest capstone — CDC + dedup gate +
+    # decontamination gate + action manifest as one plan; the pairing
+    # pins the refactored (single-fingerprint, delta-only-shuffle)
+    # kernel's exact oracle at the 10x tier
+    "incremental_corpus_update",
     # The two expected DuckDB DNFs run LAST (r11): each is a 900s
     # resource-limit grind whose page-cache/temp churn inflates
     # whatever measures next by 2-6x (the round-10 gotcha) — serve-
