@@ -1238,3 +1238,96 @@ def test_incremental_update_manifest_all_actions(spark):
                        old, new, eval_docs, min_overlap=0.2,
                        broadcast_delta=False).collect()}
     assert got_shuffle == want
+
+
+def test_incremental_update_manifest_randomized_python_oracle(spark):
+    """Oracle-by-construction sweep for the incremental-ingest kernel:
+    seeded random snapshot pairs checked EXACTLY against an
+    independent pure-Python reference (normalize -> md5 fingerprint,
+    distinct word-3-shingle overlap with HALF_UP round-6, keep-first
+    min-id, standing-fp block), on BOTH the broadcast-delta and
+    shuffle-fallback paths — randomized coverage beyond the planted
+    all-actions scenario."""
+    import hashlib
+    import random
+    import re
+
+    def py_fp(t):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    def py_shingles(t, n=3):
+        toks = t.strip().split()
+        return {" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)}
+
+    def py_manifest(old, new, eval_texts, min_overlap=0.2):
+        ev = [py_shingles(t) for t in eval_texts]
+        ev = [s for s in ev if s]
+        out = {}
+        standing = set()
+        cand = {}
+        for i in sorted(set(old) | set(new)):
+            if i not in new:
+                out[i] = "retire"
+            elif i not in old:
+                cand[i] = new[i]
+            elif py_fp(old[i]) == py_fp(new[i]):
+                out[i] = "keep"
+                standing.add(py_fp(new[i]))
+            else:
+                cand[i] = new[i]
+        first = {}
+        for i in sorted(cand):
+            first.setdefault(py_fp(cand[i]), i)
+        for i, text in cand.items():
+            f = py_fp(text)
+            if f in standing or first[f] != i:
+                out[i] = "skip_duplicate"
+                continue
+            sh = py_shingles(text)
+            mx = 0.0
+            for e in ev:
+                if e:
+                    import math
+                    r = len(sh & e) / len(e)
+                    mx = max(mx, math.floor(r * 1e6 + 0.5) / 1e6)
+            out[i] = ("skip_contaminated" if mx >= min_overlap
+                      else "index_add")
+        return out
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa").split()
+    for seed in range(4):
+        rng = random.Random(seed)
+
+        def doc():
+            return " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 8)))
+
+        ids = list(range(1, 21))
+        old = {i: doc() for i in ids if rng.random() < 0.8}
+        new = {}
+        for i in ids:
+            if rng.random() < 0.8:
+                if i in old and rng.random() < 0.5:
+                    new[i] = old[i]            # unchanged
+                else:
+                    new[i] = doc()             # added or changed
+        eval_texts = [doc() for _ in range(3)]
+        if not new or not (set(old) | set(new)):
+            continue
+        want = py_manifest(old, new, eval_texts)
+        old_df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in old.items()])
+        new_df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in new.items()])
+        ev_df = spark.createDataFrame(
+            [Row(doc_id=100 + j, text=t)
+             for j, t in enumerate(eval_texts)])
+        for bc in (True, False):
+            got = {r.doc_id: r.action for r in
+                   D.incremental_update_manifest(
+                       old_df, new_df, ev_df, min_overlap=0.2,
+                       broadcast_delta=bc).collect()}
+            assert got == want, (seed, bc, got, want)
