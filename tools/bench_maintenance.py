@@ -1,0 +1,365 @@
+"""Measured payoff of the ANN index-maintenance loop (VERDICT r12 #1).
+
+Round 12 shipped the loop — `ann_store.index_health` flags hot /
+fragmented cells, `ann_store.compact_index` restores one-file-per-cell,
+`IVFIndex.refine` re-centers drifted centroids — with search-parity
+pins but NO before/after numbers. This tool measures both maintenance
+scenarios end-to-end at the sf1 tier (20k vectors) and writes
+MAINTENANCE.md:
+
+Scenario A — streamed-append fragmentation -> compact_index:
+  build a persisted IVF store from half the corpus, stream the other
+  half in via `stream_index_append` with 64 one-file triggers (each
+  trigger lands a small file per touched cell), show `index_health`'s
+  `fragmented` flag firing, measure the serve cost (fresh
+  read->probe->top-k over a query panel) and the full-scan cost on the
+  fragmented store, run `compact_index`, re-measure. The delta is the
+  per-file open + tiny-row-group tax the maintenance pass exists to
+  reclaim; at 100 TB the same pass is the Delta/Iceberg OPTIMIZE
+  analogue.
+
+Scenario B — corpus drift -> hot cells -> the two-rung maintenance
+ladder:
+  fit centroids on the seed half, append a DRIFTED second half (every
+  appended vector pulled 50% toward one fixed direction — the
+  distribution-shift case the fixed-centroid append contract
+  documents), show `index_health`'s `hot` flag firing, then measure
+  BOTH maintenance rungs at the fitted nprobe: (1) `IVFIndex.refine`
+  (2 distributed Lloyd iterations + rewrite) — the cheap re-centering
+  rung that buys recall by aligning cells to the shifted distribution
+  but has no split/merge, so it CANNOT clear cell-size skew (measured
+  here, not assumed: the hot flag survives refine); (2) a full
+  sampled retrain (`IVFIndex.fit` on the drifted corpus) + rewrite —
+  the escalation rung that reallocates centroids, clears the hot flag
+  and restores pruning (probed-row fraction back near nprobe/n_cells).
+  Metrics per stage: exact-top-10 recall at the fitted nprobe (from
+  the closed-form curve) and the probed-row fraction — at 100 TB the
+  probed fraction IS the serve scan volume.
+
+Run:  python tools/bench_maintenance.py        # ~4 min, writes
+                                               # MAINTENANCE.md + .json
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import pyspark.sql.functions as F
+
+from dotnetvectorsearch_spark.operators import ann_store
+from dotnetvectorsearch_spark.operators.ann import IVFIndex
+from dotnetvectorsearch_spark.operators.ann_store import (
+    index_health, nprobe_recall_curve)
+from dotnetvectorsearch_spark.session import get_spark
+from dotnetvectorsearch_spark.streaming.ingest import stream_index_append
+
+SF_DIR = str(ROOT / ".scaletier" / "sf1")
+N_CELLS, NPROBE = 16, 4
+TRIGGERS = 64
+SERVE_REPS = 5          # first rep discarded (JIT / listing warm-up)
+PANEL_Q = 8             # serve-latency panel
+RECALL_PANEL_MOD = 401  # ~50 queries for the recall/probe-fraction panel
+
+
+def _panel(emb, mod, lim=None):
+    rows = emb.filter(F.col("vec_id") % mod == 0)
+    if lim:
+        rows = rows.limit(lim)
+    return [(r.vec_id, list(r.embedding)) for r in rows.collect()]
+
+
+def _serve_stats(spark, path, qvs):
+    """Median wall time of a FRESH read->probe->top-10 over the panel
+    (each rep re-reads the store: listing + footer + scan included —
+    the cost fragmentation actually inflates), plus one full-scan."""
+    times = []
+    for _ in range(SERVE_REPS):
+        t0 = time.perf_counter()
+        idx, rows = IVFIndex.read(spark, path)
+        for _, v in qvs:
+            idx.search(rows, v, k=10).collect()
+        times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    nrows = spark.read.parquet(path).count()
+    scan = time.perf_counter() - t0
+    warm = times[1:]
+    return {"serve_panel_med_sec": round(sorted(warm)[len(warm) // 2], 3),
+            "serve_panel_all_sec": [round(t, 3) for t in times],
+            "full_scan_sec": round(scan, 3), "rows": nrows}
+
+
+def _health_summary(spark, path):
+    rows = index_health(spark, SF_DIR, "ivf", path=path).collect()
+    return {"cells": len(rows),
+            "total_files": int(sum(r.n_files for r in rows)),
+            "max_files_per_cell": int(max(r.n_files for r in rows)),
+            "n_fragmented": int(sum(r.fragmented for r in rows)),
+            "n_hot": int(sum(r.hot for r in rows)),
+            "max_load_factor": float(max(r.load_factor for r in rows))}
+
+
+def scenario_fragmentation(spark, emb, work: Path) -> dict:
+    seed = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    store = str(work / "frag_store")
+    idx = IVFIndex(n_cells=N_CELLS, nprobe=NPROBE).fit(seed)
+    idx.write(seed, store)
+
+    chunk_dir = work / "chunks"
+    for i in range(TRIGGERS):
+        (rest.filter(F.col("vec_id") % (2 * TRIGGERS) == 2 * i + 1)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(chunk_dir / f"chunk-{i:03d}")))
+    t0 = time.perf_counter()
+    q = stream_index_append(
+        (spark.readStream.schema("vec_id long, embedding array<float>")
+         .option("maxFilesPerTrigger", 1).parquet(f"{chunk_dir}/*")),
+        None, store, str(work / "ck"))
+    q.processAllAvailable()
+    q.stop()
+    append_sec = round(time.perf_counter() - t0, 3)
+
+    qvs = _panel(emb, 2 * 251, lim=PANEL_Q)   # odd+even mix irrelevant
+    before_h = _health_summary(spark, store)
+    before_s = _serve_stats(spark, store, qvs)
+    t0 = time.perf_counter()
+    n_compacted = ann_store.compact_index(spark, store)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    after_h = _health_summary(spark, store)
+    after_s = _serve_stats(spark, store, qvs)
+    assert after_s["rows"] == before_s["rows"], "compaction lost rows"
+    return {"triggers": TRIGGERS, "append_wall_sec": append_sec,
+            "before_health": before_h, "before": before_s,
+            "compact_sec": compact_sec, "cells_compacted": n_compacted,
+            "after_health": after_h, "after": after_s,
+            "serve_speedup": round(before_s["serve_panel_med_sec"]
+                                   / after_s["serve_panel_med_sec"], 2),
+            "scan_speedup": round(before_s["full_scan_sec"]
+                                  / after_s["full_scan_sec"], 2)}
+
+
+def _probed_fraction(idx, rows_df, panel, nprobe):
+    """Mean over the panel of (rows in the query's nprobe nearest
+    cells) / (total rows) — the share of the corpus a probe scans.
+    Cell ranking replicates IVFIndex.probe_cells exactly."""
+    hist = {r.cell: r.cnt for r in
+            rows_df.groupBy("cell").agg(F.count("*").alias("cnt"))
+            .collect()}
+    total = sum(hist.values())
+    fracs = []
+    for _, v in panel:
+        q = np.asarray(v, dtype=np.float32)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        top = np.argsort(-(idx.centroids @ q))[:nprobe]
+        fracs.append(sum(hist.get(int(c), 0) for c in top) / total)
+    return round(float(np.mean(fracs)), 4)
+
+
+def scenario_drift(spark, emb, work: Path) -> dict:
+    seed = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    store = str(work / "drift_store")
+    idx = IVFIndex(n_cells=N_CELLS, nprobe=NPROBE).fit(seed)
+    idx.write(seed, store)
+
+    # drifted appends: pull every vector 50% toward one fixed unit
+    # direction (deterministic), renormalize — a shifted-but-diverse
+    # post-deploy distribution (pairwise cos within the drifted cloud
+    # ~0.5); fixed-centroid assignment piles it into a few cells
+    pdf = rest.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(13)
+    u = rng.randn(mat.shape[1])
+    u /= np.linalg.norm(u)
+    drifted = 0.5 * mat + 0.5 * u
+    drifted /= np.linalg.norm(drifted, axis=1, keepdims=True)
+    ddf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v])
+         for i, v in zip(pdf["vec_id"], drifted)],
+        "vec_id long, embedding array<float>")
+    (idx.transform(ddf).write.mode("append")
+     .partitionBy("cell").parquet(store))
+
+    combined = spark.read.parquet(store)
+    emb_all = combined.select("vec_id", "embedding")
+    panel = _panel(emb_all, RECALL_PANEL_MOD)
+
+    def _stage(ix, rows_df):
+        curve = nprobe_recall_curve(ix, rows_df, panel, k=10)
+        return {"recall_at_nprobe": curve[NPROBE],
+                "probed_fraction": _probed_fraction(ix, rows_df, panel,
+                                                    NPROBE),
+                "curve": curve}
+
+    before_h = _health_summary(spark, store)
+    before = _stage(idx, combined)
+
+    # rung 1: refine — 2 distributed Lloyd iterations + rewrite (the
+    # cheap periodic job; re-centers, cannot split hot cells)
+    t0 = time.perf_counter()
+    idx.refine(emb_all, iters=2)
+    store2 = str(work / "drift_store_refined")
+    idx.write(emb_all, store2)
+    refine_sec = round(time.perf_counter() - t0, 3)
+    refined_h = _health_summary(spark, store2)
+    refined = _stage(idx, spark.read.parquet(store2))
+
+    # rung 2: full sampled retrain + rewrite (the escalation when the
+    # hot flag survives refine; reallocates centroids)
+    t0 = time.perf_counter()
+    idx2 = IVFIndex(n_cells=N_CELLS, nprobe=NPROBE).fit(emb_all)
+    store3 = str(work / "drift_store_retrained")
+    idx2.write(emb_all, store3)
+    retrain_sec = round(time.perf_counter() - t0, 3)
+    retrained_h = _health_summary(spark, store3)
+    retrained = _stage(idx2, spark.read.parquet(store3))
+
+    return {"nprobe": NPROBE, "panel_queries": len(panel),
+            "before_health": before_h, "before": before,
+            "refine_rewrite_sec": refine_sec,
+            "refined_health": refined_h, "refined": refined,
+            "retrain_rewrite_sec": retrain_sec,
+            "retrained_health": retrained_h, "retrained": retrained}
+
+
+def _write_md(frag: dict, drift: dict, head: str) -> None:
+    b, a = frag["before"], frag["after"]
+    bh, ah = frag["before_health"], frag["after_health"]
+    db, d1, d2 = drift["before"], drift["refined"], drift["retrained"]
+    dbh, d1h, d2h = (drift["before_health"], drift["refined_health"],
+                     drift["retrained_health"])
+    md = f"""# ANN index-maintenance loop — measured payoff (r13)
+
+Source state `{head}`; sf1 tier (20k x 64-dim vectors), local[32].
+Protocol: `tools/bench_maintenance.py` — every serve number is the
+median of {SERVE_REPS - 1} warm reps of a FRESH read->probe->top-10
+over an {PANEL_Q}-query panel (listing + footer + scan inside the
+timing, because that is what fragmentation inflates); rep 1 discarded.
+
+## Scenario A — streamed-append fragmentation -> `compact_index`
+
+Store built from 10k seed vectors, then 10k vectors streamed in via
+`stream_index_append` with {frag['triggers']} one-file triggers
+(wall {frag['append_wall_sec']} s). Every trigger lands a small file
+per touched cell:
+
+| | files total | max files/cell | `fragmented` cells | serve panel (med) | full scan |
+|---|---|---|---|---|---|
+| before compact | {bh['total_files']} | {bh['max_files_per_cell']} | {bh['n_fragmented']}/{bh['cells']} | {b['serve_panel_med_sec']} s | {b['full_scan_sec']} s |
+| after compact | {ah['total_files']} | {ah['max_files_per_cell']} | {ah['n_fragmented']}/{ah['cells']} | {a['serve_panel_med_sec']} s | {a['full_scan_sec']} s |
+
+`compact_index` rewrote {frag['cells_compacted']} cells in
+{frag['compact_sec']} s (row count preserved: {a['rows']}).
+**Full scan {frag['scan_speedup']}x faster, serve panel
+{frag['serve_speedup']}x** after compaction. The two numbers split
+the tax honestly: the scan-volume term (file opens + tiny row
+groups, the part that scales with corpus size) is the {frag['scan_speedup']}x;
+the top-k serve at this 20k-row tier is dominated by the fixed
+job-launch floor, so compaction moves its median only
+{frag['serve_speedup']}x here — at 100 TB the scan term governs,
+which is why the maintenance bound is on files/cell, not on local
+serve latency. The health probe is the trigger: all
+{bh['n_fragmented']} non-empty cells exceeded the
+8-files-per-cell bound before the pass and none after.
+
+## Scenario B — corpus drift -> hot cells -> the two-rung ladder
+
+Centroids fit on the 10k seed; the appended 10k vectors are pulled
+50% toward one fixed direction (shifted-but-diverse post-deploy
+distribution), so fixed-centroid assignment piles them into few
+cells. Both maintenance rungs measured on the same
+{drift['panel_queries']}-query panel at the fitted
+nprobe={drift['nprobe']}/{N_CELLS}:
+
+| stage | hot cells | max load_factor | exact-top10 recall | probed corpus fraction | cost |
+|---|---|---|---|---|---|
+| drifted store (before) | {dbh['n_hot']}/{dbh['cells']} | {dbh['max_load_factor']} | {db['recall_at_nprobe']} | {db['probed_fraction']} | — |
+| rung 1: `refine(iters=2)` + rewrite | {d1h['n_hot']}/{d1h['cells']} | {d1h['max_load_factor']} | {d1['recall_at_nprobe']} | {d1['probed_fraction']} | {drift['refine_rewrite_sec']} s |
+| rung 2: full retrain + rewrite | {d2h['n_hot']}/{d2h['cells']} | {d2h['max_load_factor']} | {d2['recall_at_nprobe']} | {d2['probed_fraction']} | {drift['retrain_rewrite_sec']} s |
+
+Measured division of labor (not the r12 assumption):
+
+* **refine is the recall rung** — re-centering aligns cells to the
+  shifted distribution, buying
+  +{round(d1['recall_at_nprobe'] - db['recall_at_nprobe'], 3)}
+  exact-top10 recall at unchanged probe width, but Lloyd has no
+  split/merge, so the hot flag SURVIVES refine
+  ({d1h['n_hot']} hot cells, max load {d1h['max_load_factor']}) —
+  `index_health` firing after a refine is the documented cue for
+  rung 2, not a refine bug.
+* **full retrain is the rebalance rung** — reallocating centroids
+  clears the hot flag (max load
+  {dbh['max_load_factor']} -> {d2h['max_load_factor']}) and restores
+  pruning: probed fraction
+  {db['probed_fraction']} -> {d2['probed_fraction']} (unskewed floor
+  is nprobe/n_cells = {round(drift['nprobe'] / N_CELLS, 2)}), with
+  recall {d2['recall_at_nprobe']} vs the drifted store's
+  {db['recall_at_nprobe']}. At 100 TB the probed fraction IS the
+  serve scan volume, so this rung is a serve-cost reduction, not
+  just a quality fix.
+
+Full recall curves (nprobe -> recall) per stage are in
+`MAINTENANCE.json`. Both scenarios drive the exact shipped loop:
+`index_health` flags -> maintenance pass -> flags clear, with search
+parity pinned separately in tests/test_ann_store.py.
+"""
+    (ROOT / "MAINTENANCE.md").write_text(md)
+
+
+def main() -> int:
+    spark = get_spark("bench-maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    work = Path(tempfile.mkdtemp(prefix="maint_"))
+    try:
+        frag = scenario_fragmentation(spark, emb, work)
+        drift = scenario_drift(spark, emb, work)
+        head = None
+        try:
+            import subprocess
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+                capture_output=True, text=True).stdout.strip()
+        except OSError:
+            head = "unknown"
+        payload = {"sf_dir": SF_DIR, "head": head,
+                   "fragmentation": frag, "drift": drift}
+        (ROOT / "MAINTENANCE.json").write_text(
+            json.dumps(payload, indent=1) + "\n")
+        _write_md(frag, drift, head)
+        print(json.dumps({
+            "frag_serve_speedup": frag["serve_speedup"],
+            "frag_scan_speedup": frag["scan_speedup"],
+            "frag_files_before": frag["before_health"]["total_files"],
+            "frag_files_after": frag["after_health"]["total_files"],
+            "drift_recall_before": drift["before"]["recall_at_nprobe"],
+            "drift_recall_refined": drift["refined"]["recall_at_nprobe"],
+            "drift_recall_retrained":
+                drift["retrained"]["recall_at_nprobe"],
+            "drift_probed_before": drift["before"]["probed_fraction"],
+            "drift_probed_retrained":
+                drift["retrained"]["probed_fraction"],
+            "drift_maxload_before":
+                drift["before_health"]["max_load_factor"],
+            "drift_maxload_retrained":
+                drift["retrained_health"]["max_load_factor"]}),
+            flush=True)
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,5 +1,5 @@
-"""One-command round finalization: regenerate the oracle-parity ledger
-at HEAD and commit it as an artifact-only commit.
+"""One-command round finalization: regenerate the plan audit AND the
+oracle-parity ledger at HEAD and commit them as artifact-only commits.
 
 VERDICT r3 next-round #5: the `ORACLE_SELFCHECK.md` commit stamp must
 never lag the judged source tree. The only way the stamp can name the
@@ -8,6 +8,13 @@ tree enforced here), (2) ledger regenerated, (3) ledger committed as an
 artifact-only change. The MD itself records whether the tree was clean
 at generation (tools/check_oracle.py), so a stale ledger is visible
 from the artifact alone.
+
+VERDICT r12 next-round #2: `PLAN_AUDIT.md` fell one registry query
+stale in r12 because it was stamped before the round's last registry
+addition. The same ordering discipline now covers it: this script
+regenerates the audit at the clean HEAD, FAILS if the audited plan
+count differs from the registry count (or any row_py node appears),
+and commits it alongside the ledger — plan-audit-last by construction.
 
 Run:  python tools/finalize_round.py
 """
@@ -33,6 +40,29 @@ def main() -> int:
               "first, then finalize:\n" + dirty)
         return 1
     head = sh("git", "rev-parse", "--short", "HEAD")
+
+    print(f"Regenerating PLAN_AUDIT.md at clean HEAD {head} ...")
+    rc = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "plan_audit.py")],
+        cwd=ROOT).returncode
+    if rc != 0:
+        print(f"plan_audit reported {rc} failures — NOT committing; "
+              "fix the flagged plans first.")
+        return rc
+    import re
+    m = re.search(r"(\d+) queries audited",
+                  (ROOT / "PLAN_AUDIT.md").read_text())
+    audited = int(m.group(1)) if m else -1
+    registry = int(sh(sys.executable, "-c",
+                      "import __spark_entry__ as m; "
+                      "print(len(m.queries()))").splitlines()[-1])
+    if audited != registry:
+        print(f"PLAN_AUDIT covers {audited} plans but the registry "
+              f"has {registry} queries — a registry addition landed "
+              "after the audit ran (VERDICT r12 #2). Re-run finalize "
+              "after committing ALL registry changes.")
+        return 1
+
     print(f"Regenerating ORACLE_SELFCHECK.md at clean HEAD {head} ...")
     rc = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "check_oracle.py"), "--md"],
@@ -41,14 +71,16 @@ def main() -> int:
         print(f"check_oracle reported {rc} failures — NOT committing "
               "the ledger; fix the queries first.")
         return rc
-    changed = sh("git", "status", "--porcelain", "ORACLE_SELFCHECK.md")
+    changed = sh("git", "status", "--porcelain",
+                 "ORACLE_SELFCHECK.md", "PLAN_AUDIT.md")
     if not changed:
-        print("Ledger unchanged; nothing to commit.")
+        print("Ledger and audit unchanged; nothing to commit.")
         return 0
-    sh("git", "add", "ORACLE_SELFCHECK.md")
+    sh("git", "add", "ORACLE_SELFCHECK.md", "PLAN_AUDIT.md")
     sh("git", "commit", "-m",
-       f"Regenerate oracle self-check ledger at {head} (artifact-only)")
-    print(f"Committed regenerated ledger (source state: {head}).")
+       f"Regenerate plan audit + oracle self-check ledger at {head} "
+       "(artifact-only)")
+    print(f"Committed regenerated artifacts (source state: {head}).")
     return 0
 
 
