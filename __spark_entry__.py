@@ -3064,6 +3064,36 @@ def _q_incremental_corpus_update_bucketed(spark, sf_dir):
                                        shingle_n=3, min_overlap=0.2)
 
 
+def _q_incremental_corpus_update_fixed_eval(spark, sf_dir):
+    """The incremental-ingest capstone with the eval suite held at a
+    FIXED absolute size (doc_id < 500k within the source-parity
+    split) — the sf100-decade deployment twin (judge r12 #4),
+    following the `curated_corpus_fixed_eval` /
+    `training_shards_fixed_eval` precedent: the growing-synthetic-eval
+    registry row correctly trips the decontamination candidate guard
+    at the 5M-doc tier (2.5M eval docs is not a deployment shape —
+    eval suites don't scale with the train corpus), so the
+    train-corpus-scaling measurement needs the eval side pinned. At
+    driver scale the cap never binds: identical rows to
+    `incremental_corpus_update`, checked against its own capped
+    DuckDB oracle."""
+    from dotnetvectorsearch_spark.operators.dedup import (
+        incremental_update_manifest)
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = (docs.filter(F.col("doc_id") % 5 != 0)
+           .withColumn(
+               "text",
+               F.when(F.col("doc_id") % 11 == 0,
+                      F.concat(F.col("text"), F.lit(" edited v2")))
+               .otherwise(F.col("text"))))
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    eval_docs = docs.filter((src_num % 2 == 1)
+                            & (F.col("doc_id") < _FIXED_EVAL_CAP))
+    return incremental_update_manifest(old, new, eval_docs,
+                                       shingle_n=3, min_overlap=0.2)
+
+
 def _q_ann_nprobe_tuning_ivfpq(spark, sf_dir):
     """Recall-targeted nprobe auto-tuning for the ADC-COMPRESSED
     IVF+PQ serve tier (judge r11 #4 — the tier that matters most at
@@ -3373,6 +3403,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 13 ---
     "incremental_corpus_update_bucketed":
         _q_incremental_corpus_update_bucketed,
+    "incremental_corpus_update_fixed_eval":
+        _q_incremental_corpus_update_fixed_eval,
 }
 
 
@@ -6167,5 +6199,17 @@ def oracle_sql() -> dict[str, str]:
     # differs only in physical input layout (doc_id-bucketed snapshot
     # tables), which SQL cannot see
     oracles["incremental_corpus_update_bucketed"] = \
+        oracles["incremental_corpus_update"]
+    # fixed-eval capstone twin (r13): same SQL with the eval suite
+    # capped at the fixed absolute size — the sf100-decade deployment
+    # shape (eval suites don't grow with the train corpus); at driver
+    # scale the cap never binds, so the oracle checks identical
+    # semantics
+    oracles["incremental_corpus_update_fixed_eval"] = \
+        oracles["incremental_corpus_update"].replace(
+            "FROM documents) WHERE sn % 2 = 1",
+            "FROM documents) WHERE sn % 2 = 1 "
+            f"AND doc_id < {_FIXED_EVAL_CAP}")
+    assert oracles["incremental_corpus_update_fixed_eval"] != \
         oracles["incremental_corpus_update"]
     return oracles
