@@ -178,6 +178,13 @@ BENCH_QUERIES = [
     "curated_corpus_fixed_eval",
     "training_shards_fixed_eval",
     "ann_index_health",
+    # round 13: the capstone on its bucketed deployment layout (first
+    # call stages the snapshot tables for the session — the one-time
+    # ingest shuffle; warm reps measure the zero-id-Exchange serve
+    # shape), and the fixed-eval capstone twin carrying the sf100
+    # decade cell
+    "incremental_corpus_update_bucketed",
+    "incremental_corpus_update_fixed_eval",
 ]
 
 

@@ -259,7 +259,14 @@ def _write_md(payload: dict) -> None:
         "the exact shortlist-membership closed form "
         "(`ann_nprobe_tuning_ivfpq` emits it); unlike plain IVF the "
         "curve need not reach 1.0 at full probe (the shortlist cut "
-        "is the tier's ceiling).",
+        "is the tier's ceiling). Since r13 both dials PERSIST their "
+        "chosen width into the store marker "
+        "(`ann_store.tune_store_nprobe`, which the two tuning "
+        "registry queries route through), and a no-arg "
+        "`serve_topk` defaults to it — the tuned operating point is "
+        "the deployment serve default, not a caller-side knob; a "
+        "rebuild drops the block so a stale tune never outlives its "
+        "index (pinned in tests/test_ann_store.py).",
         "",
     ]
     for tier, t in payload["tiers"].items():
