@@ -37,7 +37,7 @@ from dotnetvectorsearch_spark.session import get_spark
 from dotnetvectorsearch_spark.sources.io import write_bucketed
 
 SF_DIR = str(ROOT / ".scaletier" / "sf1")
-N_BUCKETS = 16
+N_BUCKETS = 32
 REPS = 3
 
 
