@@ -56,6 +56,8 @@ INDEX_PARAMS: dict[str, dict] = {
 }
 
 _MARKER = "_fingerprint.json"
+_MANIFEST_DIR = "_manifests"
+_CURRENT = "CURRENT"
 
 
 def _round6_half_up(x):
@@ -140,6 +142,12 @@ def ensure_index(spark: SparkSession, sf_dir: str, kind: str,
     # so the next ensure_index retries instead of serving half an index.
     (Path(path) / _MARKER).write_text(json.dumps(
         {"fingerprint": fp, "kind": kind, "params": INDEX_PARAMS[kind]}))
+    # Cell-partitioned stores are snapshot-managed from birth: publish
+    # v1 so appends/compactions version against it. (The overwrite in
+    # _build wiped any prior _manifests with the old files — correct,
+    # since those snapshots' files no longer exist.)
+    if kind in ("ivf", "ivfpq"):
+        publish_snapshot(path, note="build")
     return path, True
 
 
@@ -259,7 +267,11 @@ def index_health(spark: SparkSession, sf_dir: str, kind: str = "ivf",
 
     if path is None:
         path, _ = ensure_index(spark, sf_dir, kind, root)
-    rows = spark.read.parquet(path)
+    # Snapshot-consistent when the store is manifest-managed: health
+    # reads what a SERVE would read, so a compacted-but-not-yet-GC'd
+    # store correctly reports 1 file/cell (retired files awaiting
+    # gc_snapshots are invisible to the snapshot, and to serves).
+    rows = read_store_rows(spark, path)
     # input_file_name is nondeterministic, so it must be projected as
     # a column BEFORE the aggregate (Catalyst rejects it inside one)
     per_cell = (rows.withColumn("__f", F.input_file_name())
@@ -280,6 +292,191 @@ def index_health(spark: SparkSession, sf_dir: str, kind: str = "ivf",
             .orderBy("cell"))
 
 
+# --------------------------------------------------------------------
+# Snapshot manifests — cross-cell consistency for maintenance
+# --------------------------------------------------------------------
+# compact_index's dir-swap is file-atomic per cell but NOT a cross-cell
+# snapshot: a reader listing the directory mid-pass can see some cells
+# compacted and others not (and, for one rename window, a cell missing
+# entirely). The fix is the same one Delta/Iceberg use for OPTIMIZE: an
+# immutable per-version MANIFEST naming the exact data files of a
+# snapshot, plus an atomically-replaced CURRENT pointer. Readers
+# resolve CURRENT once and read that file list — concurrent appends,
+# compactions, and GC never change what a running query sees, because
+# data files are immutable and a publisher never deletes anything
+# (deletion is a separate GC step that only touches files no retained
+# snapshot references). This is the local-fs analogue of the Delta
+# transaction log: `manifest-v%06d.json` under `_manifests/` (the
+# underscore prefix keeps Spark's directory reads ignoring it), CURRENT
+# swapped via write-temp + os.replace (atomic on POSIX). Scope: the
+# cell-partitioned stores (ivf / ivfpq) whose maintenance passes need
+# it; readers get snapshot isolation, WRITER-writer coordination is
+# still the documented single-maintenance-writer window (a real
+# catalog CAS is the multi-writer upgrade path).
+
+
+def _manifests_root(path: str) -> Path:
+    return Path(path) / _MANIFEST_DIR
+
+
+def _data_files(path: str) -> list[str]:
+    """All data-file paths (relative to the store root) in cell=* partition
+    dirs. Only *.parquet leaves count — markers and _SUCCESS files don't."""
+    out = []
+    for d in sorted(Path(path).glob("cell=*")):
+        out.extend(sorted(str(f.relative_to(path))
+                          for f in d.glob("*.parquet")))
+    return out
+
+
+def _read_manifest_file(p: Path) -> dict:
+    return json.loads(p.read_text())
+
+
+def current_snapshot_version(path: str) -> int | None:
+    """Version in CURRENT, or None when the store has no manifests."""
+    try:
+        return int((_manifests_root(path) / _CURRENT).read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """All retained snapshot manifests, oldest first: each a dict with
+    ``version``, ``files`` (relative paths), ``n_files``, ``note``."""
+    root = _manifests_root(path)
+    if not root.is_dir():
+        return []
+    out = []
+    for p in sorted(root.glob("manifest-v*.json")):
+        try:
+            out.append(_read_manifest_file(p))
+        except (OSError, ValueError):
+            continue
+    return sorted(out, key=lambda m: m["version"])
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    """The manifest of ``version`` (default: CURRENT). Raises
+    FileNotFoundError when the store has no manifests or the version
+    was GC'd — callers that want directory-read fallback use
+    :func:`read_store_rows`."""
+    if version is None:
+        version = current_snapshot_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no manifests under {path}")
+    p = _manifests_root(path) / f"manifest-v{version:06d}.json"
+    if not p.is_file():
+        raise FileNotFoundError(f"snapshot v{version} not found "
+                                f"(GC'd or never published) under {path}")
+    return _read_manifest_file(p)
+
+
+def _write_manifest(path: str, files: list[str], note: str = "") -> int:
+    """Publish an immutable manifest for exactly ``files`` and swap
+    CURRENT to it. Returns the new version number."""
+    root = _manifests_root(path)
+    root.mkdir(parents=True, exist_ok=True)
+    snaps = list_snapshots(path)
+    version = (snaps[-1]["version"] + 1) if snaps else 1
+    doc = {"version": version, "files": sorted(files),
+           "n_files": len(files), "note": note}
+    mf = root / f"manifest-v{version:06d}.json"
+    tmp = root / f".manifest-v{version:06d}.json.tmp"
+    tmp.write_text(json.dumps(doc))
+    os.replace(tmp, mf)            # manifest file lands whole
+    cur_tmp = root / f".{_CURRENT}.tmp"
+    cur_tmp.write_text(str(version))
+    os.replace(cur_tmp, root / _CURRENT)   # atomic pointer swap
+    return version
+
+
+def publish_snapshot(path: str, note: str = "") -> int:
+    """Publish the next snapshot of a cell-partitioned store after an
+    APPEND (or as the first snapshot of an unmanaged store). Returns
+    the new version.
+
+    The new file set is NOT a bare directory listing: after a
+    manifest-mode compaction the directory still holds retired files
+    awaiting :func:`gc_snapshots`, and re-listing them would
+    double-count rows. So the snapshot is
+
+        (CURRENT's files that still exist)  ∪  (files on disk that NO
+        retained manifest references)
+
+    — the second term is exactly the freshly-appended files (retired
+    files stay referenced by the older manifests until GC drops both).
+    For a store with no manifests yet this degenerates to the full
+    directory listing."""
+    on_disk = set(_data_files(path))
+    snaps = list_snapshots(path)
+    if not snaps:
+        return _write_manifest(path, sorted(on_disk), note or "initial")
+    referenced = set()
+    for m in snaps:
+        referenced.update(m["files"])
+    cur = set(read_manifest(path)["files"])
+    files = (cur & on_disk) | (on_disk - referenced)
+    return _write_manifest(path, sorted(files), note)
+
+
+def read_store_rows(spark: SparkSession, path: str,
+                    version: int | None = None) -> DataFrame:
+    """Snapshot-consistent rows of a cell-partitioned store: resolve
+    the manifest (CURRENT, or an explicit ``version`` for time-travel)
+    and read exactly its files. ``basePath`` keeps the ``cell=...``
+    directory components parsed as the partition column, so probe-time
+    cell pruning works identically to a directory read. A store with
+    no manifests falls back to the plain directory read (pre-manifest
+    stores keep working)."""
+    if version is None and current_snapshot_version(path) is None:
+        return spark.read.parquet(path)
+    m = read_manifest(path, version)
+    if not m["files"]:
+        raise ValueError(f"snapshot v{m['version']} of {path} is empty")
+    return (spark.read.option("basePath", path)
+            .parquet(*[str(Path(path) / f) for f in m["files"]]))
+
+
+def gc_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` manifests and delete the
+    data files ONLY they referenced. Returns
+    ``{"dropped_versions": [...], "deleted_files": n}``.
+
+    Deletes nothing a kept manifest references, and nothing no manifest
+    references (an unreferenced file is a not-yet-published append, not
+    garbage). Run this once readers can no longer be pinned to the
+    dropped versions — the retention window is the reader-lifetime
+    bound, exactly Delta's VACUUM contract."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
+    snaps = list_snapshots(path)
+    if len(snaps) <= keep_last:
+        return {"dropped_versions": [], "deleted_files": 0}
+    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+    kept_files = set()
+    for m in keep:
+        kept_files.update(m["files"])
+    doomed = set()
+    for m in drop:
+        doomed.update(f for f in m["files"] if f not in kept_files)
+    deleted = 0
+    for rel in sorted(doomed):
+        try:
+            (Path(path) / rel).unlink()
+            deleted += 1
+        except OSError:
+            pass
+    for m in drop:
+        try:
+            (_manifests_root(path)
+             / f"manifest-v{m['version']:06d}.json").unlink()
+        except OSError:
+            pass
+    return {"dropped_versions": [m["version"] for m in drop],
+            "deleted_files": deleted}
+
+
 def compact_index(spark: SparkSession, path: str) -> int:
     """Rewrite a cell-partitioned index directory so each cell holds
     ONE file — the companion maintenance pass for streamed appends
@@ -287,39 +484,68 @@ def compact_index(spark: SparkSession, path: str) -> int:
     trigger; this restores per-cell scan efficiency without touching
     trained state). Returns the number of cell partitions rewritten.
 
-    The rewrite goes through a sibling temp dir and swaps the
-    ``cell=*`` partition dirs ONE CELL AT A TIME (retire the old dir
-    into the temp area, move the new dir in, only then discard the
-    old — advisor r12), so the underscore-prefixed trained state
-    (``_centroids`` / ``_meta`` / the store's fingerprint marker) is
-    never rewritten and at any instant every cell dir a reader can
-    list is a complete old or complete new copy — never a partially
-    written file, and never the whole index missing. The honest
-    residual: the two renames per cell are not one atomic op, so a
-    concurrent reader can transiently miss AT MOST the single cell
-    mid-swap; cross-cell snapshot consistency needs a manifest layer
-    (the Delta/Iceberg OPTIMIZE analogue) — this local-fs store
-    assumes the usual single-writer maintenance window.
-    ``repartition("cell")`` puts every row of a cell in one task, so
-    partitionBy emits exactly one file per cell. Search results are
-    unaffected — same rows, same trained state (pinned in
+    Two modes, chosen by whether the store carries snapshot manifests:
+
+    **Manifest mode** (store has a CURRENT snapshot — the managed
+    path): compact the CURRENT snapshot's rows into new uniquely-named
+    files alongside the old ones, then publish a new manifest naming
+    only the compacted files. Nothing is deleted — readers resolved at
+    ANY retained version keep a complete, consistent file set, so the
+    pass is cross-cell snapshot-consistent, not just file-atomic; the
+    retired files go away later via :func:`gc_snapshots` once no
+    reader can be pinned to them (the Delta/Iceberg OPTIMIZE+VACUUM
+    split).
+
+    **Legacy mode** (no manifests): the r12 dir-swap — rewrite through
+    a sibling temp dir and swap the ``cell=*`` partition dirs ONE CELL
+    AT A TIME (retire the old dir into the temp area, move the new dir
+    in, only then discard the old), so every cell dir a reader can
+    list is a complete old or complete new copy. Honest residual (the
+    reason manifest mode exists): the two renames per cell are not one
+    atomic op, so a concurrent reader can transiently miss AT MOST the
+    single cell mid-swap — legacy mode assumes the single-writer
+    maintenance window.
+
+    In both modes the underscore-prefixed trained state
+    (``_centroids`` / ``_meta`` / the fingerprint marker) is never
+    touched, ``repartition("cell")`` puts every row of a cell in one
+    task so partitionBy emits exactly one file per cell, and search
+    results are unaffected — same rows, same trained state (pinned in
     tests/test_ann_store.py)."""
     import shutil
     from pathlib import Path as _P
 
     tmp = f"{path.rstrip('/')}__compact_tmp"
-    (spark.read.parquet(path)
-     .repartition("cell")
+    managed = current_snapshot_version(path) is not None
+    # manifest mode compacts the SNAPSHOT (the directory may hold
+    # retired files a bare listing would double-count)
+    src = read_store_rows(spark, path) if managed \
+        else spark.read.parquet(path)
+    (src.repartition("cell")
      .write.partitionBy("cell").mode("overwrite").parquet(tmp))
     n = 0
-    for d in _P(tmp).glob("cell=*"):
-        dst = _P(path) / d.name
-        retired = _P(tmp) / f"_retired_{d.name}"
-        if dst.exists():
-            # retire OUTSIDE path so listings never see a stray dir
-            shutil.move(str(dst), str(retired))
-        shutil.move(str(d), str(dst))
-        n += 1
+    if managed:
+        ver = current_snapshot_version(path)
+        new_files: list[str] = []
+        for d in sorted(_P(tmp).glob("cell=*")):
+            dst_dir = _P(path) / d.name
+            dst_dir.mkdir(exist_ok=True)
+            for i, f in enumerate(sorted(d.glob("*.parquet"))):
+                name = f"compact-v{ver + 1:06d}-{i:04d}.parquet"
+                shutil.move(str(f), str(dst_dir / name))
+                new_files.append(f"{d.name}/{name}")
+            n += 1
+        _write_manifest(path, new_files,
+                        note=f"compaction of v{ver}")
+    else:
+        for d in _P(tmp).glob("cell=*"):
+            dst = _P(path) / d.name
+            retired = _P(tmp) / f"_retired_{d.name}"
+            if dst.exists():
+                # retire OUTSIDE path so listings never see a stray dir
+                shutil.move(str(dst), str(retired))
+            shutil.move(str(d), str(dst))
+            n += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return n
 
@@ -544,14 +770,17 @@ def tune_store_nprobe(spark: SparkSession, sf_dir: str, kind: str,
         panel = [(r.vec_id, list(r.embedding)) for r in
                  emb.filter(F.col("vec_id") % 25 == 7).collect()]
     if kind == "ivf":
-        idx, rows = IVFIndex.read(spark, path)
-        chosen, curve = choose_nprobe(idx, rows, panel,
+        idx, _ = IVFIndex.read(spark, path)
+        # tune on the SNAPSHOT the serve path reads (identical on a
+        # just-built store; diverges only mid-maintenance)
+        chosen, curve = choose_nprobe(idx, read_store_rows(spark, path),
+                                      panel,
                                       target_recall=target_recall, k=k)
     else:
-        idx, prows = IVFPQIndex.read(spark, path)
+        idx, _ = IVFPQIndex.read(spark, path)
         chosen, curve = choose_nprobe_ivfpq(
-            idx, prows, emb, panel, target_recall=target_recall, k=k,
-            shortlist=shortlist)
+            idx, read_store_rows(spark, path), emb, panel,
+            target_recall=target_recall, k=k, shortlist=shortlist)
     meta = read_store_meta(path)
     meta["tuned"] = {
         "nprobe": int(chosen),
@@ -592,17 +821,20 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
         if tuned and tuned.get("nprobe") is not None:
             nprobe = int(tuned["nprobe"])
     if kind == "ivf":
-        idx, rows = IVFIndex.read(spark, path)
+        idx, _ = IVFIndex.read(spark, path)
         if nprobe is not None:
             idx.nprobe = nprobe
-        return idx.search(rows, query_vec, k=k)
+        # snapshot-consistent rows: a concurrent compaction/GC never
+        # changes what this query scans (falls back to the directory
+        # read on pre-manifest stores)
+        return idx.search(read_store_rows(spark, path), query_vec, k=k)
     emb = load_table(spark, sf_dir, "embeddings")
     if kind == "pq":
         idx, codes = PQIndex.read(spark, path)
         return idx.search(codes, query_vec, k, rescore=emb,
                           shortlist=shortlist)
-    idx, rows = IVFPQIndex.read(spark, path)
+    idx, _ = IVFPQIndex.read(spark, path)
     if nprobe is not None:
         idx.ivf.nprobe = nprobe
-    return idx.search(rows, query_vec, k, rescore=emb,
-                      shortlist=shortlist)
+    return idx.search(read_store_rows(spark, path), query_vec, k,
+                      rescore=emb, shortlist=shortlist)

@@ -221,7 +221,8 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on,
 
 
 def stream_index_append(vectors: DataFrame, index, path: str,
-                        checkpoint: str, vec_col: str = "embedding"):
+                        checkpoint: str, vec_col: str = "embedding",
+                        publish_snapshots: bool = False):
     """Incremental ANN-index maintenance: assign each arriving vector to
     its IVF cell (one narrow Arrow matmul against the fixed centroids —
     no shuffle, no refit) and append it into the ``partitionBy(cell)``
@@ -244,7 +245,17 @@ def stream_index_append(vectors: DataFrame, index, path: str,
     Python object that built it — round 10). Cell assignments are
     identical to a batch ``transform`` over the same rows (same
     centroids, same argmax; pinned in tests). Returns the started
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``publish_snapshots=True`` publishes an ``ann_store`` snapshot
+    manifest after each trigger's append, so readers on a
+    manifest-managed store (`ann_store.read_store_rows` /
+    `serve_topk`) see each trigger's rows atomically — a serve
+    resolving CURRENT mid-append never reads a partially-written
+    trigger, and a compaction running concurrently never hides the
+    appends (publish_snapshot folds still-unreferenced files into the
+    new snapshot). On an unmanaged store leave it False and readers
+    list the directory as before."""
     if index is None:
         from dotnetvectorsearch_spark.operators.ann import IVFIndex
         index, _ = IVFIndex.read(vectors.sparkSession, path)
@@ -252,6 +263,10 @@ def stream_index_append(vectors: DataFrame, index, path: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (index.transform(batch_df, vec_col=vec_col)
          .write.mode("append").partitionBy("cell").parquet(path))
+        if publish_snapshots:
+            from dotnetvectorsearch_spark.operators.ann_store import (
+                publish_snapshot)
+            publish_snapshot(path, note=f"append batch {batch_id}")
 
     return (vectors.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)

@@ -339,35 +339,44 @@ def test_tune_store_nprobe_persists_serve_default(spark, sf_dir,
 
 
 def test_index_health_and_compact(spark, sf_dir, tmp_path):
-    """Maintenance loop: a fresh store is unflagged; streamed-append
-    fragmentation trips the per-cell file bound; compact_index
-    rewrites every cell to ONE file without changing search results
-    or trained state."""
+    """Maintenance loop on a MANAGED (manifest-versioned) store: a
+    fresh store is unflagged; published appends trip the per-cell file
+    bound; compact_index publishes a compacted snapshot with identical
+    search results; retired files stay until gc_snapshots and GC
+    preserves the current snapshot exactly."""
     root = str(tmp_path / "store")
     health = ann_store.index_health(spark, sf_dir, "ivf", root=root)
     rows = health.collect()
     assert 0 < len(rows) <= ann_store.INDEX_PARAMS["ivf"]["n_cells"]
     assert all(not r.fragmented for r in rows)
     assert all(r.n_rows > 0 for r in rows)
-    # simulate 9 streamed append triggers: small files pile up per cell
     path = ann_store.index_path(sf_dir, "ivf", root)
+    # ensure_index published the build snapshot
+    assert ann_store.current_snapshot_version(path) == 1
+    # simulate 9 streamed append triggers: small files pile up per
+    # cell; each append PUBLISHES (the managed-store append contract)
     idx, _ = IVFIndex.read(spark, path)
     emb = load_table(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding")
-    for _ in range(9):
+    for i in range(9):
         (idx.transform(emb)
          .write.mode("append").partitionBy("cell").parquet(path))
+        ann_store.publish_snapshot(path, note=f"append {i}")
+    assert ann_store.current_snapshot_version(path) == 10
     frag = ann_store.index_health(spark, sf_dir, "ivf", root=root)
     assert any(r.fragmented for r in frag.collect())
     # search parity: same query before/after compaction (duplicates
     # from the repeated append included — compaction must not drop or
-    # reorder anything)
+    # reorder anything). Reads go through the SNAPSHOT, like serve.
     qv = emb.filter("vec_id = 3").collect()[0].embedding
     def _topk():
-        i2, rows2 = IVFIndex.read(spark, path)
+        i2, _ = IVFIndex.read(spark, path)
         return [(r.vec_id, r.similarity)
-                for r in i2.search(rows2, qv, k=15).collect()]
+                for r in i2.search(
+                    ann_store.read_store_rows(spark, path),
+                    qv, k=15).collect()]
     want = _topk()
+    pre_disk = len(ann_store._data_files(path))
     n = ann_store.compact_index(spark, path)
     assert n > 0
     assert _topk() == want
@@ -375,3 +384,129 @@ def test_index_health_and_compact(spark, sf_dir, tmp_path):
     arows = after.collect()
     assert all(r.n_files == 1 for r in arows)
     assert all(not r.fragmented for r in arows)
+    # nothing deleted yet: retired files coexist with compacted ones
+    # (readers pinned to older snapshots stay consistent) ...
+    assert len(ann_store._data_files(path)) == pre_disk + n
+    # ... until GC drops the old snapshots and ONLY their files
+    gc = ann_store.gc_snapshots(path, keep_last=1)
+    assert gc["deleted_files"] == pre_disk
+    assert len(ann_store._data_files(path)) == n
+    assert _topk() == want
+
+
+def test_snapshot_time_travel_and_isolation(spark, sf_dir, tmp_path):
+    """The manifest layer gives readers snapshot isolation: a version
+    pinned before an append/compaction resolves to the SAME rowset
+    afterwards; CURRENT sees the new data; GC invalidates only the
+    dropped versions."""
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    n0 = ann_store.read_store_rows(spark, path).count()
+    assert n0 > 0
+    idx, _ = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    sliver = emb.filter("vec_id % 7 = 3")
+    n_add = sliver.count()
+    (idx.transform(sliver)
+     .write.mode("append").partitionBy("cell").parquet(path))
+    # unpublished appends are invisible to snapshot readers
+    assert ann_store.read_store_rows(spark, path).count() == n0
+    v2 = ann_store.publish_snapshot(path, note="sliver")
+    assert v2 == 2
+    assert ann_store.read_store_rows(spark, path).count() == n0 + n_add
+    # time travel: v1 still reads the pre-append rowset, bit-exact ids
+    old = ann_store.read_store_rows(spark, path, version=1)
+    assert old.count() == n0
+    assert old.select("vec_id").distinct().count() == n0
+    # the cell partition column survives the explicit-file-list read
+    assert "cell" in old.columns
+    # compaction publishes v3; v1/v2 remain resolvable until GC
+    ann_store.compact_index(spark, path)
+    assert ann_store.current_snapshot_version(path) == 3
+    assert ann_store.read_store_rows(spark, path).count() == n0 + n_add
+    assert ann_store.read_store_rows(spark, path, version=1).count() == n0
+    gc = ann_store.gc_snapshots(path, keep_last=1)
+    assert gc["dropped_versions"] == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        ann_store.read_manifest(path, version=1)
+    assert ann_store.read_store_rows(spark, path).count() == n0 + n_add
+
+
+def test_snapshot_publish_excludes_retired_files(spark, sf_dir,
+                                                 tmp_path):
+    """publish_snapshot after a compaction (while retired files still
+    sit on disk awaiting GC) must NOT fold them back in — the new
+    snapshot is CURRENT's live files plus genuinely-new ones only."""
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    n0 = ann_store.read_store_rows(spark, path).count()
+    ann_store.compact_index(spark, path)          # v2, retired files remain
+    v = ann_store.publish_snapshot(path, note="no-op publish")
+    assert v == 3
+    assert ann_store.read_store_rows(spark, path).count() == n0
+    # and the no-op snapshot references exactly the compacted files
+    assert (ann_store.read_manifest(path, 3)["files"]
+            == ann_store.read_manifest(path, 2)["files"])
+
+
+def test_unmanaged_store_falls_back_to_directory_read(spark, sf_dir,
+                                                      tmp_path):
+    """A store written without manifests (pre-manifest layout, or
+    idx.write directly) keeps working: read_store_rows falls back to
+    the directory read and compact_index uses the legacy dir-swap."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    idx = IVFIndex(n_cells=4, nprobe=4).fit(emb)
+    path = str(tmp_path / "bare")
+    idx.write(emb, path)
+    assert ann_store.current_snapshot_version(path) is None
+    n = emb.count()
+    assert ann_store.read_store_rows(spark, path).count() == n
+    assert ann_store.compact_index(spark, path) > 0
+    assert ann_store.read_store_rows(spark, path).count() == n
+    assert ann_store.current_snapshot_version(path) is None
+
+
+def test_gc_keep_last_must_retain_current():
+    with pytest.raises(ValueError):
+        ann_store.gc_snapshots("/nonexistent", keep_last=0)
+
+
+def test_stream_index_append_publishes_snapshots(spark, sf_dir,
+                                                 tmp_path):
+    """publish_snapshots=True: every trigger's append lands as a new
+    snapshot version, and snapshot readers see exactly the published
+    triggers (the streamed-ingest end of the manifest contract)."""
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_index_append)
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    idx = IVFIndex(n_cells=4, nprobe=4).fit(emb)
+    path = str(tmp_path / "ivf_index")
+    src = tmp_path / "vecs"
+    src.mkdir()
+    first = emb.filter(F.col("vec_id") < 50)
+    second = emb.filter((F.col("vec_id") >= 50)
+                        & (F.col("vec_id") < 100))
+    first.write.parquet(str(src / "b1"))
+    second.write.parquet(str(src / "b2"))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = stream_index_append(stream, idx, path,
+                            str(tmp_path / "ckpt"),
+                            publish_snapshots=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snaps = ann_store.list_snapshots(path)
+    assert len(snaps) >= 1
+    assert (ann_store.read_store_rows(spark, path).count()
+            == first.count() + second.count())
