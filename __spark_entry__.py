@@ -3206,6 +3206,67 @@ def _q_training_shards_fixed_eval(spark, sf_dir):
                     "pos"))
 
 
+def _q_ann_store_snapshots(spark, sf_dir):
+    """Snapshot-versioned ANN store maintenance, end to end: build ->
+    publish v1, streamed-append delta -> publish v2, compact -> v3,
+    GC the oldest version — returning the snapshot LEDGER the cycle
+    leaves behind (version, row count, current/retained flags, note).
+    The manifest layer (`ann_store.publish_snapshot` /
+    `read_store_rows` / `gc_snapshots`) is what makes maintenance
+    cross-cell snapshot-consistent at 100 TB: readers pin an immutable
+    file list, compaction publishes instead of deleting, and GC
+    reclaims only versions no reader can still hold — the
+    Delta/Iceberg OPTIMIZE+VACUUM split over a plain parquet store
+    (isolation + parity pinned in tests/test_ann_store.py).
+
+    Runs on a THROWAWAY store built from the even sliver of the
+    corpus (vec_id % 10 == 0) with the odd sliver (% 10 == 5) as the
+    appended delta, so the shared serve-store state is never touched.
+    Oracle-checked: the ledger's row-conservation semantics (v1 =
+    seed, v2 = v3 = seed + delta through compaction) and
+    retention flags are SQL-derivable from the corpus alone.
+    Reference baseline: the reference has no index or maintenance at
+    all (`VectorSearchService.cs:142-161` rescans per query) — this is
+    a beyond-reference scale component."""
+    import shutil
+    import tempfile
+
+    from dotnetvectorsearch_spark.operators import ann_store
+    from dotnetvectorsearch_spark.operators.ann import IVFIndex
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding"))
+    seed = emb.filter(F.col("vec_id") % 10 == 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 5)
+    work = tempfile.mkdtemp(prefix="ann_snapshots_")
+    try:
+        path = f"{work}/ivf"
+        idx = IVFIndex(n_cells=8, nprobe=8).fit(seed, max_sample=4000)
+        idx.write(seed, path)
+        ann_store.publish_snapshot(path, note="build")          # v1
+        n1 = ann_store.read_store_rows(spark, path).count()
+        (idx.transform(delta).write.mode("append")
+         .partitionBy("cell").parquet(path))
+        ann_store.publish_snapshot(path, note="append")         # v2
+        n2 = ann_store.read_store_rows(spark, path).count()
+        ann_store.compact_index(spark, path)                    # v3
+        n3 = ann_store.read_store_rows(spark, path).count()
+        notes = {m["version"]: m["note"]
+                 for m in ann_store.list_snapshots(path)}
+        gc = ann_store.gc_snapshots(path, keep_last=2)
+        retained = {m["version"]
+                    for m in ann_store.list_snapshots(path)}
+        cur = ann_store.current_snapshot_version(path)
+        assert gc["dropped_versions"] == [1] and cur == 3
+        rows = [(v, n, int(v == cur), int(v in retained), notes[v])
+                for v, n in ((1, n1), (2, n2), (3, n3))]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, is_current int, "
+              "retained int, note string").orderBy("version")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_topk": _q_search_topk,
     "search_topk_filtered": _q_search_topk_filtered,
@@ -3405,6 +3466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _q_incremental_corpus_update_bucketed,
     "incremental_corpus_update_fixed_eval":
         _q_incremental_corpus_update_fixed_eval,
+    "ann_store_snapshots": _q_ann_store_snapshots,
 }
 
 
@@ -6212,4 +6274,22 @@ def oracle_sql() -> dict[str, str]:
             f"AND doc_id < {_FIXED_EVAL_CAP}")
     assert oracles["incremental_corpus_update_fixed_eval"] != \
         oracles["incremental_corpus_update"]
+    # snapshot ledger (r13): the maintenance cycle's row-conservation
+    # and retention semantics derived from the corpus alone — v1 is
+    # the seed sliver, append adds the delta sliver, compaction
+    # conserves rows, GC(keep_last=2) drops exactly v1
+    oracles["ann_store_snapshots"] = """
+        WITH c AS (
+            SELECT count(*) FILTER (WHERE vec_id % 10 = 0) AS a,
+                   count(*) FILTER (WHERE vec_id % 10 = 5) AS b
+            FROM embeddings)
+        SELECT * FROM (
+            SELECT 1 AS version, a AS n_rows, 0 AS is_current,
+                   0 AS retained, 'build' AS note FROM c
+            UNION ALL
+            SELECT 2, a + b, 0, 1, 'append' FROM c
+            UNION ALL
+            SELECT 3, a + b, 1, 1, 'compaction of v2' FROM c)
+        ORDER BY version
+    """
     return oracles

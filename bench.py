@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     # decade cell
     "incremental_corpus_update_bucketed",
     "incremental_corpus_update_fixed_eval",
+    # r13: snapshot-versioned store maintenance cycle (throwaway
+    # store: build -> append -> compact -> GC, ledger out)
+    "ann_store_snapshots",
 ]
 
 

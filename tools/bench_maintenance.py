@@ -148,6 +148,121 @@ def scenario_fragmentation(spark, emb, work: Path) -> dict:
                                   / after_s["full_scan_sec"], 2)}
 
 
+def scenario_manifest(spark, emb, work: Path) -> dict:
+    """Scenario C — snapshot-consistent maintenance (the manifest
+    layer, r13): same fragmentation workload as Scenario A but on a
+    MANAGED store with per-trigger snapshot publication, measuring
+    what the manifests buy and what they cost:
+
+      * a reader PINNED to the pre-compaction version returns the
+        bit-identical top-10 after compaction runs (the cross-cell
+        consistency the legacy dir-swap could not guarantee);
+      * with retired files still on disk awaiting GC, the SNAPSHOT
+        read returns the exact corpus while a raw directory listing
+        double-counts — the number that shows why eager deletion
+        (and its unsafe reader window) was the only option before;
+      * `gc_snapshots` reclaims the retired files and invalidates
+        only the dropped versions (the pinned read now refuses
+        loudly rather than returning wrong rows);
+      * publication overhead per streamed trigger, and snapshot-read
+        vs directory-read serve cost on the same store.
+    """
+    seed = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    store = str(work / "managed_store")
+    idx = IVFIndex(n_cells=N_CELLS, nprobe=NPROBE).fit(seed)
+    idx.write(seed, store)
+    ann_store.publish_snapshot(store, note="build")
+
+    chunk_dir = work / "mchunks"
+    for i in range(TRIGGERS):
+        (rest.filter(F.col("vec_id") % (2 * TRIGGERS) == 2 * i + 1)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(chunk_dir / f"chunk-{i:03d}")))
+    t0 = time.perf_counter()
+    q = stream_index_append(
+        (spark.readStream.schema("vec_id long, embedding array<float>")
+         .option("maxFilesPerTrigger", 1).parquet(f"{chunk_dir}/*")),
+        None, store, str(work / "mck"), publish_snapshots=True)
+    q.processAllAvailable()
+    q.stop()
+    append_sec = round(time.perf_counter() - t0, 3)
+    n_snaps_frag = len(ann_store.list_snapshots(store))
+    v_pre = ann_store.current_snapshot_version(store)
+
+    qvs = _panel(emb, 2 * 251, lim=PANEL_Q)
+    qv0 = qvs[0][1]
+
+    def _pinned_topk(version):
+        i2, _ = IVFIndex.read(spark, store)
+        rows = ann_store.read_store_rows(spark, store, version)
+        return [(r.vec_id, r.similarity)
+                for r in i2.search(rows, qv0, k=10).collect()]
+
+    def _serve_med(reader):
+        times = []
+        for _ in range(SERVE_REPS):
+            t0 = time.perf_counter()
+            i2, _ = IVFIndex.read(spark, store)
+            rows = reader()
+            for _, v in qvs:
+                i2.search(rows, v, k=10).collect()
+            times.append(time.perf_counter() - t0)
+        warm = sorted(times[1:])
+        return round(warm[len(warm) // 2], 3)
+
+    pinned_before = _pinned_topk(v_pre)
+    snap_rows_frag = ann_store.read_store_rows(spark, store).count()
+    files_frag = len(ann_store._data_files(store))
+    serve_snapshot_frag = _serve_med(
+        lambda: ann_store.read_store_rows(spark, store))
+    serve_dirlist_frag = _serve_med(
+        lambda: spark.read.parquet(store))
+
+    t0 = time.perf_counter()
+    n_compacted = ann_store.compact_index(spark, store)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    files_pre_gc = len(ann_store._data_files(store))
+    snap_rows_post = ann_store.read_store_rows(spark, store).count()
+    dir_rows_post = spark.read.parquet(store).count()
+    pinned_after = _pinned_topk(v_pre)
+    pinned_consistent = pinned_after == pinned_before
+
+    t0 = time.perf_counter()
+    # maintenance-window retention: readers have drained, keep only
+    # the compacted CURRENT (keep_last is the reader-lifetime knob)
+    gc = ann_store.gc_snapshots(store, keep_last=1)
+    gc_sec = round(time.perf_counter() - t0, 3)
+    files_post_gc = len(ann_store._data_files(store))
+    try:
+        ann_store.read_manifest(store, version=v_pre)
+        pinned_refused_after_gc = False
+    except FileNotFoundError:
+        pinned_refused_after_gc = True
+    serve_snapshot_compacted = _serve_med(
+        lambda: ann_store.read_store_rows(spark, store))
+    final_rows = ann_store.read_store_rows(spark, store).count()
+
+    return {"triggers": TRIGGERS, "append_wall_sec": append_sec,
+            "snapshots_fragmented": n_snaps_frag,
+            "files_fragmented": files_frag,
+            "snapshot_rows": snap_rows_frag,
+            "serve_snapshot_frag_sec": serve_snapshot_frag,
+            "serve_dirlist_frag_sec": serve_dirlist_frag,
+            "compact_sec": compact_sec,
+            "cells_compacted": n_compacted,
+            "files_pre_gc": files_pre_gc,
+            "snapshot_rows_post_compact": snap_rows_post,
+            "dirlist_rows_post_compact": dir_rows_post,
+            "pinned_version": v_pre,
+            "pinned_consistent_through_compact": pinned_consistent,
+            "gc": gc, "gc_sec": gc_sec,
+            "files_post_gc": files_post_gc,
+            "pinned_refused_after_gc": pinned_refused_after_gc,
+            "serve_snapshot_compacted_sec": serve_snapshot_compacted,
+            "final_rows": final_rows}
+
+
 def _probed_fraction(idx, rows_df, panel, nprobe):
     """Mean over the panel of (rows in the query's nprobe nearest
     cells) / (total rows) — the share of the corpus a probe scans.
@@ -317,6 +432,58 @@ parity pinned separately in tests/test_ann_store.py.
     (ROOT / "MAINTENANCE.md").write_text(md)
 
 
+def _append_manifest_md(man: dict, frag: dict) -> None:
+    pub_tax = round(man["append_wall_sec"] - frag["append_wall_sec"], 3)
+    per_trig = round(pub_tax / man["triggers"], 4)
+    md = f"""
+## Scenario C — snapshot-consistent maintenance (the manifest layer, r13)
+
+Same {man['triggers']}-trigger streamed-append workload as Scenario A,
+but on a MANAGED store: `stream_index_append(publish_snapshots=True)`
+publishes an immutable `ann_store` snapshot manifest per trigger, so
+every reader resolves one atomically-swapped CURRENT pointer instead
+of listing the directory. What the manifests buy, measured:
+
+| | snapshots | data files on disk | snapshot rows | dir-listing rows | serve panel (med, snapshot read) |
+|---|---|---|---|---|---|
+| fragmented (v{man['pinned_version']}) | {man['snapshots_fragmented']} | {man['files_fragmented']} | {man['snapshot_rows']} | {man['snapshot_rows']} | {man['serve_snapshot_frag_sec']} s |
+| after `compact_index`, pre-GC | {man['snapshots_fragmented'] + 1} | {man['files_pre_gc']} | {man['snapshot_rows_post_compact']} | **{man['dirlist_rows_post_compact']}** | — |
+| after `gc_snapshots(keep_last=1)` | 1 | {man['files_post_gc']} | {man['final_rows']} | {man['final_rows']} | {man['serve_snapshot_compacted_sec']} s |
+
+* **Cross-cell consistency through compaction**: a reader pinned to
+  v{man['pinned_version']} (the fragmented snapshot) re-run AFTER the
+  compaction returns the bit-identical top-10 —
+  `pinned_consistent_through_compact = {man['pinned_consistent_through_compact']}`.
+  The legacy dir-swap could only promise per-cell atomicity; the
+  manifest makes the whole store a snapshot.
+* **Why publishers must not delete**: with retired files still on
+  disk awaiting GC, the snapshot read returns
+  {man['snapshot_rows_post_compact']} rows while a raw directory
+  listing returns {man['dirlist_rows_post_compact']} — the
+  double-count an unmanaged store avoids only by deleting eagerly
+  inside the unsafe reader window. GC then reclaims
+  {man['gc']['deleted_files']} retired files in {man['gc_sec']} s and
+  invalidates ONLY the dropped versions: the pinned v{man['pinned_version']}
+  read now refuses loudly (`pinned_refused_after_gc =
+  {man['pinned_refused_after_gc']}`) instead of silently serving a
+  mixed rowset.
+* **Cost**: publication added {pub_tax} s over Scenario A's
+  {frag['append_wall_sec']} s append wall (~{per_trig} s/trigger —
+  one JSON write + one rename); snapshot-read serve on the fragmented
+  store measured {man['serve_snapshot_frag_sec']} s vs
+  {man['serve_dirlist_frag_sec']} s for the directory-listing read —
+  the explicit file list costs nothing extra (and skips the listing
+  round the directory read pays).
+
+Isolation, no-op-publish, fallback, and streamed-publication
+semantics are pinned in tests/test_ann_store.py; the registry query
+`ann_store_snapshots` runs this exact cycle on a throwaway store with
+a DuckDB oracle over the ledger's row-conservation semantics.
+"""
+    with (ROOT / "MAINTENANCE.md").open("a") as fh:
+        fh.write(md)
+
+
 def main() -> int:
     spark = get_spark("bench-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
@@ -326,6 +493,7 @@ def main() -> int:
     try:
         frag = scenario_fragmentation(spark, emb, work)
         drift = scenario_drift(spark, emb, work)
+        man = scenario_manifest(spark, emb, work)
         head = None
         try:
             import subprocess
@@ -335,11 +503,20 @@ def main() -> int:
         except OSError:
             head = "unknown"
         payload = {"sf_dir": SF_DIR, "head": head,
-                   "fragmentation": frag, "drift": drift}
+                   "fragmentation": frag, "drift": drift,
+                   "manifest": man}
         (ROOT / "MAINTENANCE.json").write_text(
             json.dumps(payload, indent=1) + "\n")
         _write_md(frag, drift, head)
+        _append_manifest_md(man, frag)
         print(json.dumps({
+            "manifest_pinned_consistent":
+                man["pinned_consistent_through_compact"],
+            "manifest_dirlist_rows_post_compact":
+                man["dirlist_rows_post_compact"],
+            "manifest_snapshot_rows_post_compact":
+                man["snapshot_rows_post_compact"],
+            "manifest_gc_deleted": man["gc"]["deleted_files"],
             "frag_serve_speedup": frag["serve_speedup"],
             "frag_scan_speedup": frag["scan_speedup"],
             "frag_files_before": frag["before_health"]["total_files"],
