@@ -32,6 +32,7 @@ separately (``ann_build_sec`` vs the ``ann_*_serve`` query rows).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -333,6 +334,28 @@ def _read_manifest_file(p: Path) -> dict:
     return json.loads(p.read_text())
 
 
+@contextlib.contextmanager
+def _writer_lock(path: str):
+    """Advisory exclusive lock for store PUBLISHERS (publish / compact
+    / GC): an ``fcntl.flock`` on ``_manifests/LOCK``, held for the
+    whole read-allocate-write span so two writers cannot race version
+    allocation or interleave a GC with a publish. Readers never take
+    it — snapshot isolation already protects them. Honest scope:
+    advisory and same-host (flock over NFS depends on the mount; a
+    multi-host deployment wants a catalog CAS on the CURRENT pointer,
+    the same upgrade path Delta/Iceberg take). On platforms without
+    fcntl the lock degrades to the documented single-writer window."""
+    root = _manifests_root(path)
+    root.mkdir(parents=True, exist_ok=True)
+    with open(root / "LOCK", "w") as lf:
+        try:
+            import fcntl
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except ImportError:      # non-POSIX: single-writer fallback
+            pass
+        yield
+
+
 def current_snapshot_version(path: str) -> int | None:
     """Version in CURRENT, or None when the store has no manifests."""
     try:
@@ -408,16 +431,18 @@ def publish_snapshot(path: str, note: str = "") -> int:
     files stay referenced by the older manifests until GC drops both).
     For a store with no manifests yet this degenerates to the full
     directory listing."""
-    on_disk = set(_data_files(path))
-    snaps = list_snapshots(path)
-    if not snaps:
-        return _write_manifest(path, sorted(on_disk), note or "initial")
-    referenced = set()
-    for m in snaps:
-        referenced.update(m["files"])
-    cur = set(read_manifest(path)["files"])
-    files = (cur & on_disk) | (on_disk - referenced)
-    return _write_manifest(path, sorted(files), note)
+    with _writer_lock(path):
+        on_disk = set(_data_files(path))
+        snaps = list_snapshots(path)
+        if not snaps:
+            return _write_manifest(path, sorted(on_disk),
+                                   note or "initial")
+        referenced = set()
+        for m in snaps:
+            referenced.update(m["files"])
+        cur = set(read_manifest(path)["files"])
+        files = (cur & on_disk) | (on_disk - referenced)
+        return _write_manifest(path, sorted(files), note)
 
 
 def read_store_rows(spark: SparkSession, path: str,
@@ -450,31 +475,32 @@ def gc_snapshots(path: str, keep_last: int = 2) -> dict:
     bound, exactly Delta's VACUUM contract."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
-    snaps = list_snapshots(path)
-    if len(snaps) <= keep_last:
-        return {"dropped_versions": [], "deleted_files": 0}
-    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
-    kept_files = set()
-    for m in keep:
-        kept_files.update(m["files"])
-    doomed = set()
-    for m in drop:
-        doomed.update(f for f in m["files"] if f not in kept_files)
-    deleted = 0
-    for rel in sorted(doomed):
-        try:
-            (Path(path) / rel).unlink()
-            deleted += 1
-        except OSError:
-            pass
-    for m in drop:
-        try:
-            (_manifests_root(path)
-             / f"manifest-v{m['version']:06d}.json").unlink()
-        except OSError:
-            pass
-    return {"dropped_versions": [m["version"] for m in drop],
-            "deleted_files": deleted}
+    with _writer_lock(path):
+        snaps = list_snapshots(path)
+        if len(snaps) <= keep_last:
+            return {"dropped_versions": [], "deleted_files": 0}
+        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        kept_files = set()
+        for m in keep:
+            kept_files.update(m["files"])
+        doomed = set()
+        for m in drop:
+            doomed.update(f for f in m["files"] if f not in kept_files)
+        deleted = 0
+        for rel in sorted(doomed):
+            try:
+                (Path(path) / rel).unlink()
+                deleted += 1
+            except OSError:
+                pass
+        for m in drop:
+            try:
+                (_manifests_root(path)
+                 / f"manifest-v{m['version']:06d}.json").unlink()
+            except OSError:
+                pass
+        return {"dropped_versions": [m["version"] for m in drop],
+                "deleted_files": deleted}
 
 
 def compact_index(spark: SparkSession, path: str) -> int:
@@ -516,28 +542,31 @@ def compact_index(spark: SparkSession, path: str) -> int:
     from pathlib import Path as _P
 
     tmp = f"{path.rstrip('/')}__compact_tmp"
-    managed = current_snapshot_version(path) is not None
-    # manifest mode compacts the SNAPSHOT (the directory may hold
-    # retired files a bare listing would double-count)
-    src = read_store_rows(spark, path) if managed \
-        else spark.read.parquet(path)
-    (src.repartition("cell")
-     .write.partitionBy("cell").mode("overwrite").parquet(tmp))
     n = 0
-    if managed:
-        ver = current_snapshot_version(path)
-        new_files: list[str] = []
-        for d in sorted(_P(tmp).glob("cell=*")):
-            dst_dir = _P(path) / d.name
-            dst_dir.mkdir(exist_ok=True)
-            for i, f in enumerate(sorted(d.glob("*.parquet"))):
-                name = f"compact-v{ver + 1:06d}-{i:04d}.parquet"
-                shutil.move(str(f), str(dst_dir / name))
-                new_files.append(f"{d.name}/{name}")
-            n += 1
-        _write_manifest(path, new_files,
-                        note=f"compaction of v{ver}")
+    if current_snapshot_version(path) is not None:
+        # manifest mode: the writer lock spans snapshot-resolve ->
+        # rewrite -> publish, so concurrent publishers can't race
+        # version allocation or collide on the shared tmp dir
+        with _writer_lock(path):
+            # compact the SNAPSHOT (the directory may hold retired
+            # files a bare listing would double-count)
+            (read_store_rows(spark, path).repartition("cell")
+             .write.partitionBy("cell").mode("overwrite").parquet(tmp))
+            ver = current_snapshot_version(path)
+            new_files: list[str] = []
+            for d in sorted(_P(tmp).glob("cell=*")):
+                dst_dir = _P(path) / d.name
+                dst_dir.mkdir(exist_ok=True)
+                for i, f in enumerate(sorted(d.glob("*.parquet"))):
+                    name = f"compact-v{ver + 1:06d}-{i:04d}.parquet"
+                    shutil.move(str(f), str(dst_dir / name))
+                    new_files.append(f"{d.name}/{name}")
+                n += 1
+            _write_manifest(path, new_files,
+                            note=f"compaction of v{ver}")
     else:
+        (spark.read.parquet(path).repartition("cell")
+         .write.partitionBy("cell").mode("overwrite").parquet(tmp))
         for d in _P(tmp).glob("cell=*"):
             dst = _P(path) / d.name
             retired = _P(tmp) / f"_retired_{d.name}"
@@ -797,7 +826,8 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
                query_vec: list[float], k: int = 10,
                shortlist: int = 200,
                root: str | None = None,
-               nprobe: int | None = None) -> DataFrame:
+               nprobe: int | None = None,
+               version: int | None = None) -> DataFrame:
     """Search the PERSISTED index — the amortized serve path.
 
     Reads trained state + codes/cells from disk; for pq/ivfpq the
@@ -814,7 +844,20 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
     the default — a caller gets the recall-targeted operating point
     with no knowledge of the tuning (judge r12 #6); an explicit arg
     still wins, and a rebuild drops the block (stale tunes never
-    outlive their index)."""
+    outlive their index).
+
+    ``version`` time-travels a snapshot-managed cell store (ivf /
+    ivfpq): the probe runs against exactly that retained snapshot's
+    rows — the "what did this query return before yesterday's
+    ingest?" debugging serve. Trained state and any tuned nprobe come
+    from the store as it is NOW (centroids never change between
+    rebuilds, and a rebuild resets the manifests, so the pairing is
+    always coherent). Raises FileNotFoundError for a GC'd version and
+    ValueError for pq (codes store is not snapshot-managed)."""
+    if version is not None and kind == "pq":
+        raise ValueError("time-travel serve needs a snapshot-managed "
+                         "cell store (ivf or ivfpq); pq codes are "
+                         "not snapshot-versioned")
     path, _ = ensure_index(spark, sf_dir, kind, root)
     if nprobe is None and kind in ("ivf", "ivfpq"):
         tuned = read_store_meta(path).get("tuned")
@@ -827,7 +870,8 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
         # snapshot-consistent rows: a concurrent compaction/GC never
         # changes what this query scans (falls back to the directory
         # read on pre-manifest stores)
-        return idx.search(read_store_rows(spark, path), query_vec, k=k)
+        return idx.search(read_store_rows(spark, path, version),
+                          query_vec, k=k)
     emb = load_table(spark, sf_dir, "embeddings")
     if kind == "pq":
         idx, codes = PQIndex.read(spark, path)
@@ -836,5 +880,5 @@ def serve_topk(spark: SparkSession, sf_dir: str, kind: str,
     idx, _ = IVFPQIndex.read(spark, path)
     if nprobe is not None:
         idx.ivf.nprobe = nprobe
-    return idx.search(read_store_rows(spark, path), query_vec, k,
-                      rescore=emb, shortlist=shortlist)
+    return idx.search(read_store_rows(spark, path, version), query_vec,
+                      k, rescore=emb, shortlist=shortlist)

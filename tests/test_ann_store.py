@@ -510,3 +510,47 @@ def test_stream_index_append_publishes_snapshots(spark, sf_dir,
     assert len(snaps) >= 1
     assert (ann_store.read_store_rows(spark, path).count()
             == first.count() + second.count())
+
+
+def test_writer_lock_mutual_exclusion(tmp_path):
+    """The publisher lock is a real flock: while held, an independent
+    fd cannot take it (non-blocking probe fails), and it releases on
+    exit. flock is per open-file-description, so the same-process
+    second-fd probe is a faithful two-writer stand-in."""
+    import fcntl
+
+    store = tmp_path / "s"
+    store.mkdir()
+    lock_path = store / "_manifests" / "LOCK"
+    with ann_store._writer_lock(str(store)):
+        assert lock_path.exists()
+        with open(lock_path, "w") as probe:
+            with pytest.raises(OSError):
+                fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    with open(lock_path, "w") as probe:
+        fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)  # released
+        fcntl.flock(probe, fcntl.LOCK_UN)
+
+
+def test_serve_topk_time_travel(spark, sf_dir, tmp_path, qv):
+    """serve_topk(version=N) probes exactly snapshot N's rows: after
+    an append+publish, the pinned version still returns the
+    pre-append top-k; pq refuses the knob."""
+    root = str(tmp_path / "root")
+    before = [(r.vec_id, r.similarity) for r in
+              ann_store.serve_topk(spark, sf_dir, "ivf", qv, k=10,
+                                   root=root).collect()]
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    idx, _ = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    (idx.transform(emb.filter("vec_id % 11 = 5"))
+     .write.mode("append").partitionBy("cell").parquet(path))
+    ann_store.publish_snapshot(path, note="append")
+    pinned = [(r.vec_id, r.similarity) for r in
+              ann_store.serve_topk(spark, sf_dir, "ivf", qv, k=10,
+                                   root=root, version=1).collect()]
+    assert pinned == before
+    with pytest.raises(ValueError, match="snapshot-managed"):
+        ann_store.serve_topk(spark, sf_dir, "pq", qv, k=10,
+                             root=root, version=1)

@@ -467,13 +467,22 @@ of listing the directory. What the manifests buy, measured:
   read now refuses loudly (`pinned_refused_after_gc =
   {man['pinned_refused_after_gc']}`) instead of silently serving a
   mixed rowset.
-* **Cost**: publication added {pub_tax} s over Scenario A's
-  {frag['append_wall_sec']} s append wall (~{per_trig} s/trigger —
-  one JSON write + one rename); snapshot-read serve on the fragmented
-  store measured {man['serve_snapshot_frag_sec']} s vs
-  {man['serve_dirlist_frag_sec']} s for the directory-listing read —
-  the explicit file list costs nothing extra (and skips the listing
-  round the directory read pays).
+* **Cost, measured honestly**: publication added {pub_tax} s over
+  Scenario A's {frag['append_wall_sec']} s append wall
+  (~{per_trig} s/trigger — a directory listing + manifest-set diff +
+  one JSON write + one atomic rename). On the FRAGMENTED store the
+  snapshot serve read {man['serve_snapshot_frag_sec']} s vs
+  {man['serve_dirlist_frag_sec']} s for a raw directory read: passing
+  {man['files_fragmented']} explicit root paths makes the driver stat
+  each one, where the directory read does one recursive listing.
+  That overhead is itself a fragmentation SYMPTOM, and the compaction
+  the manifests make safe is its cure: post-compaction snapshot serve
+  is {man['serve_snapshot_compacted_sec']} s — below both fragmented
+  numbers — and the per-path tax is bounded by the same files/cell
+  health bound `index_health` enforces. (The Delta/Iceberg endgame —
+  feeding file+size from the manifest straight into the scan without
+  re-statting — needs a custom FileIndex/DSv2 relation, noted as the
+  upgrade path.)
 
 Isolation, no-op-publish, fallback, and streamed-publication
 semantics are pinned in tests/test_ann_store.py; the registry query
@@ -484,7 +493,21 @@ a DuckDB oracle over the ledger's row-conservation semantics.
         fh.write(md)
 
 
+def regenerate_md_only() -> int:
+    """Rewrite MAINTENANCE.md from the committed MAINTENANCE.json —
+    prose/format changes without re-measuring (numbers unchanged)."""
+    payload = json.loads((ROOT / "MAINTENANCE.json").read_text())
+    _write_md(payload["fragmentation"], payload["drift"],
+              payload["head"])
+    _append_manifest_md(payload["manifest"], payload["fragmentation"])
+    print("MAINTENANCE.md rewritten from MAINTENANCE.json "
+          f"(head {payload['head']})")
+    return 0
+
+
 def main() -> int:
+    if "--md-only" in sys.argv:
+        return regenerate_md_only()
     spark = get_spark("bench-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
     emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
