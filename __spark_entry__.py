@@ -2808,10 +2808,20 @@ def _q_ann_ivf_serve(spark, sf_dir):
     query-many path a 100 TB deployment actually runs: read centroids
     (KBs) + scan only the nprobe/n_cells parquet partitions. Results
     are bit-identical to ann_ivf_topk (seeded deterministic fit;
-    pinned in tests/test_ann_store.py)."""
-    from dotnetvectorsearch_spark.operators.ann_store import serve_topk
+    pinned in tests/test_ann_store.py).
+
+    nprobe is passed EXPLICITLY at the fitted width: this row's
+    contract is parity with the fit-in-query row, and the shared
+    on-disk store outlives a run — once `ann_nprobe_tuning` has
+    persisted a tuned width, a no-arg serve would pick it up on the
+    NEXT run and silently diverge from ann_ivf_topk (advisor r13).
+    The tuned no-arg deployment default is exercised by the tuning
+    rows + test_ann_store's persistence pin, not by this parity row."""
+    from dotnetvectorsearch_spark.operators.ann_store import (
+        INDEX_PARAMS, serve_topk)
     qv = _collect_query_vec(spark, sf_dir)
-    return serve_topk(spark, sf_dir, "ivf", qv, k=10)
+    return serve_topk(spark, sf_dir, "ivf", qv, k=10,
+                      nprobe=INDEX_PARAMS["ivf"]["nprobe"])
 
 
 def _q_ann_pq_serve(spark, sf_dir):
@@ -2828,10 +2838,14 @@ def _q_ann_ivfpq_serve(spark, sf_dir):
     """Serve-path IVF+PQ ANN: probe-cell partition pruning -> ADC over
     compressed codes -> exact rescore, all against persisted state.
     The 100 TB headline number: scan volume ~(nprobe/n_cells) x
-    (m bytes/row), independent of corpus growth."""
-    from dotnetvectorsearch_spark.operators.ann_store import serve_topk
+    (m bytes/row), independent of corpus growth. nprobe pinned at the
+    fitted width for cross-run parity with ann_ivfpq_topk — see the
+    ann_ivf_serve docstring (advisor r13)."""
+    from dotnetvectorsearch_spark.operators.ann_store import (
+        INDEX_PARAMS, serve_topk)
     qv = _collect_query_vec(spark, sf_dir)
-    return serve_topk(spark, sf_dir, "ivfpq", qv, k=10, shortlist=200)
+    return serve_topk(spark, sf_dir, "ivfpq", qv, k=10, shortlist=200,
+                      nprobe=INDEX_PARAMS["ivfpq"]["nprobe"])
 
 
 # REGISTRY ORDER IS A CONTRACT: the driver verifies only a fixed-size
@@ -3033,9 +3047,14 @@ def _ensure_bucketed_snapshots(spark, sf_dir):
                           F.concat(F.col("text"), F.lit(" edited v2")))
                    .otherwise(F.col("text")))
                .select("doc_id", "text"))
-        write_bucketed(old, old_t, "doc_id", n_buckets=16,
+        # 32 buckets = local cluster parallelism (r13 sizing lesson:
+        # bucketed scans cap at n_buckets-way parallelism, so the
+        # count must match the cluster — 16 idled half the cores and
+        # lost to the plain layout at sf100); matches the measuring
+        # tools (bench_bucketed_manifest / bench_capstone_sf100)
+        write_bucketed(old, old_t, "doc_id", n_buckets=32,
                        sort_col="doc_id")
-        write_bucketed(new, new_t, "doc_id", n_buckets=16,
+        write_bucketed(new, new_t, "doc_id", n_buckets=32,
                        sort_col="doc_id")
     return spark.table(old_t), spark.table(new_t)
 

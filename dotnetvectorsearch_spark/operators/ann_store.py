@@ -397,13 +397,36 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 def _write_manifest(path: str, files: list[str], note: str = "") -> int:
     """Publish an immutable manifest for exactly ``files`` and swap
-    CURRENT to it. Returns the new version number."""
+    CURRENT to it. Returns the new version number.
+
+    Each manifest also carries ``referenced_union`` — the running
+    union of every file any manifest has EVER referenced — so a
+    publish only reads the newest manifest (O(files)) instead of
+    re-parsing all retained ones (O(versions x files), quadratic over
+    a long publish-per-trigger stream — advisor r13). Over-retention
+    of long-deleted names is harmless by construction: the union is
+    only ever subtracted from the live directory listing, and deleted
+    files are not on disk. Soundness leans on names never being
+    reused — Spark part files carry task UUIDs, compaction outputs
+    carry a version number that is allocated monotonically from the
+    always-retained CURRENT."""
     root = _manifests_root(path)
     root.mkdir(parents=True, exist_ok=True)
-    snaps = list_snapshots(path)
-    version = (snaps[-1]["version"] + 1) if snaps else 1
+    cur_ver = current_snapshot_version(path)
+    if cur_ver is None:
+        version, cur = 1, None
+    else:            # CURRENT is always the max retained version
+        version, cur = cur_ver + 1, read_manifest(path, cur_ver)
+    if cur is not None and cur.get("referenced_union") is not None:
+        union = set(cur["referenced_union"])
+    else:            # pre-union manifests: one-time full scan
+        union = set()
+        for m in list_snapshots(path):
+            union.update(m["files"])
+    union.update(files)
     doc = {"version": version, "files": sorted(files),
-           "n_files": len(files), "note": note}
+           "n_files": len(files), "note": note,
+           "referenced_union": sorted(union)}
     mf = root / f"manifest-v{version:06d}.json"
     tmp = root / f".manifest-v{version:06d}.json.tmp"
     tmp.write_text(json.dumps(doc))
@@ -428,20 +451,42 @@ def publish_snapshot(path: str, note: str = "") -> int:
         retained manifest references)
 
     — the second term is exactly the freshly-appended files (retired
-    files stay referenced by the older manifests until GC drops both).
-    For a store with no manifests yet this degenerates to the full
-    directory listing."""
+    files stay referenced until GC removes them from disk; the
+    "referenced" set is the ``referenced_union`` carried by CURRENT,
+    so a publish is O(files), not O(versions x files)). For a store
+    with no manifests yet this degenerates to the full directory
+    listing.
+
+    Unreferenced ``compact-v*`` files are DEBRIS, not appends: a live
+    compaction holds the same writer lock for its whole move+publish
+    span, so any compaction-named file that is visible here yet
+    referenced by no manifest came from a compaction that crashed
+    before publishing. Folding it in would duplicate the rows it
+    rewrote (advisor r13) — it is deleted instead (the crashed pass
+    left CURRENT untouched, so nothing is lost)."""
     with _writer_lock(path):
         on_disk = set(_data_files(path))
-        snaps = list_snapshots(path)
-        if not snaps:
+        cur_ver = current_snapshot_version(path)
+        if cur_ver is None:
             return _write_manifest(path, sorted(on_disk),
                                    note or "initial")
-        referenced = set()
-        for m in snaps:
-            referenced.update(m["files"])
-        cur = set(read_manifest(path)["files"])
-        files = (cur & on_disk) | (on_disk - referenced)
+        cur_m = read_manifest(path, cur_ver)
+        if cur_m.get("referenced_union") is not None:
+            referenced = set(cur_m["referenced_union"])
+        else:            # pre-union manifests: one-time full scan
+            referenced = set()
+            for m in list_snapshots(path):
+                referenced.update(m["files"])
+        fresh = on_disk - referenced
+        orphans = {f for f in fresh
+                   if Path(f).name.startswith("compact-v")}
+        for rel in sorted(orphans):
+            try:
+                (Path(path) / rel).unlink()
+            except OSError:
+                pass
+        fresh -= orphans
+        files = (set(cur_m["files"]) & on_disk) | fresh
         return _write_manifest(path, sorted(files), note)
 
 
@@ -470,9 +515,14 @@ def gc_snapshots(path: str, keep_last: int = 2) -> dict:
 
     Deletes nothing a kept manifest references, and nothing no manifest
     references (an unreferenced file is a not-yet-published append, not
-    garbage). Run this once readers can no longer be pinned to the
-    dropped versions — the retention window is the reader-lifetime
-    bound, exactly Delta's VACUUM contract."""
+    garbage). A dropped version's MANIFEST is unlinked only after all
+    the data files it alone referenced were successfully removed —
+    otherwise the manifest survives (and stays in ``dropped_versions``'
+    complement) so the stranded files remain referenced and the next
+    GC retries, instead of the next publish folding them back in as
+    duplicate rows (advisor r13). Run this once readers can no longer
+    be pinned to the dropped versions — the retention window is the
+    reader-lifetime bound, exactly Delta's VACUUM contract."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
     with _writer_lock(path):
@@ -486,20 +536,27 @@ def gc_snapshots(path: str, keep_last: int = 2) -> dict:
         doomed = set()
         for m in drop:
             doomed.update(f for f in m["files"] if f not in kept_files)
-        deleted = 0
+        deleted, failed = 0, set()
         for rel in sorted(doomed):
+            p = Path(path) / rel
             try:
-                (Path(path) / rel).unlink()
+                p.unlink()
                 deleted += 1
+            except FileNotFoundError:
+                pass                       # already gone: success
             except OSError:
-                pass
+                failed.add(rel)
+        dropped_versions = []
         for m in drop:
+            if any(f in failed for f in m["files"]):
+                continue                   # keep manifest; retry later
             try:
                 (_manifests_root(path)
                  / f"manifest-v{m['version']:06d}.json").unlink()
+                dropped_versions.append(m["version"])
             except OSError:
                 pass
-        return {"dropped_versions": [m["version"] for m in drop],
+        return {"dropped_versions": dropped_versions,
                 "deleted_files": deleted}
 
 

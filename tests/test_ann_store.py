@@ -554,3 +554,91 @@ def test_serve_topk_time_travel(spark, sf_dir, tmp_path, qv):
     with pytest.raises(ValueError, match="snapshot-managed"):
         ann_store.serve_topk(spark, sf_dir, "pq", qv, k=10,
                              root=root, version=1)
+
+
+def test_publish_deletes_crashed_compaction_debris(spark, sf_dir,
+                                                   tmp_path):
+    """An unreferenced compact-v* file (a compaction that died after
+    moving files but before publishing) must be deleted by the next
+    publish, not folded in as duplicate rows."""
+    import shutil
+
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    n0 = ann_store.read_store_rows(spark, path).count()
+    # fake the debris: copy a live file under a compaction name
+    live = ann_store._data_files(path)[0]
+    cell_dir = (Path(path) / live).parent
+    debris = cell_dir / "compact-v000099-0000.parquet"
+    shutil.copy(Path(path) / live, debris)
+    v = ann_store.publish_snapshot(path, note="post-crash publish")
+    assert not debris.exists()
+    assert ann_store.read_store_rows(spark, path).count() == n0
+    assert all(not Path(f).name.startswith("compact-v")
+               for f in ann_store.read_manifest(path, v)["files"])
+
+
+def test_gc_keeps_manifest_when_file_unlink_fails(spark, sf_dir,
+                                                  tmp_path,
+                                                  monkeypatch):
+    """A dropped version whose data-file deletion fails keeps its
+    manifest (so the next GC retries) instead of stranding the file
+    unreferenced."""
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    ann_store.compact_index(spark, path)          # v2; v1 retired
+    v1_files = ann_store.read_manifest(path, 1)["files"]
+    target = Path(v1_files[0]).name
+    real_unlink = Path.unlink
+
+    def flaky_unlink(self, *a, **k):
+        if self.name == target:
+            raise OSError(13, "simulated EACCES")
+        return real_unlink(self, *a, **k)
+
+    monkeypatch.setattr(Path, "unlink", flaky_unlink)
+    gc = ann_store.gc_snapshots(path, keep_last=1)
+    assert gc["dropped_versions"] == []           # v1 survived
+    assert (Path(path) / v1_files[0]).exists()
+    assert ann_store.read_manifest(path, 1)["files"] == v1_files
+    monkeypatch.setattr(Path, "unlink", real_unlink)
+    gc2 = ann_store.gc_snapshots(path, keep_last=1)   # retry succeeds
+    assert gc2["dropped_versions"] == [1]
+    assert not (Path(path) / v1_files[0]).exists()
+    # the current snapshot is intact after the retried GC
+    assert (ann_store.read_store_rows(spark, path).count()
+            == load_table(spark, sf_dir, "embeddings").count())
+
+
+def test_manifests_carry_referenced_union(spark, sf_dir, tmp_path):
+    """Every manifest records the running union of all files ever
+    referenced, and it only grows — the O(files) publish path."""
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    ann_store.compact_index(spark, path)
+    m1 = ann_store.read_manifest(path, 1)
+    m2 = ann_store.read_manifest(path, 2)
+    assert set(m1["files"]) <= set(m1["referenced_union"])
+    assert (set(m1["referenced_union"]) | set(m2["files"])
+            == set(m2["referenced_union"]))
+
+
+def test_registry_serve_parity_survives_persisted_tuning(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """The ann_ivf_serve registry row must equal ann_ivf_topk even
+    AFTER ann_nprobe_tuning has persisted a tuned width into the
+    shared store (the serve row pins fitted-width parity; the tuned
+    no-arg default is a deployment feature, not this row's
+    contract)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path / "r"))
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    qs["ann_nprobe_tuning"](spark, sf_dir).collect()   # persists tune
+    path = ann_store.index_path(sf_dir, "ivf", str(tmp_path / "r"))
+    assert ann_store.read_store_meta(path).get("tuned") is not None
+    got = _ids(qs["ann_ivf_serve"](spark, sf_dir))
+    expect = _ids(qs["ann_ivf_topk"](spark, sf_dir))
+    assert got == expect
