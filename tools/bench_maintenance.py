@@ -376,15 +376,16 @@ per touched cell:
 
 `compact_index` rewrote {frag['cells_compacted']} cells in
 {frag['compact_sec']} s (row count preserved: {a['rows']}).
-**Full scan {frag['scan_speedup']}x faster, serve panel
-{frag['serve_speedup']}x** after compaction. The two numbers split
-the tax honestly: the scan-volume term (file opens + tiny row
-groups, the part that scales with corpus size) is the {frag['scan_speedup']}x;
-the top-k serve at this 20k-row tier is dominated by the fixed
-job-launch floor, so compaction moves its median only
-{frag['serve_speedup']}x here — at 100 TB the scan term governs,
-which is why the maintenance bound is on files/cell, not on local
-serve latency. The health probe is the trigger: all
+**Full scan {frag['scan_speedup']}x faster** after compaction — the
+scan-volume term (file opens + tiny row groups) is the part that
+scales with corpus size and governs at 100 TB, which is why the
+maintenance bound is on files/cell, not on local serve latency. The
+serve-panel median moved {frag['serve_speedup']}x (warm reps
+{b['serve_panel_all_sec'][1:]} -> {a['serve_panel_all_sec'][1:]}):
+at this 20k-row tier the top-k serve is dominated by the fixed
+job-launch floor, so its ratio hovers around 1 across quiet-host
+reruns (1.39/1.13/0.9 observed) and is reported for honesty, not as
+the payoff. The health probe is the trigger: all
 {bh['n_fragmented']} non-empty cells exceeded the
 8-files-per-cell bound before the pass and none after.
 
