@@ -218,9 +218,16 @@ def _write_md(ledger, failures: int) -> None:
     sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd=root).stdout.strip()
-    dirty = subprocess.run(
+    status = subprocess.run(
         ["git", "status", "--porcelain", "--untracked-files=no"],
         capture_output=True, text=True, cwd=root).stdout.strip()
+    # The stamp certifies SOURCE state. The round-finalize pass
+    # regenerates PLAN_AUDIT.md just before this ledger and commits
+    # both together afterwards — those two artifact files being
+    # modified is the expected mid-finalize state, not source drift.
+    dirty = [ln for ln in status.splitlines()
+             if ln.split(None, 1)[-1] not in ("PLAN_AUDIT.md",
+                                              "ORACLE_SELFCHECK.md")]
     tree_state = ("clean tree — the stamp names the exact judged source"
                   if not dirty else
                   "DIRTY TREE — uncommitted changes were present; "
