@@ -395,35 +395,51 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     return _read_manifest_file(p)
 
 
-def _write_manifest(path: str, files: list[str], note: str = "") -> int:
+def _referenced_union(path: str, cur_m: dict | None = None) -> set:
+    """Every file name any RETAINED manifest still accounts for:
+    CURRENT's recorded ``referenced_union`` when present, else a
+    one-time scan of all retained manifests (pre-union back-compat).
+    Pass the already-read CURRENT manifest to avoid a re-parse."""
+    if cur_m is None:
+        v = current_snapshot_version(path)
+        if v is None:
+            return set()
+        cur_m = read_manifest(path, v)
+    if cur_m.get("referenced_union") is not None:
+        return set(cur_m["referenced_union"])
+    union = set()
+    for m in list_snapshots(path):
+        union.update(m["files"])
+    return union
+
+
+def _write_manifest(path: str, files: list[str], note: str = "",
+                    union: set | None = None) -> int:
     """Publish an immutable manifest for exactly ``files`` and swap
     CURRENT to it. Returns the new version number.
 
-    Each manifest also carries ``referenced_union`` — the running
-    union of every file any manifest has EVER referenced — so a
-    publish only reads the newest manifest (O(files)) instead of
-    re-parsing all retained ones (O(versions x files), quadratic over
-    a long publish-per-trigger stream — advisor r13). Over-retention
-    of long-deleted names is harmless by construction: the union is
-    only ever subtracted from the live directory listing, and deleted
-    files are not on disk. Soundness leans on names never being
-    reused — Spark part files carry task UUIDs, compaction outputs
-    carry a version number that is allocated monotonically from the
-    always-retained CURRENT."""
+    Each manifest also carries ``referenced_union`` — the names every
+    retained manifest still accounts for — so a publish reads only
+    the newest manifest (O(files)) instead of re-parsing all retained
+    ones (O(versions x files), quadratic over a long
+    publish-per-trigger stream — advisor r13). The union is PRUNED
+    here against the live directory before being written: a name
+    neither on disk nor in this snapshot can never recur (Spark part
+    files carry task UUIDs; compaction outputs carry a version
+    allocated monotonically from the always-retained CURRENT), so
+    dropping it is sound and keeps the union — and every manifest's
+    size — O(live files + not-yet-GC'd retirees) instead of growing
+    with the store's whole publish history (advisor r13, 2nd pass).
+    Callers that already resolved the union pass it in to avoid a
+    second CURRENT parse."""
     root = _manifests_root(path)
     root.mkdir(parents=True, exist_ok=True)
     cur_ver = current_snapshot_version(path)
-    if cur_ver is None:
-        version, cur = 1, None
-    else:            # CURRENT is always the max retained version
-        version, cur = cur_ver + 1, read_manifest(path, cur_ver)
-    if cur is not None and cur.get("referenced_union") is not None:
-        union = set(cur["referenced_union"])
-    else:            # pre-union manifests: one-time full scan
-        union = set()
-        for m in list_snapshots(path):
-            union.update(m["files"])
-    union.update(files)
+    version = 1 if cur_ver is None else cur_ver + 1
+    if union is None:
+        union = _referenced_union(path)
+    union = ((set(union) | set(files))
+             & (set(_data_files(path)) | set(files)))
     doc = {"version": version, "files": sorted(files),
            "n_files": len(files), "note": note,
            "referenced_union": sorted(union)}
@@ -471,12 +487,7 @@ def publish_snapshot(path: str, note: str = "") -> int:
             return _write_manifest(path, sorted(on_disk),
                                    note or "initial")
         cur_m = read_manifest(path, cur_ver)
-        if cur_m.get("referenced_union") is not None:
-            referenced = set(cur_m["referenced_union"])
-        else:            # pre-union manifests: one-time full scan
-            referenced = set()
-            for m in list_snapshots(path):
-                referenced.update(m["files"])
+        referenced = _referenced_union(path, cur_m)
         fresh = on_disk - referenced
         orphans = {f for f in fresh
                    if Path(f).name.startswith("compact-v")}
@@ -487,7 +498,8 @@ def publish_snapshot(path: str, note: str = "") -> int:
                 pass
         fresh -= orphans
         files = (set(cur_m["files"]) & on_disk) | fresh
-        return _write_manifest(path, sorted(files), note)
+        return _write_manifest(path, sorted(files), note,
+                               union=referenced)
 
 
 def read_store_rows(spark: SparkSession, path: str,

@@ -613,8 +613,10 @@ def test_gc_keeps_manifest_when_file_unlink_fails(spark, sf_dir,
 
 
 def test_manifests_carry_referenced_union(spark, sf_dir, tmp_path):
-    """Every manifest records the running union of all files ever
-    referenced, and it only grows — the O(files) publish path."""
+    """Every manifest records the union of names retained manifests
+    still account for (the O(files) publish path) — and the union is
+    PRUNED once GC removes files from disk, so it stays bounded by
+    live + not-yet-GC'd names instead of the whole publish history."""
     root = str(tmp_path / "store")
     ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
     path = ann_store.index_path(sf_dir, "ivf", root)
@@ -622,8 +624,15 @@ def test_manifests_carry_referenced_union(spark, sf_dir, tmp_path):
     m1 = ann_store.read_manifest(path, 1)
     m2 = ann_store.read_manifest(path, 2)
     assert set(m1["files"]) <= set(m1["referenced_union"])
+    # pre-GC: retired v1 files are on disk, so the union carries both
     assert (set(m1["referenced_union"]) | set(m2["files"])
             == set(m2["referenced_union"]))
+    ann_store.gc_snapshots(path, keep_last=1)     # v1 files deleted
+    v3 = ann_store.publish_snapshot(path, note="post-gc")
+    m3 = ann_store.read_manifest(path, v3)
+    assert set(m3["referenced_union"]) == set(m2["files"])
+    assert not (set(m1["files"]) - set(m2["files"])) \
+        & set(m3["referenced_union"])
 
 
 def test_registry_serve_parity_survives_persisted_tuning(
