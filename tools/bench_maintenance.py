@@ -263,6 +263,81 @@ def scenario_manifest(spark, emb, work: Path) -> dict:
             "final_rows": final_rows}
 
 
+def scenario_publish_scaling(work: Path, triggers: int = 256,
+                             files_per: int = 4,
+                             cells: int = 16) -> dict:
+    """Scenario D — per-trigger publish cost over a long stream, pure
+    filesystem (no Spark: publish_snapshot only lists names and reads
+    CURRENT). Two modes over an identical append workload:
+
+      * **union** (shipped): each manifest carries the pruned
+        ``referenced_union``, so a publish parses CURRENT only —
+        O(live files) per publish.
+      * **legacy** (control): the ``referenced_union`` field is
+        stripped after every publish, forcing the pre-union fallback
+        that re-parses EVERY retained manifest — the
+        O(versions x files) algorithm the union replaced (advisor
+        r13). Same fallback code path, so the control is faithful.
+
+    Two phases per mode: an APPEND stream (files and versions both
+    grow — the directory-listing term, O(live files), is shared and
+    dominates both modes), then a VERSION-CHURN stream (publishes
+    with NO new files: live files constant, versions keep growing)
+    which isolates exactly the O(versions) term the union removes —
+    the union's churn cost stays flat at the files term while the
+    legacy control's keeps climbing with every retained version."""
+    import json as _json
+
+    out: dict = {"triggers": triggers, "files_per_trigger": files_per,
+                 "cells": cells}
+    for mode in ("union", "legacy"):
+        store = work / f"pub_{mode}" / "store"
+        for c in range(cells):
+            (store / f"cell={c}").mkdir(parents=True)
+        def _strip_union():
+            if mode != "legacy":
+                return
+            for mf in (store / "_manifests").glob("manifest-v*.json"):
+                d = _json.loads(mf.read_text())
+                if d.pop("referenced_union", None) is not None:
+                    mf.write_text(_json.dumps(d))
+
+        times = []
+        for t in range(triggers):
+            for i in range(files_per):
+                (store / f"cell={(t * files_per + i) % cells}"
+                 / f"part-{t:05d}-{i}.parquet").write_bytes(b"x")
+            t0 = time.perf_counter()
+            ann_store.publish_snapshot(str(store), note=f"t{t}")
+            times.append(time.perf_counter() - t0)
+            _strip_union()
+        churn = []
+        for t in range(triggers):
+            t0 = time.perf_counter()
+            ann_store.publish_snapshot(str(store), note=f"churn{t}")
+            churn.append(time.perf_counter() - t0)
+            _strip_union()
+        mdir = store / "_manifests"
+        out[mode] = {
+            "first32_mean_ms": round(
+                1000 * sum(times[:32]) / 32, 2),
+            "last32_mean_ms": round(
+                1000 * sum(times[-32:]) / 32, 2),
+            "churn_first32_mean_ms": round(
+                1000 * sum(churn[:32]) / 32, 2),
+            "churn_last32_mean_ms": round(
+                1000 * sum(churn[-32:]) / 32, 2),
+            "total_sec": round(sum(times) + sum(churn), 2),
+            "manifest_dir_bytes": sum(
+                f.stat().st_size for f in mdir.glob("*.json")),
+            "current_manifest_bytes":
+                (mdir / ("manifest-v%06d.json"
+                         % ann_store.current_snapshot_version(
+                             str(store)))).stat().st_size,
+        }
+    return out
+
+
 def _probed_fraction(idx, rows_df, panel, nprobe):
     """Mean over the panel of (rows in the query's nprobe nearest
     cells) / (total rows) — the share of the corpus a probe scans.
@@ -494,6 +569,45 @@ a DuckDB oracle over the ledger's row-conservation semantics.
         fh.write(md)
 
 
+def _append_publish_md(pub: dict) -> None:
+    u, l = pub["union"], pub["legacy"]
+    md = f"""
+## Scenario D — per-trigger publish cost over a long stream (microbench)
+
+Pure-filesystem control experiment backing the O(live files) publish
+claim: {pub['triggers']} publish-per-trigger appends
+({pub['files_per_trigger']} files/trigger, {pub['cells']} cells), the
+shipped pruned-``referenced_union`` path vs a faithful legacy control
+(the field stripped after every publish, forcing the pre-union
+fallback that re-parses every retained manifest — the exact algorithm
+the union replaced):
+
+| mode | append publish, triggers 1-32 | append publish, last 32 | CHURN publish, first 32 | CHURN publish, last 32 | total | `_manifests/` footprint |
+|---|---|---|---|---|---|---|
+| union (shipped) | {u['first32_mean_ms']} ms | {u['last32_mean_ms']} ms | {u['churn_first32_mean_ms']} ms | {u['churn_last32_mean_ms']} ms | {u['total_sec']} s | {u['manifest_dir_bytes'] // 1024} KiB |
+| legacy (control) | {l['first32_mean_ms']} ms | {l['last32_mean_ms']} ms | {l['churn_first32_mean_ms']} ms | {l['churn_last32_mean_ms']} ms | {l['total_sec']} s | {l['manifest_dir_bytes'] // 1024} KiB |
+
+In the append phase both modes share the O(live files) directory
+listing term (inherent — the snapshot must name those files), so
+they track each other. The CHURN phase is the discriminator: live
+files held constant, versions doubling — the union path stays FLAT
+({u['churn_first32_mean_ms']} -> {u['churn_last32_mean_ms']} ms)
+because a publish reads only CURRENT, while the legacy control
+climbs ({l['churn_first32_mean_ms']} ->
+{l['churn_last32_mean_ms']} ms,
+{round(l['churn_last32_mean_ms'] / max(u['churn_last32_mean_ms'], 0.01), 1)}x
+the shipped path) because every publish re-parses every retained
+manifest. CURRENT's manifest stays
+{u['current_manifest_bytes'] // 1024} KiB (files + pruned union) —
+bounded by live + not-yet-GC'd names, not publish history. (The
+`_manifests/` totals are the no-GC worst case of this synthetic
+stream — `gc_snapshots` removes dropped versions' manifests
+wholesale, and CURRENT's size is the bounded steady-state number.)
+"""
+    with (ROOT / "MAINTENANCE.md").open("a") as fh:
+        fh.write(md)
+
+
 def regenerate_md_only() -> int:
     """Rewrite MAINTENANCE.md from the committed MAINTENANCE.json —
     prose/format changes without re-measuring (numbers unchanged)."""
@@ -501,6 +615,8 @@ def regenerate_md_only() -> int:
     _write_md(payload["fragmentation"], payload["drift"],
               payload["head"])
     _append_manifest_md(payload["manifest"], payload["fragmentation"])
+    if payload.get("publish_scaling"):
+        _append_publish_md(payload["publish_scaling"])
     print("MAINTENANCE.md rewritten from MAINTENANCE.json "
           f"(head {payload['head']})")
     return 0
@@ -518,6 +634,7 @@ def main() -> int:
         frag = scenario_fragmentation(spark, emb, work)
         drift = scenario_drift(spark, emb, work)
         man = scenario_manifest(spark, emb, work)
+        pub = scenario_publish_scaling(work)
         head = None
         try:
             import subprocess
@@ -528,12 +645,16 @@ def main() -> int:
             head = "unknown"
         payload = {"sf_dir": SF_DIR, "head": head,
                    "fragmentation": frag, "drift": drift,
-                   "manifest": man}
+                   "manifest": man, "publish_scaling": pub}
         (ROOT / "MAINTENANCE.json").write_text(
             json.dumps(payload, indent=1) + "\n")
         _write_md(frag, drift, head)
         _append_manifest_md(man, frag)
+        _append_publish_md(pub)
         print(json.dumps({
+            "publish_union_last32_ms": pub["union"]["last32_mean_ms"],
+            "publish_legacy_last32_ms":
+                pub["legacy"]["last32_mean_ms"],
             "manifest_pinned_consistent":
                 man["pinned_consistent_through_compact"],
             "manifest_dirlist_rows_post_compact":
