@@ -62,17 +62,48 @@ _CURRENT = "CURRENT"
 
 
 def _round6_half_up(x):
-    """Replicate Spark ``F.round(col, 6)`` (BigDecimal HALF_UP on the
-    double value) for float64 scalars/arrays: sign-aware
-    ``floor(|x|*1e6 + 0.5)`` — the same construction the repo's other
-    oracle-parity kernels use (``dedup.py`` contamination rounding).
-    ``np.round`` is banker's rounding (half-even), which diverges from
-    the serve path's ``F.round`` exactly at the .5e-6 boundaries the
-    strict ``>``/``==`` shortlist comparisons in
-    :func:`ivfpq_recall_curve` depend on (advisor r12)."""
+    """Replicate Spark ``F.round(col, 6)`` for float64 scalars/arrays.
+
+    Spark rounds a double via ``BigDecimal.valueOf(x)`` — i.e. HALF_UP
+    on the value's SHORTEST DECIMAL REPR — not on the binary double.
+    The plain ``floor(|x|*1e6 + 0.5)`` construction rounds the binary
+    product and diverges exactly at repr-tie boundaries: e.g.
+    ``0.0001245`` (repr tie "…45") scales to ``124.4999…`` in binary
+    and floors DOWN where Spark rounds UP to ``0.000125`` (advisor
+    r13). So: vectorized binary fast path, with the rare elements
+    whose scaled value lies within 1e-7 of a ``.5`` boundary re-done
+    exactly through ``Decimal(repr(x))`` HALF_UP — bit-for-bit the
+    BigDecimal semantics, without paying per-element Decimal on the
+    hot arrays. (``np.round`` is banker's half-even — wrong at every
+    tie; the strict ``>``/``==`` shortlist comparisons in
+    :func:`ivfpq_recall_curve` depend on these boundaries.)"""
     import numpy as np
 
-    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+    arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    absx = np.abs(arr)
+    scaled = absx * 1e6
+    out = np.copysign(np.floor(scaled + 0.5) / 1e6, arr)
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-7
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        for i in zip(*np.nonzero(near)):
+            exact = float(Decimal(repr(float(absx[i])))
+                          .quantize(q, rounding=ROUND_HALF_UP))
+            out[i] = float(np.copysign(exact, arr[i]))
+    return out if np.ndim(x) else float(out[0])
+
+
+def _write_marker(path: str, meta: dict) -> None:
+    """Write the store marker atomically (write-temp + os.replace):
+    a concurrent serve reading the marker mid-write must never see a
+    truncated JSON (it would silently fall back to the untuned
+    fitted width), and a crash mid-write must not corrupt the marker
+    into a spurious full rebuild (advisor r13)."""
+    tmp = Path(path) / f".{_MARKER}.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, Path(path) / _MARKER)
 
 
 def default_root() -> str:
@@ -121,8 +152,9 @@ def _build(spark: SparkSession, emb: DataFrame, kind: str,
             emb, max_sample=p["max_sample"])
         idx.write(emb, path)
     else:
-        raise ValueError(f"unknown index kind {kind!r}; "
-                         f"expected one of {sorted(INDEX_PARAMS)}")
+        # unreachable via ensure_index (which validates first); kept
+        # for direct callers, without duplicating the full message
+        raise ValueError(f"unknown index kind {kind!r}")
 
 
 def ensure_index(spark: SparkSession, sf_dir: str, kind: str,
@@ -141,8 +173,8 @@ def ensure_index(spark: SparkSession, sf_dir: str, kind: str,
     _build(spark, emb, kind, path)
     # Stamp AFTER a successful write: a failed build leaves no marker,
     # so the next ensure_index retries instead of serving half an index.
-    (Path(path) / _MARKER).write_text(json.dumps(
-        {"fingerprint": fp, "kind": kind, "params": INDEX_PARAMS[kind]}))
+    _write_marker(path, {"fingerprint": fp, "kind": kind,
+                         "params": INDEX_PARAMS[kind]})
     # Cell-partitioned stores are snapshot-managed from birth: publish
     # v1 so appends/compactions version against it. (The overwrite in
     # _build wiped any prior _manifests with the old files — correct,
@@ -184,9 +216,22 @@ def nprobe_recall_curve(idx, rows: DataFrame,
     exact = topk_per_query_arrow(
         rows, panel, k=k, doc_id=id_col, vec_col=vec_col,
         round_digits=round_digits, exclude_self=exclude_self)
-    # winners' cells: panel*k rows, a broadcast-semi-join-sized frame
-    hits = (exact.join(rows.select(id_col, cell_col), id_col)
-            .select("qid", cell_col).collect())
+    # winners' cells: panel*k rows, a broadcast-semi-join-sized frame.
+    # Dedup on (qid, winner id): a re-appended vec_id in ``rows``
+    # yields multiple join rows per winner and would double-count it,
+    # inflating the curve (recall > 1 possible) and letting
+    # tune_store_nprobe persist a too-small width — the same
+    # advisor-r12 bug fixed in ivfpq_recall_curve (advisor r13).
+    # Duplicate copies carry identical cells, so keeping one is exact.
+    raw = (exact.join(rows.select(id_col, cell_col), id_col)
+           .select("qid", id_col, cell_col).collect())
+    seen: set[tuple[int, int]] = set()
+    hits = []
+    for r in raw:
+        key = (r.qid, int(r[id_col]))
+        if key not in seen:
+            seen.add(key)
+            hits.append(r)
     # per-query cell ranking — replicates IVFIndex.probe_cells exactly
     # (same float32 dot products, same argsort) so curve positions
     # match what serve would probe
@@ -202,7 +247,13 @@ def nprobe_recall_curve(idx, rows: DataFrame,
     for row in hits:
         counts[rank_of[row.qid][row[cell_col]] + 1] += 1
     cum = np.cumsum(counts)
-    denom = len(panel) * k
+    # Normalize by DISTINCT winner slots, not panel*k: on a corpus
+    # with re-appended ids the exact top-k spends slots on duplicate
+    # copies, so distinct winners per query can be < k — a fixed
+    # panel*k denominator would under-report (and the undeduped
+    # numerator used to over-report). Duplicate-free stores have
+    # len(hits) == panel*k, so this is the same number there.
+    denom = max(len(hits), 1)
     return {p: round(float(cum[p]) / denom, 4)
             for p in range(1, idx.n_cells + 1)}
 
@@ -395,6 +446,35 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     return _read_manifest_file(p)
 
 
+def _rollback_ghost_manifests(path: str) -> int:
+    """Remove manifests NEWER than CURRENT — the debris of a writer
+    that crashed between writing its manifest file and swapping the
+    CURRENT pointer (the one non-atomic gap in the two-rename publish
+    protocol). Such a ghost version was never observable as CURRENT,
+    so deleting it is a rollback, not data loss: its data files (for
+    a crashed compaction, ``compact-v*``-named) become unreferenced
+    and the caller's orphan cleanup removes them, while the committed
+    CURRENT snapshot is untouched. Without this, GC keyed on "newest
+    retained" could keep the ghost and DELETE the files CURRENT
+    serves (advisor r13). Caller must hold the writer lock."""
+    cur = current_snapshot_version(path)
+    if cur is None:
+        return 0
+    n = 0
+    for mf in _manifests_root(path).glob("manifest-v*.json"):
+        try:
+            ver = int(mf.stem.split("-v")[1])
+        except (IndexError, ValueError):
+            continue
+        if ver > cur:
+            try:
+                mf.unlink()
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
 def _referenced_union(path: str, cur_m: dict | None = None) -> set:
     """Every file name any RETAINED manifest still accounts for:
     CURRENT's recorded ``referenced_union`` when present, else a
@@ -414,7 +494,8 @@ def _referenced_union(path: str, cur_m: dict | None = None) -> set:
 
 
 def _write_manifest(path: str, files: list[str], note: str = "",
-                    union: set | None = None) -> int:
+                    union: set | None = None,
+                    live: set | None = None) -> int:
     """Publish an immutable manifest for exactly ``files`` and swap
     CURRENT to it. Returns the new version number.
 
@@ -438,8 +519,9 @@ def _write_manifest(path: str, files: list[str], note: str = "",
     version = 1 if cur_ver is None else cur_ver + 1
     if union is None:
         union = _referenced_union(path)
-    union = ((set(union) | set(files))
-             & (set(_data_files(path)) | set(files)))
+    if live is None:
+        live = set(_data_files(path))
+    union = (set(union) | set(files)) & (live | set(files))
     doc = {"version": version, "files": sorted(files),
            "n_files": len(files), "note": note,
            "referenced_union": sorted(union)}
@@ -481,6 +563,7 @@ def publish_snapshot(path: str, note: str = "") -> int:
     rewrote (advisor r13) — it is deleted instead (the crashed pass
     left CURRENT untouched, so nothing is lost)."""
     with _writer_lock(path):
+        _rollback_ghost_manifests(path)
         on_disk = set(_data_files(path))
         cur_ver = current_snapshot_version(path)
         if cur_ver is None:
@@ -499,7 +582,8 @@ def publish_snapshot(path: str, note: str = "") -> int:
         fresh -= orphans
         files = (set(cur_m["files"]) & on_disk) | fresh
         return _write_manifest(path, sorted(files), note,
-                               union=referenced)
+                               union=referenced,
+                               live=on_disk - orphans)
 
 
 def read_store_rows(spark: SparkSession, path: str,
@@ -538,6 +622,12 @@ def gc_snapshots(path: str, keep_last: int = 2) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
     with _writer_lock(path):
+        # A ghost manifest (written, CURRENT never swapped — crashed
+        # writer) must not count as "newest retained": keyed on it,
+        # keep_last=1 would delete the files CURRENT serves and brick
+        # the store (advisor r13). Roll ghosts back first; retention
+        # is then anchored on the committed CURRENT.
+        _rollback_ghost_manifests(path)
         snaps = list_snapshots(path)
         if len(snaps) <= keep_last:
             return {"dropped_versions": [], "deleted_files": 0}
@@ -617,6 +707,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
         # rewrite -> publish, so concurrent publishers can't race
         # version allocation or collide on the shared tmp dir
         with _writer_lock(path):
+            _rollback_ghost_manifests(path)
             # compact the SNAPSHOT (the directory may hold retired
             # files a bare listing would double-count)
             (read_store_rows(spark, path).repartition("cell")
@@ -794,7 +885,9 @@ def ivfpq_recall_curve(idx, prows: DataFrame, emb: DataFrame,
     for r in parts:
         cnt[r.qi, r.wi, r.cr] = r.cnt
     cum = cnt.cumsum(axis=2)
-    denom = qn * kk
+    # distinct winner slots (see nprobe_recall_curve: duplicate-free
+    # stores fill all qn*kk slots, re-appended ids fill fewer)
+    denom = max(int(valid.sum()), 1)
     curve: dict[int, float] = {}
     for p in range(1, n_cells + 1):
         surv = valid & (wcr < p) & (cum[:, :, p - 1] < shortlist)
@@ -887,7 +980,7 @@ def tune_store_nprobe(spark: SparkSession, sf_dir: str, kind: str,
         "k": k, "shortlist": shortlist if kind == "ivfpq" else None,
         "panel_size": len(panel),
     }
-    (Path(path) / _MARKER).write_text(json.dumps(meta))
+    _write_marker(path, meta)
     return chosen, curve
 
 

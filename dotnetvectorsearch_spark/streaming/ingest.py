@@ -222,7 +222,7 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on,
 
 def stream_index_append(vectors: DataFrame, index, path: str,
                         checkpoint: str, vec_col: str = "embedding",
-                        publish_snapshots: bool = False):
+                        publish_snapshots: bool | None = None):
     """Incremental ANN-index maintenance: assign each arriving vector to
     its IVF cell (one narrow Arrow matmul against the fixed centroids —
     no shuffle, no refit) and append it into the ``partitionBy(cell)``
@@ -247,15 +247,20 @@ def stream_index_append(vectors: DataFrame, index, path: str,
     centroids, same argmax; pinned in tests). Returns the started
     StreamingQuery.
 
-    ``publish_snapshots=True`` publishes an ``ann_store`` snapshot
+    ``publish_snapshots`` publishes an ``ann_store`` snapshot
     manifest after each trigger's append, so readers on a
     manifest-managed store (`ann_store.read_store_rows` /
     `serve_topk`) see each trigger's rows atomically — a serve
     resolving CURRENT mid-append never reads a partially-written
     trigger, and a compaction running concurrently never hides the
     appends (publish_snapshot folds still-unreferenced files into the
-    new snapshot). On an unmanaged store leave it False and readers
-    list the directory as before."""
+    new snapshot). Default ``None`` AUTO-DETECTS per batch: a store
+    with a CURRENT snapshot gets a publish (its readers resolve
+    manifests, so an unpublished append would be silently invisible
+    to every serve — and `ensure_index` manages all ivf/ivfpq stores
+    from birth; advisor r13), while an unmanaged store skips it and
+    readers list the directory as before. Pass an explicit bool to
+    force either behavior."""
     if index is None:
         from dotnetvectorsearch_spark.operators.ann import IVFIndex
         index, _ = IVFIndex.read(vectors.sparkSession, path)
@@ -263,9 +268,11 @@ def stream_index_append(vectors: DataFrame, index, path: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (index.transform(batch_df, vec_col=vec_col)
          .write.mode("append").partitionBy("cell").parquet(path))
-        if publish_snapshots:
-            from dotnetvectorsearch_spark.operators.ann_store import (
-                publish_snapshot)
+        from dotnetvectorsearch_spark.operators.ann_store import (
+            current_snapshot_version, publish_snapshot)
+        if publish_snapshots or (publish_snapshots is None
+                                 and current_snapshot_version(path)
+                                 is not None):
             publish_snapshot(path, note=f"append batch {batch_id}")
 
     return (vectors.writeStream.foreachBatch(write_batch)

@@ -651,3 +651,105 @@ def test_registry_serve_parity_survives_persisted_tuning(
     got = _ids(qs["ann_ivf_serve"](spark, sf_dir))
     expect = _ids(qs["ann_ivf_topk"](spark, sf_dir))
     assert got == expect
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The recall-curve rounding kernel must equal Spark F.round on
+    repr-tie boundaries (BigDecimal HALF_UP on the shortest decimal
+    repr, NOT binary-product rounding — advisor r13)."""
+    import pyspark.sql.functions as F
+
+    vals = [0.0001245, -0.0001245, 0.0001255, 0.0002445, 0.7654321987,
+            0.0001244, 0.5, -0.9999995, 0.123456789]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double") \
+        .select(F.round("x", 6).alias("r")).collect()
+    for v, row in zip(vals, sdf):
+        assert ann_store._round6_half_up(v) == row.r, (v, row.r)
+
+
+def test_nprobe_curve_dedups_reappended_ids(ivf_and_panel, spark):
+    """A re-appended vec_id (at-least-once streamed replay) must not
+    double-count a winner: over a store WITH duplicate ids the curve
+    stays <= 1.0, monotone, and reaches exactly 1.0 at full probe
+    (every distinct winner's cell probed) — the undeduped numerator
+    could exceed 1.0 and the fixed panel*k denominator could cap the
+    full-probe value below 1.0."""
+    idx, rows, panel = ivf_and_panel
+    dup_ids = [qid for qid, _ in panel[:3]]
+    dup_rows = rows.filter(rows.vec_id.isin(dup_ids))
+    with_dups = rows.unionByName(dup_rows)
+    dup = ann_store.nprobe_recall_curve(idx, with_dups, panel, k=10)
+    vals = [dup[p] for p in sorted(dup)]
+    assert all(v <= 1.0 for v in vals)
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    assert vals[-1] == 1.0
+
+
+def test_ghost_manifest_rolled_back_not_trusted(spark, sf_dir,
+                                                tmp_path):
+    """A manifest written by a crashed writer that never swapped
+    CURRENT must not anchor GC retention (keep_last=1 keyed on it
+    would delete the files CURRENT serves) and is rolled back by the
+    next publisher."""
+    import json as _json
+
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    n0 = ann_store.read_store_rows(spark, path).count()
+    # simulate the crash window: manifest v2 exists (referencing a
+    # nonexistent compacted file), CURRENT still says 1
+    ghost = ann_store._manifests_root(path) / "manifest-v000002.json"
+    ghost.write_text(_json.dumps(
+        {"version": 2, "files": ["cell=0/compact-v000002-0000.parquet"],
+         "n_files": 1, "note": "crashed compaction",
+         "referenced_union": ["cell=0/compact-v000002-0000.parquet"]}))
+    assert ann_store.current_snapshot_version(path) == 1
+    gc = ann_store.gc_snapshots(path, keep_last=1)
+    # the ghost must have been rolled back, NOT treated as newest:
+    # v1 (CURRENT) survives with all its files
+    assert gc["dropped_versions"] == []
+    assert not ghost.exists()
+    assert ann_store.read_store_rows(spark, path).count() == n0
+    # and a publish after the same crash window also rolls back
+    ghost.write_text(_json.dumps(
+        {"version": 2, "files": [], "n_files": 0, "note": "crash",
+         "referenced_union": []}))
+    v = ann_store.publish_snapshot(path, note="after crash")
+    assert v == 2  # overwrote the ghost's slot with a real snapshot
+    assert ann_store.read_store_rows(spark, path).count() == n0
+
+
+def test_stream_append_auto_publishes_on_managed_store(spark, sf_dir,
+                                                       tmp_path):
+    """Default (publish_snapshots=None) streamed appends into an
+    ensure_index-managed store must be VISIBLE to snapshot readers —
+    the 'immediately searchable' ingest contract (advisor r13: an
+    unpublished append is silently invisible to every serve)."""
+    from dotnetvectorsearch_spark.streaming.ingest import (
+        stream_index_append)
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "root")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    n0 = ann_store.read_store_rows(spark, path).count()
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 13 == 4)
+    n_add = batch.count()
+    src = tmp_path / "vecs"
+    src.mkdir()
+    batch.write.parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(str(src / "*")))
+    q = stream_index_append(stream, None, path,
+                            str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (ann_store.read_store_rows(spark, path).count()
+            == n0 + n_add)
+    assert ann_store.current_snapshot_version(path) == 2
