@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from dotnetvectorsearch_spark.localdf import local_df
 from dotnetvectorsearch_spark.functions import text as T
 from dotnetvectorsearch_spark.functions import vector as V
 from dotnetvectorsearch_spark.operators import search as S
@@ -1180,9 +1181,10 @@ def _q_value_band_join(spark, sf_dir):
     nested-loop inequality join."""
     from dotnetvectorsearch_spark.operators.ranges import interval_join
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    bands = spark.createDataFrame(
-        [("tiny", 0.0, 10.0), ("low", 10.0, 25.0), ("mid", 20.0, 60.0),
-         ("high", 55.0, 90.0), ("top", 85.0, 1e9)],
+    bands = local_df(
+        spark, [("tiny", 0.0, 10.0), ("low", 10.0, 25.0),
+                ("mid", 20.0, 60.0), ("high", 55.0, 90.0),
+                ("top", 85.0, 1e9)],
         "band string, lo double, hi double")
     out = interval_join(ev, bands, "value", "lo", "hi", bucket_width=25.0,
                         domain=(0.0, 1000.0))
@@ -1669,9 +1671,8 @@ def _q_ann_ivfpq_coding_gain(spark, sf_dir):
         idx = IVFPQIndex(coding=coding, **kw).fit(emb, max_sample=20_000)
         out[coding] = (idx.reconstruction_mse(idx.transform(emb))
                        .collect()[0].mse)
-    return spark.createDataFrame(
-        [(float(out["raw"]), float(out["residual"]))],
-        "mse_raw double, mse_residual double")
+    return local_df(spark, [(float(out["raw"]), float(out["residual"]))],
+                    "mse_raw double, mse_residual double")
 
 
 def _q_hll_daily_users(spark, sf_dir):
@@ -1837,7 +1838,7 @@ def _q_ann_recall(spark, sf_dir):
     approx = {r.vec_id
               for r in idx.search(idx.transform(emb), qv, 10).collect()}
     recall = len(exact & approx) / 10.0
-    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+    return local_df(spark, [(recall,)], "recall_at_10 double")
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -2384,7 +2385,7 @@ def _q_ann_pq_recall(spark, sf_dir):
               for r in pq.search(pq.transform(emb), qv, 10, rescore=emb,
                                  shortlist=200).collect()}
     recall = len(exact & approx) / 10.0
-    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+    return local_df(spark, [(recall,)], "recall_at_10 double")
 
 
 _IVFPQ_CACHE: dict = {}
@@ -2426,7 +2427,7 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
               for r in idx.search(idx.transform(emb), qv, 10, rescore=emb,
                                   shortlist=200).collect()}
     recall = len(exact & approx) / 10.0
-    return spark.createDataFrame([(recall,)], "recall_at_10 double")
+    return local_df(spark, [(recall,)], "recall_at_10 double")
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -2946,8 +2947,8 @@ def _q_ann_nprobe_tuning(spark, sf_dir):
         tune_store_nprobe)
     chosen, curve = tune_store_nprobe(spark, sf_dir, "ivf",
                                       target_recall=0.9, k=10)
-    return spark.createDataFrame(
-        [(p, r, p == chosen) for p, r in sorted(curve.items())],
+    return local_df(
+        spark, [(p, r, p == chosen) for p, r in sorted(curve.items())],
         "nprobe int, recall_at_10 double, chosen boolean")
 
 
@@ -3141,8 +3142,8 @@ def _q_ann_nprobe_tuning_ivfpq(spark, sf_dir):
     chosen, curve = tune_store_nprobe(spark, sf_dir, "ivfpq",
                                       target_recall=0.9, k=10,
                                       shortlist=200)
-    return spark.createDataFrame(
-        [(p, r, p == chosen) for p, r in sorted(curve.items())],
+    return local_df(
+        spark, [(p, r, p == chosen) for p, r in sorted(curve.items())],
         "nprobe int, recall_at_10 double, chosen boolean")
 
 
@@ -3281,9 +3282,9 @@ def _q_ann_store_snapshots(spark, sf_dir):
                 for v, n in ((1, n1), (2, n2), (3, n3))]
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "version int, n_rows bigint, is_current int, "
-              "retained int, note string").orderBy("version")
+    return local_df(
+        spark, rows, "version int, n_rows bigint, is_current int, "
+                     "retained int, note string").orderBy("version")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -64,8 +64,10 @@ class VectorSearchEngine:
         for t in texts:
             if t is None or not t.strip():
                 raise ValueError("Text cannot be null or empty")
-        df = self.spark.createDataFrame(
-            [(i, prefix + t) for i, t in enumerate(texts)], "i long, t string")
+        from dotnetvectorsearch_spark.localdf import local_df
+        df = local_df(self.spark,
+                      [(i, prefix + t) for i, t in enumerate(texts)],
+                      "i long, t string")
         rows = (df.withColumn("e", self.embedder.embed_column("t"))
                 .select("i", "e").collect())
         by_i = {r.i: list(r.e) for r in rows}
@@ -93,8 +95,9 @@ class VectorSearchEngine:
                              include_embeddings: bool = False) -> dict[str, Any]:
         """POST /api/similarity — symmetric 'query: ' prefixes."""
         e1, e2 = self._embed_texts([text1, text2], prefix=QUERY_PREFIX)
-        pair = self.spark.createDataFrame(
-            [(e1, e2)], "a array<float>, b array<float>")
+        from dotnetvectorsearch_spark.localdf import local_df
+        pair = local_df(self.spark, [(e1, e2)],
+                        "a array<float>, b array<float>")
         sim = pair.select(
             F.round(cosine_similarity("a", "b"), 6).alias("s")).first().s
         out: dict[str, Any] = {"text1": text1, "text2": text2,
@@ -122,8 +125,9 @@ class VectorSearchEngine:
         validate_top_k(top_k)
         qvec = self._embed_texts([query_text], prefix=QUERY_PREFIX)[0]
         if method == "brute":
-            query = self.spark.createDataFrame(
-                [(qvec,)], "query_embedding array<float>")
+            from dotnetvectorsearch_spark.localdf import local_df
+            query = local_df(self.spark, [(qvec,)],
+                             "query_embedding array<float>")
             hits_df = top_k_similar(
                 self.corpus, query, top_k=top_k, id_col=self.id_col,
                 threshold=threshold, include_embeddings=include_embeddings,

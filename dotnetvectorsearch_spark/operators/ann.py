@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from dotnetvectorsearch_spark.localdf import local_df
 from dotnetvectorsearch_spark.operators.search import top_k_similar
 
 
@@ -42,8 +43,8 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
                      vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
     spark = emb.sparkSession
-    q = spark.createDataFrame([([float(x) for x in query_vec],)],
-                              f"query_embedding array<float>")
+    q = local_df(spark, [([float(x) for x in query_vec],)],
+                 "query_embedding array<float>")
     return top_k_similar(emb.select(id_col, vec_col), q, top_k=k,
                          id_col=id_col, doc_vec=vec_col, round_digits=6)
 
@@ -152,12 +153,11 @@ class IVFIndex:
         self.transform(emb, vec_col).write.mode("overwrite") \
             .partitionBy("cell").parquet(path)
         spark = emb.sparkSession
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in c], self.nprobe, self.seed)
-             for i, c in enumerate(self.centroids)],
-            "cell int, centroid array<float>, nprobe int, seed int") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{path}/_centroids")
+        local_df(spark,
+                 [(int(i), [float(x) for x in c], self.nprobe, self.seed)
+                  for i, c in enumerate(self.centroids)],
+                 "cell int, centroid array<float>, nprobe int, seed int") \
+            .write.mode("overwrite").parquet(f"{path}/_centroids")
 
     @classmethod
     def read(cls, spark, path: str) -> tuple["IVFIndex", DataFrame]:
@@ -211,8 +211,9 @@ def ivf_topk_panel(indexed: DataFrame, ivf: "IVFIndex",
     from pyspark.sql.window import Window
 
     if not query_vecs:
-        return indexed.sparkSession.createDataFrame(
-            [], f"qid long, {id_col} long, similarity double, rank int")
+        return local_df(
+            indexed.sparkSession, [],
+            f"qid long, {id_col} long, similarity double, rank int")
     qids = np.asarray([q for q, _ in query_vecs], dtype=np.int64)
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for _, v in query_vecs])
@@ -429,8 +430,8 @@ class PQIndex:
         books = [(j, c, [float(x) for x in self.codebooks[j, c]])
                  for j in range(self.m)
                  for c in range(self.codebooks.shape[1])]
-        spark.createDataFrame(
-            books, "subspace int, code int, centroid array<float>") \
+        local_df(spark, books,
+                 "subspace int, code int, centroid array<float>") \
             .write.mode("overwrite").parquet(f"{path}/codebooks")
 
     @classmethod
@@ -637,23 +638,18 @@ class IVFPQIndex:
              [float(x) for x in self.cell_means[i]]
              if self.cell_means is not None else None)
             for i in range(self.ivf.n_cells)]
-        spark.createDataFrame(
-            cent_rows,
-            "cell int, centroid array<float>, cell_mean array<float>") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{path}/_meta/cells")
+        local_df(spark, cent_rows,
+                 "cell int, centroid array<float>, cell_mean array<float>") \
+            .write.mode("overwrite").parquet(f"{path}/_meta/cells")
         books = [(j, c, [float(x) for x in self.pq.codebooks[j, c]])
                  for j in range(self.pq.m)
                  for c in range(self.pq.codebooks.shape[1])]
-        spark.createDataFrame(
-            books, "subspace int, code int, centroid array<float>") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{path}/_meta/codebooks")
-        spark.createDataFrame(
-            [(self.coding, self.ivf.nprobe, self.pq.seed)],
-            "coding string, nprobe int, seed int") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{path}/_meta/params")
+        local_df(spark, books,
+                 "subspace int, code int, centroid array<float>") \
+            .write.mode("overwrite").parquet(f"{path}/_meta/codebooks")
+        local_df(spark, [(self.coding, self.ivf.nprobe, self.pq.seed)],
+                 "coding string, nprobe int, seed int") \
+            .write.mode("overwrite").parquet(f"{path}/_meta/params")
 
     @classmethod
     def read(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:

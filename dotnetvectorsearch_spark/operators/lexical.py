@@ -140,8 +140,9 @@ def build_index(docs: DataFrame, db: str = "bm25idx",
      .write.mode("overwrite").format("parquet").saveAsTable(idf_name))
     avgdl = (tf_t.select(id_col, "doc_len").distinct()
              .agg(F.avg("doc_len")).first()[0])
-    (spark.createDataFrame([(int(n_docs), float(avgdl))],
-                           "n_docs long, avg_doc_len double")
+    from dotnetvectorsearch_spark.localdf import local_df
+    (local_df(spark, [(int(n_docs), float(avgdl))],
+              "n_docs long, avg_doc_len double")
      .write.mode("overwrite").format("parquet").saveAsTable(stats_name))
     return load_index(spark, db, prefix)
 

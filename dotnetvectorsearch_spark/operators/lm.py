@@ -309,7 +309,9 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     the createDataFrame + collect round-trip costs ~0.6s of pure
     scheduling for a handful of rows (PERF_R06.md).
     """
-    return docs.sparkSession.createDataFrame(
+    from dotnetvectorsearch_spark.localdf import local_df
+    return local_df(
+        docs.sparkSession,
         bpe_train_rules(docs, text_col, n_merges, driver_fast_path_vocab),
         "rank int, left string, right string, merged string")
 

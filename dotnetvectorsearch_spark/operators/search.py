@@ -383,8 +383,9 @@ def mmr_rerank(docs: DataFrame, query_vec: list[float], k: int = 5,
     spark = docs.sparkSession
     out = [(int(ids[i]), float(qsims[i]), r + 1)
            for r, i in enumerate(selected)]
-    return spark.createDataFrame(
-        out, f"{id_col} long, similarity double, mmr_rank long")
+    from dotnetvectorsearch_spark.localdf import local_df
+    return local_df(spark, out,
+                    f"{id_col} long, similarity double, mmr_rank long")
 
 
 def pairwise_similarity(df: DataFrame, vec_a: str, vec_b: str,

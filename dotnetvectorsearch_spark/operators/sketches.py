@@ -198,16 +198,16 @@ def mg_merge_compress(summary: DataFrame, k: int = 64) -> DataFrame:
     top = keys.orderBy(F.desc("est"), F.asc("key")).limit(k + 1).collect()
     if len(top) <= k:
         spark = summary.sparkSession
-        slack_row = spark.createDataFrame(
-            [(None, 0, int(slack_total))],
-            "key string, est long, slack long")
+        from dotnetvectorsearch_spark.localdf import local_df
+        slack_row = local_df(spark, [(None, 0, int(slack_total))],
+                             "key string, est long, slack long")
         return (keys.select("key", "est", F.lit(0).alias("slack"))
                 .unionByName(slack_row))
     m = int(top[-1].est)
     spark = summary.sparkSession
-    slack_row = spark.createDataFrame(
-        [(None, 0, int(slack_total) + m)],
-        "key string, est long, slack long")
+    from dotnetvectorsearch_spark.localdf import local_df
+    slack_row = local_df(spark, [(None, 0, int(slack_total) + m)],
+                         "key string, est long, slack long")
     return (keys.select("key", (F.col("est") - m).alias("est"),
                         F.lit(0).alias("slack"))
             .filter(F.col("est") > 0)

@@ -290,10 +290,11 @@ def read_sqlite_compat(spark: SparkSession, db_path: str) -> DataFrame:
             "ORDER BY id").fetchall()
     finally:
         con.close()
-    df = spark.createDataFrame(
-        rows, "id long, question string, answer string, "
-              "combined_text string, embedding_json string, "
-              "embedding_dimensions int, created_at string")
+    from dotnetvectorsearch_spark.localdf import local_df
+    df = local_df(
+        spark, rows, "id long, question string, answer string, "
+                     "combined_text string, embedding_json string, "
+                     "embedding_dimensions int, created_at string")
     return (embedding_from_json(df, "embedding_json", "embedding")
             .drop("embedding_json"))
 

@@ -927,9 +927,10 @@ def stream_neardup_dedup(stream: DataFrame, out_path: str,
             # thousands-of-literals isin() — the literal tree's py4j
             # construction + serialization alone cost ~1.5s/trigger on
             # all-dup batches (the warm-store worst case)
-            keys_df = spark.createDataFrame(
-                [(int(k.split("|", 1)[0]), k.split("|", 1)[1])
-                 for k in hit_keys], "band int, bucket string")
+            from dotnetvectorsearch_spark.localdf import local_df
+            keys_df = local_df(
+                spark, [(int(k.split("|", 1)[0]), k.split("|", 1)[1])
+                        for k in hit_keys], "band int, bucket string")
             sliver_df = (spark.read.parquet(bands_store)
                          .join(F.broadcast(keys_df),
                                ["band", "bucket"], "left_semi"))
@@ -942,9 +943,10 @@ def stream_neardup_dedup(stream: DataFrame, out_path: str,
                     (d, list(s), int(k.split("|", 1)[0]),
                      k.split("|", 1)[1])
                     for k in hit_keys for d, s in surv_keys[k]]
-                bdf = spark.createDataFrame(
-                    b_rows, f"{id_col} long, b_sig array<string>, "
-                    "band int, bucket string")
+                from dotnetvectorsearch_spark.localdf import local_df
+                bdf = local_df(
+                    spark, b_rows, f"{id_col} long, b_sig array<string>, "
+                                   "band int, bucket string")
                 eq = F.size(F.filter(
                     F.zip_with("b_sig", "sig", lambda a, b: a == b),
                     lambda x: x))

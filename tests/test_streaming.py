@@ -597,7 +597,7 @@ def test_stream_neardup_dedup_gates_against_growing_store(
     schema = "doc_id long, text string"
     # batch 1: 1 and its exact copy 2 (within-batch dup), plus 5
     spark.createDataFrame([(1, base), (2, base), (5, far)], schema) \
-        .write.parquet(str(src / "b1"))
+        .coalesce(1).write.parquet(str(src / "b1"))
     stream = spark.readStream.schema(schema).parquet(str(src / "*"))
     q = stream_neardup_dedup(stream, out, store, ckpt)
     try:
@@ -605,7 +605,8 @@ def test_stream_neardup_dedup_gates_against_growing_store(
         # batch 2: 7 is a copy of batch-1's doc 1 (store hit); 8 is too
         # short to shingle (must pass through, NOT silently drop); 9 novel
         spark.createDataFrame([(7, base), (8, "hi"), (9, other)],
-                              schema).write.parquet(str(src / "b2"))
+                              schema) \
+            .coalesce(1).write.parquet(str(src / "b2"))
         assert _wait(lambda: _count_parquet(spark, out) == 4)
         # batch 3: sig-less docs go through an EXACT-hash gate (advisor
         # r5): 10/11 duplicate short docs within the batch (min id 10
@@ -613,17 +614,17 @@ def test_stream_neardup_dedup_gates_against_growing_store(
         # is a novel short doc
         spark.createDataFrame(
             [(10, "yo"), (11, "yo"), (12, "hi"), (13, "new")],
-            schema).write.parquet(str(src / "b3"))
+            schema).coalesce(1).write.parquet(str(src / "b3"))
         assert _wait(lambda: _count_parquet(spark, out) == 6)
         # batch 4: null-text docs must NOT vanish (advisor r6: md5(NULL)
         # is NULL and a NULL join key never matches — they now hash as
         # ''): 14/15 dup within the batch (min id 14 survives), 16
         # repeats the null in a later batch (store hit)
         spark.createDataFrame([(14, None), (15, None)], schema) \
-            .write.parquet(str(src / "b4"))
+            .coalesce(1).write.parquet(str(src / "b4"))
         assert _wait(lambda: _count_parquet(spark, out) == 7)
         spark.createDataFrame([(16, None), (17, "solo")], schema) \
-            .write.parquet(str(src / "b5"))
+            .coalesce(1).write.parquet(str(src / "b5"))
         assert _wait(lambda: _count_parquet(spark, out) == 8)
         q.processAllAvailable()
     finally:
