@@ -3264,13 +3264,18 @@ def _q_ann_store_snapshots(spark, sf_dir):
         idx = IVFIndex(n_cells=8, nprobe=8).fit(seed, max_sample=4000)
         idx.write(seed, path)
         ann_store.publish_snapshot(path, note="build")          # v1
-        n1 = ann_store.read_store_rows(spark, path).count()
+        # Ledger counts come from the manifests' recorded row stats
+        # (parquet footer sums written at publish time) — the
+        # Iceberg-style metadata answer; a 100 TB store must not scan
+        # three snapshots to count them. Parity with a full
+        # read_store_rows().count() is pinned in tests/test_ann_store.
+        n1 = ann_store.snapshot_row_count(path)
         (idx.transform(delta).write.mode("append")
          .partitionBy("cell").parquet(path))
         ann_store.publish_snapshot(path, note="append")         # v2
-        n2 = ann_store.read_store_rows(spark, path).count()
+        n2 = ann_store.snapshot_row_count(path)
         ann_store.compact_index(spark, path)                    # v3
-        n3 = ann_store.read_store_rows(spark, path).count()
+        n3 = ann_store.snapshot_row_count(path)
         notes = {m["version"]: m["note"]
                  for m in ann_store.list_snapshots(path)}
         gc = ann_store.gc_snapshots(path, keep_last=2)

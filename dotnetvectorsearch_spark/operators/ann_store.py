@@ -493,6 +493,29 @@ def _referenced_union(path: str, cur_m: dict | None = None) -> set:
     return union
 
 
+def _footer_rows(path: str, files: list[str]) -> int:
+    """Total rows across ``files`` from parquet FOOTER metadata only —
+    no Spark job, no data pages. O(files) metadata reads, exactly the
+    statistic Iceberg/Delta manifests carry so a 100 TB store can
+    answer ``count(*)`` per snapshot without a scan."""
+    import pyarrow.parquet as _pq
+    total = 0
+    for rel in files:
+        total += _pq.ParquetFile(str(Path(path) / rel)).metadata.num_rows
+    return int(total)
+
+
+def snapshot_row_count(path: str, version: int | None = None) -> int:
+    """Row count of a snapshot (default CURRENT) from its manifest's
+    recorded ``n_rows`` — written at publish time from parquet footers.
+    For a manifest written before row stats existed, falls back to a
+    footer sum over the manifest's files (same number, computed late)."""
+    m = read_manifest(path, version)
+    if m.get("n_rows") is not None:
+        return int(m["n_rows"])
+    return _footer_rows(path, m["files"])
+
+
 def _write_manifest(path: str, files: list[str], note: str = "",
                     union: set | None = None,
                     live: set | None = None) -> int:
@@ -523,7 +546,8 @@ def _write_manifest(path: str, files: list[str], note: str = "",
         live = set(_data_files(path))
     union = (set(union) | set(files)) & (live | set(files))
     doc = {"version": version, "files": sorted(files),
-           "n_files": len(files), "note": note,
+           "n_files": len(files), "n_rows": _footer_rows(path, files),
+           "note": note,
            "referenced_union": sorted(union)}
     mf = root / f"manifest-v{version:06d}.json"
     tmp = root / f".manifest-v{version:06d}.json.tmp"

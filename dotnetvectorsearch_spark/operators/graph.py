@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dotnetvectorsearch_spark.caching import transient_persist
+from dotnetvectorsearch_spark.localdf import local_df
 
 _DEC = "decimal(27,15)"
 
@@ -29,7 +30,9 @@ _DEC = "decimal(27,15)"
 def pagerank_undirected(pairs: DataFrame, src: str = "id_a",
                         dst: str = "id_b", iters: int = 5,
                         damping: float = 0.85,
-                        round_digits: int = 6) -> DataFrame:
+                        round_digits: int = 6,
+                        driver_fast_path_edges: int = 200_000
+                        ) -> DataFrame:
     """Fixed-iteration PageRank on an undirected pair list.
 
     ``pairs`` is one row per undirected edge (id_a, id_b); both
@@ -62,6 +65,21 @@ def pagerank_undirected(pairs: DataFrame, src: str = "id_a",
         F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
     )).alias("e")).select("e.src", "e.dst"))
     edges = transient_persist(edges.repartition("src"))
+    # Small-graph fast path (same enforced-bound doctrine as
+    # dedup.connected_components): each distributed iteration costs a
+    # join + an aggregation of pure job scheduling on a frame that is
+    # tiny at similarity-graph densities. Under the bound — a COUNTED
+    # collect of the already-persisted symmetrized edge list — the
+    # whole recurrence runs on the driver with bit-identical arithmetic
+    # (see _pagerank_driver; parity with the distributed loop is pinned
+    # in tests/test_graph.py). Past the bound the iterative join plan
+    # runs — the only formulation that survives 100 TB. Integral ids
+    # only: the driver path indexes ids through int64.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ids_integral = all(t in integral for _, t in edges.dtypes)
+    if (driver_fast_path_edges and ids_integral
+            and edges.count() <= 2 * driver_fast_path_edges):
+        return _pagerank_driver(edges, iters, damping, round_digits)
     nodes = transient_persist(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n = nodes.count()
@@ -81,3 +99,60 @@ def pagerank_undirected(pairs: DataFrame, src: str = "id_a",
                          .alias("rank")))
     return ranks.select(F.col("src").alias("node"),
                         F.round("rank", round_digits).alias("pagerank"))
+
+
+def _pagerank_driver(edges: DataFrame, iters: int, damping: float,
+                     round_digits: int) -> DataFrame:
+    """Driver-side twin of the distributed recurrence, BIT-IDENTICAL by
+    construction (each step mirrors the exact engine semantics):
+
+    - contribution ``rank/deg``: IEEE double division, same as the
+      per-row double division in the join plan;
+    - the per-node sum goes through decimal(27,15): each double is cast
+      via its shortest repr HALF_UP to 15 fractional digits (exactly
+      Spark's double->decimal cast, BigDecimal.valueOf semantics), the
+      quantized values are summed EXACTLY as scaled int64 (the decimal
+      sum is exact; max sum ~1e15 << 2^63), and the sum converts back
+      to double correctly rounded (numerator < 2^52, denominator 10^15
+      exact — same correctly-rounded quotient as BigDecimal.doubleValue);
+    - ``base + damping * s``: the same two IEEE double ops;
+    - the final ``F.round(x, d)`` is HALF_UP on the shortest repr
+      (pinned against Spark in tests/test_ann_store.py round6 test).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    node_type = dict(edges.dtypes)["src"]
+    spark = edges.sparkSession
+    schema = f"node {node_type}, pagerank double"
+    pdf = edges.toPandas()
+    u = pdf["src"].to_numpy(dtype=np.int64)
+    v = pdf["dst"].to_numpy(dtype=np.int64)
+    if len(u) == 0:
+        return local_df(spark, [], schema)
+    nodes, ui = np.unique(u, return_inverse=True)
+    vi = np.searchsorted(nodes, v)   # symmetrized: every dst is a src
+    deg = np.bincount(ui, minlength=len(nodes))
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n)
+    q15 = Decimal("1e-15")
+    for _ in range(iters):
+        c = rank / deg
+        qc = np.fromiter(
+            (int(Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+                 .scaleb(15)) for x in c.tolist()),
+            dtype=np.int64, count=n)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, vi, qc[ui])
+        s = np.fromiter(
+            (float(Decimal(int(t)).scaleb(-15)) for t in sums.tolist()),
+            dtype=np.float64, count=n)
+        rank = base + damping * s
+    qr = Decimal(1).scaleb(-round_digits)
+    rows = [(int(nd),
+             float(Decimal(repr(r)).quantize(qr,
+                                             rounding=ROUND_HALF_UP)))
+            for nd, r in zip(nodes.tolist(), rank.tolist())]
+    return local_df(spark, rows, schema)

@@ -434,6 +434,31 @@ def test_snapshot_time_travel_and_isolation(spark, sf_dir, tmp_path):
     assert ann_store.read_store_rows(spark, path).count() == n0 + n_add
 
 
+def test_snapshot_row_count_matches_full_scan(spark, sf_dir, tmp_path):
+    """The manifest's recorded row stats (parquet footer sums written at
+    publish time) must equal a full read_store_rows().count() at every
+    version of a build -> append -> compact cycle — the metadata-only
+    count the snapshot ledger query serves from."""
+    root = str(tmp_path / "store")
+    ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
+    path = ann_store.index_path(sf_dir, "ivf", root)
+    idx, _ = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    sliver = emb.filter("vec_id % 7 = 3")
+    (idx.transform(sliver)
+     .write.mode("append").partitionBy("cell").parquet(path))
+    ann_store.publish_snapshot(path, note="sliver")
+    ann_store.compact_index(spark, path)
+    for v in (1, 2, 3):
+        assert (ann_store.snapshot_row_count(path, version=v)
+                == ann_store.read_store_rows(spark, path, version=v)
+                .count())
+    # default = CURRENT
+    assert (ann_store.snapshot_row_count(path)
+            == ann_store.read_store_rows(spark, path).count())
+
+
 def test_snapshot_publish_excludes_retired_files(spark, sf_dir,
                                                  tmp_path):
     """publish_snapshot after a compaction (while retired files still

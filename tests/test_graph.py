@@ -35,3 +35,29 @@ def test_pagerank_deterministic_across_partitionings(spark, star_pairs):
          for r in pagerank_undirected(
              star_pairs.repartition(7)).collect()}
     assert a == b   # decimal-summed contributions: bit-equal either way
+
+
+def test_pagerank_driver_fast_path_matches_distributed(spark):
+    """The bounded driver fast path must be BIT-IDENTICAL to the
+    distributed join loop — same decimal-summed recurrence, same
+    HALF_UP rounding — on an irregular multi-component graph whose
+    ranks exercise many distinct deg/rank combinations."""
+    import random
+    rnd = random.Random(7)
+    rows = [(a, b) for a, b in
+            {(rnd.randrange(60), rnd.randrange(60)) for _ in range(150)}
+            if a != b]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = {r.node: r.pagerank
+            for r in pagerank_undirected(pairs).collect()}
+    dist = {r.node: r.pagerank
+            for r in pagerank_undirected(
+                pairs, driver_fast_path_edges=0).collect()}
+    assert fast == dist
+    # and through more iterations (deeper recurrence, more rounding)
+    fast9 = {r.node: r.pagerank
+             for r in pagerank_undirected(pairs, iters=9).collect()}
+    dist9 = {r.node: r.pagerank
+             for r in pagerank_undirected(
+                 pairs, iters=9, driver_fast_path_edges=0).collect()}
+    assert fast9 == dist9
