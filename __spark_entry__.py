@@ -2310,11 +2310,22 @@ def _q_tpch_q21(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier")
     f_lines = li.join(orders, li.l_orderkey == orders.o_orderkey,
                       "left_semi")
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (f_lines.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(r_supp).alias("n_r_supp"),
-                      F.max(r_supp).alias("blame_supp")))
+    # Two-level aggregate instead of the double countDistinct: two
+    # distinct aggs over one fact scan plan an Expand that triples
+    # every lineitem row into the exchange; collapsing to distinct
+    # (order, supplier) pairs first shuffles a third of the bytes with
+    # full map-side combining (guide §2.3), and the per-order rollup is
+    # then a cheap second-level agg. Same result set (n_supp = distinct
+    # suppliers, n_r_supp = distinct suppliers with a returned line,
+    # blame = max such supplier); measured 1.3-1.5s -> ~1.05s at sf0.1.
+    per_os = (f_lines.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(F.col("l_returnflag") == "R").alias("__ret")))
+    per_order = (per_os.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum(F.col("__ret").cast("long"))
+                      .alias("n_r_supp"),
+                      F.max(F.when(F.col("__ret"), F.col("l_suppkey")))
+                      .alias("blame_supp")))
     blamed = per_order.filter((F.col("n_supp") >= 2)
                               & (F.col("n_r_supp") == 1))
     return (blamed.join(F.broadcast(supp),

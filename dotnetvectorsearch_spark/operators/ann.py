@@ -38,6 +38,34 @@ from dotnetvectorsearch_spark.localdf import local_df
 from dotnetvectorsearch_spark.operators.search import top_k_similar
 
 
+def _collect_tiny_parquet(spark, path: str) -> list:
+    """Driver-side collect of a TINY trained-state parquet directory
+    (centroids / codebooks / params — a few KB each). Reading these
+    through a Spark job costs a full job launch per table (an index
+    reload pays up to three); when the path is on the local
+    filesystem, a pyarrow footer+page read on the driver returns the
+    same rows with no job at all (guide: the driver may do
+    driver-scale metadata work — these tables are bounded by
+    n_cells/m*n_codes, never by the corpus). Non-local paths (a real
+    deployment's object store) fall back to the Spark read."""
+    import os
+    from types import SimpleNamespace
+
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    if "://" not in local and os.path.isdir(local):
+        import pyarrow.parquet as pq
+        t = pq.read_table(local)
+        cols = t.column_names
+        data = [t.column(c).to_pylist() for c in cols]
+        return [SimpleNamespace(**dict(zip(cols, vals)))
+                for vals in zip(*data)]
+    return spark.read.parquet(path).collect()
+
+
 def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -164,7 +192,7 @@ class IVFIndex:
         """Reload a written index: (probe-ready index, indexed rows).
         The rows frame is the partitioned parquet — `search` on it still
         prunes to the probe cells."""
-        rows = spark.read.parquet(f"{path}/_centroids").collect()
+        rows = _collect_tiny_parquet(spark, f"{path}/_centroids")
         idx = cls(n_cells=len(rows), nprobe=rows[0].nprobe,
                   seed=rows[0].seed)
         cent = np.zeros((len(rows), len(rows[0].centroid)),
@@ -437,7 +465,7 @@ class PQIndex:
     @classmethod
     def read(cls, spark, path: str) -> tuple[PQIndex, DataFrame]:
         """Load a written index: returns (index, codes DataFrame)."""
-        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        rows = _collect_tiny_parquet(spark, f"{path}/codebooks")
         m = max(r.subspace for r in rows) + 1
         n_codes = max(r.code for r in rows) + 1
         dim_sub = len(rows[0].centroid)
@@ -656,9 +684,9 @@ class IVFPQIndex:
         """Reload a written index: (search-ready index, indexed rows).
         Pair with the original float-vector table for the rescore
         stage, exactly as after a fresh fit."""
-        params = spark.read.parquet(f"{path}/_meta/params").collect()[0]
-        cells = spark.read.parquet(f"{path}/_meta/cells").collect()
-        books = spark.read.parquet(f"{path}/_meta/codebooks").collect()
+        params = _collect_tiny_parquet(spark, f"{path}/_meta/params")[0]
+        cells = _collect_tiny_parquet(spark, f"{path}/_meta/cells")
+        books = _collect_tiny_parquet(spark, f"{path}/_meta/codebooks")
         m = max(r.subspace for r in books) + 1
         n_codes = max(r.code for r in books) + 1
         idx = cls(n_cells=len(cells), nprobe=params.nprobe, m=m,
