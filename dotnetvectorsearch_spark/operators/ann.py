@@ -77,6 +77,40 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 5,
                          id_col=id_col, doc_vec=vec_col, round_digits=6)
 
 
+def _kmeans_seed_pp(x: np.ndarray, k: int,
+                    rng: "np.random.RandomState") -> np.ndarray:
+    """k-means++ seeding with a RUNNING min-distance vector.
+
+    Bit-identical to the textbook "min over distances to every chosen
+    centroid" form (elementwise float min is exact and associative;
+    each per-centroid distance array is computed by the same numpy
+    expression), but O(k n d) instead of the O(k^2 n d) that
+    recomputing the full min each step costs — the measured ~5 s of
+    every PQ fit was this loop, not Lloyd and not Spark."""
+    n = len(x)
+    centroids = [x[rng.randint(n)]]
+    d2 = np.sum((x - centroids[0]) ** 2, axis=1)
+    for _ in range(1, k):
+        s = d2.sum()
+        # all remaining points coincide with a centroid -> uniform pick
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+        c = x[rng.choice(n, p=probs)]
+        centroids.append(c)
+        np.minimum(d2, np.sum((x - c) ** 2, axis=1), out=d2)
+    return np.stack(centroids)
+
+
+def _group_slices(assign: np.ndarray, k: int):
+    """(order, starts) such that ``x[order[starts[c]:starts[c+1]]]``
+    holds exactly the rows assigned to c IN ROW ORDER (stable sort), so
+    a per-group ``np.mean`` sees the identical operand sequence as the
+    boolean-mask form — one argsort replaces k full-array mask scans
+    per Lloyd iteration."""
+    order = np.argsort(assign, kind="stable")
+    starts = np.searchsorted(assign[order], np.arange(k + 1))
+    return order, starts
+
+
 def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int,
                 iters: int = 15) -> np.ndarray:
     """Seeded k-means++ on a driver-side sample; unit-normalized centroids
@@ -84,23 +118,15 @@ def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int,
     rng = np.random.RandomState(seed)
     x = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    n = len(x)
-    n_cells = min(n_cells, n)  # degenerate corpora: never more cells than points
-    centroids = [x[rng.randint(n)]]
-    for _ in range(1, n_cells):
-        d2 = np.min(
-            [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
-        s = d2.sum()
-        # all remaining points coincide with a centroid -> uniform pick
-        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
-        centroids.append(x[rng.choice(n, p=probs)])
-    cent = np.stack(centroids)
+    n_cells = min(n_cells, len(x))  # never more cells than points
+    cent = _kmeans_seed_pp(x, n_cells, rng)
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
+        order, starts = _group_slices(assign, n_cells)
         for c in range(n_cells):
-            mask = assign == c
-            if mask.any():
-                m = x[mask].mean(axis=0)
+            lo, hi = starts[c], starts[c + 1]
+            if hi > lo:
+                m = x[order[lo:hi]].mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent.astype(np.float32)
 
@@ -355,27 +381,22 @@ def centroid_drift(old: DataFrame, new: DataFrame, by: str = "label",
 def _kmeans_fit_plain(sample: np.ndarray, n_codes: int, seed: int,
                       iters: int = 15) -> np.ndarray:
     """Seeded k-means++ WITHOUT unit-normalization (PQ subvectors are not
-    unit vectors; Euclidean geometry, empty clusters keep their centroid)."""
+    unit vectors; Euclidean geometry, empty clusters keep their centroid).
+    Same running-min seeding / stable-grouped Lloyd as :func:`_kmeans_fit`
+    — bit-identical output, O(k) fewer passes (see _kmeans_seed_pp)."""
     rng = np.random.RandomState(seed)
     x = sample.astype(np.float32)
-    n = len(x)
-    n_codes = min(n_codes, n)
-    centroids = [x[rng.randint(n)]]
-    for _ in range(1, n_codes):
-        d2 = np.min(
-            [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
-        s = d2.sum()
-        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
-        centroids.append(x[rng.choice(n, p=probs)])
-    cent = np.stack(centroids)
+    n_codes = min(n_codes, len(x))
+    cent = _kmeans_seed_pp(x, n_codes, rng)
     for _ in range(iters):
         d2 = (np.sum(x ** 2, axis=1, keepdims=True)
               - 2.0 * (x @ cent.T) + np.sum(cent ** 2, axis=1))
         assign = np.argmin(d2, axis=1)
+        order, starts = _group_slices(assign, len(cent))
         for c in range(len(cent)):
-            mask = assign == c
-            if mask.any():
-                cent[c] = x[mask].mean(axis=0)
+            lo, hi = starts[c], starts[c + 1]
+            if hi > lo:
+                cent[c] = x[order[lo:hi]].mean(axis=0)
     return cent.astype(np.float32)
 
 

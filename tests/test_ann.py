@@ -372,3 +372,75 @@ def test_ivfpq_index_write_read_roundtrip_same_results(spark, sf_dir,
     b = [(r.vec_id, r.similarity) for r in
          idx2.search(rows2, qv, k=5, rescore=emb).collect()]
     assert a == b
+
+
+def test_kmeans_rewrite_bit_identical_to_naive_reference():
+    """The running-min k-means++ seeding and stable-grouped Lloyd pass
+    must be BIT-IDENTICAL to the naive textbook form they replaced
+    (elementwise min is exact; stable argsort grouping feeds np.mean
+    the same operand sequence as boolean masking)."""
+    import numpy as np
+
+    from dotnetvectorsearch_spark.operators.ann import (
+        _kmeans_fit, _kmeans_fit_plain)
+
+    def naive_fit(sample, n_cells, seed, iters=15):
+        rng = np.random.RandomState(seed)
+        x = sample / np.maximum(
+            np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        n = len(x)
+        n_cells = min(n_cells, n)
+        centroids = [x[rng.randint(n)]]
+        for _ in range(1, n_cells):
+            d2 = np.min(
+                [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
+            s = d2.sum()
+            probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+            centroids.append(x[rng.choice(n, p=probs)])
+        cent = np.stack(centroids)
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(n_cells):
+                mask = assign == c
+                if mask.any():
+                    m = x[mask].mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        return cent.astype(np.float32)
+
+    def naive_fit_plain(sample, n_codes, seed, iters=15):
+        rng = np.random.RandomState(seed)
+        x = sample.astype(np.float32)
+        n = len(x)
+        n_codes = min(n_codes, n)
+        centroids = [x[rng.randint(n)]]
+        for _ in range(1, n_codes):
+            d2 = np.min(
+                [np.sum((x - c) ** 2, axis=1) for c in centroids], axis=0)
+            s = d2.sum()
+            probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+            centroids.append(x[rng.choice(n, p=probs)])
+        cent = np.stack(centroids)
+        for _ in range(iters):
+            d2 = (np.sum(x ** 2, axis=1, keepdims=True)
+                  - 2.0 * (x @ cent.T) + np.sum(cent ** 2, axis=1))
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        return cent.astype(np.float32)
+
+    rng = np.random.RandomState(123)
+    sample = rng.randn(500, 32).astype(np.float32)
+    for k in (3, 16, 64):
+        a = _kmeans_fit(sample, k, seed=42)
+        b = naive_fit(sample, k, seed=42)
+        assert a.shape == b.shape and (a == b).all(), f"spherical k={k}"
+        a = _kmeans_fit_plain(sample, k, seed=42)
+        b = naive_fit_plain(sample, k, seed=42)
+        assert a.shape == b.shape and (a == b).all(), f"plain k={k}"
+    # degenerate: duplicated points (zero distances -> uniform pick)
+    dup = np.repeat(rng.randn(4, 8).astype(np.float32), 20, axis=0)
+    a = _kmeans_fit_plain(dup, 8, seed=7)
+    b = naive_fit_plain(dup, 8, seed=7)
+    assert (a == b).all()
