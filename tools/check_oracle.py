@@ -21,7 +21,9 @@ from dotnetvectorsearch_spark.caching import release_transient
 from dotnetvectorsearch_spark.session import get_spark
 from dotnetvectorsearch_spark.sources.io import TPCH_TABLES
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
 
 
 def normalize(df) -> tuple[int, list[str], int]:
