@@ -57,12 +57,26 @@ from dotnetvectorsearch_spark.functions.vector import cosine_similarity
 _SPREAD_BYTES = 96 * 1024
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def _spread(df: DataFrame, key: str, amp: int = 1) -> DataFrame:
     """Hash-repartition to the session's default parallelism when the
     input has fewer partitions. Small corpora often arrive as a single
     file/partition; the shingle/hash stages below are CPU-bound per row,
     so without this they serialize onto one task. At real scale inputs
     already have enough splits and this is a no-op.
+
+    ``amp`` is the call site's downstream CPU-amplification factor
+    relative to the byte budget below (guide §2.5: partition by the
+    COST of the stage, not raw input bytes). The default 1 fits
+    scheduling-bound consumers (one explode + one keyed aggregate:
+    minhash/simhash signatures, span grams). Sites whose next stages do
+    super-linear work per input byte — char k-gram winnowing (~1
+    hash+window row per CHARACTER), shingle inverted-index SELF-joins,
+    per-block quadratic pair generation — pass ``amp`` ≈ their measured
+    work multiplier so the target reflects stage cost. The r13 bytes
+    target with amp=1 everywhere left 25 of 32 cores idle on exactly
+    those sites (VERDICT r13 item 1: jaccard_pairs ×0.36,
+    winnow_fingerprints ×0.64); the within-session A/B for the amp'd
+    sites is in OPTIMIZATION_r14.md.
 
     The common at-scale case is decided from ``inputFiles()`` alone —
     but file COUNT alone does not give a partition count: Spark packs
@@ -104,16 +118,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         # the defaultParallelism ceiling keeps at-scale behavior
         # identical, and inputs with enough real splits never reach
         # here at all.
-        import os as _os
-        nbytes = 0
-        for f in files:
-            local = f
-            for pre in ("file://", "file:"):
-                if local.startswith(pre):
-                    local = local[len(pre):]
-                    break
-            nbytes += _os.stat(local).st_size
-        target = max(4, min(target, -(-nbytes // _SPREAD_BYTES)))
+        if files:
+            # Non-file-backed plans return files == [] WITHOUT raising;
+            # they must keep the defaultParallelism target (an in-memory
+            # or shuffle-backed corpus has no byte evidence to shrink
+            # by — collapsing it to the floor serializes CPU-heavy
+            # stages, ADVICE r13 medium).
+            import os as _os
+            nbytes = 0
+            for f in files:
+                local = f
+                for pre in ("file://", "file:"):
+                    if local.startswith(pre):
+                        local = local[len(pre):]
+                        break
+                nbytes += _os.stat(local).st_size
+            target = max(4, min(target,
+                                -(-nbytes * max(1, amp) // _SPREAD_BYTES)))
     except Exception:  # noqa: BLE001 - non-file-backed plans
         pass
     if df.rdd.getNumPartitions() < target:
@@ -211,7 +232,10 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     oracle-checkable twin — the same fast/portable split as
     minhash_pairs vs minhash_pairs_portable.
     """
-    docs = _spread(docs, id_col)
+    # amp=16: ~one hash + one w-row window frame per input CHARACTER —
+    # the most compute-amplified consumer of _spread (A/B: 1.6-1.9x at
+    # the bench point when the target reflects that cost).
+    docs = _spread(docs, id_col, amp=16)
     grams = docs.select(
         F.col(id_col),
         F.posexplode(ordered_char_kgrams(text_col, k)).alias("pos", "g"))
@@ -765,7 +789,11 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     / ``doc_pagerank`` pipelines inherit the guard through this
     generator. ``max_candidate_pairs=None`` disables (tests/micro use).
     """
-    docs = _spread(docs, id_col)
+    # amp=16: the inverted-index SELF-join does O(df_s^2) work per
+    # shingle bucket on top of the explode — partition by that cost,
+    # not the raw input bytes (A/B: 1.16-1.24x, incl. the cc/split
+    # pipelines that inherit this site).
+    docs = _spread(docs, id_col, amp=16)
     base = docs.select(F.col(id_col),
                        *(block_cols or []),
                        word_shingles(text_col, shingle_n).alias("sh"))
@@ -1054,7 +1082,10 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                 f"(got {n_rows}); pass a block_col (cluster label, LSH "
                 f"bucket, IVF cell — see operators.ann), or force the "
                 f"cross product with allow_unblocked=True")
-    emb = _spread(emb, id_col)
+    # amp=16: per-block quadratic pair generation — each row joins
+    # against its whole block, so per-byte stage cost is ~block_size x
+    # the scan (A/B: 1.34x).
+    emb = _spread(emb, id_col, amp=16)
     cols = [F.col(id_col), F.col(vec_col),
             l2_norm(vec_col).alias("__norm")]
     if block_col:

@@ -1331,3 +1331,45 @@ def test_incremental_update_manifest_randomized_python_oracle(spark):
                        old_df, new_df, ev_df, min_overlap=0.2,
                        broadcast_delta=bc).collect()}
             assert got == want, (seed, bc, got, want)
+
+
+def test_spread_amp_and_nonfile_plans(spark, tmp_path):
+    """_spread partition targets (r14): amp scales the bytes-derived
+    target by the call site's downstream CPU amplification, and plans
+    with NO input files (in-memory frames) keep the defaultParallelism
+    target instead of collapsing to the 4-partition floor (ADVICE r13
+    medium)."""
+    dp = spark.sparkContext.defaultParallelism
+    # file-backed single-file input, ~200 KB -> amp=1 gives a small
+    # bytes-derived target; amp=16 must clear defaultParallelism's cap
+    import os
+    import random
+
+    import pandas as pd
+    rng = random.Random(7)
+    words = ["".join(rng.choices("abcdefghij", k=8)) for _ in range(5000)]
+    pdf = pd.DataFrame({"doc_id": range(2000),
+                        "text": [" ".join(rng.choices(words, k=20))
+                                 for _ in range(2000)]})
+    p = str(tmp_path / "docs.parquet")
+    pdf.to_parquet(p, compression=None)
+    nbytes = os.path.getsize(p)
+    df = spark.read.parquet(p)
+    n1 = D._spread(df, "doc_id", amp=1).rdd.getNumPartitions()
+    n16 = D._spread(df, "doc_id", amp=16).rdd.getNumPartitions()
+    want = lambda amp: max(4, min(dp, -(-nbytes * amp // D._SPREAD_BYTES)))
+    assert n16 == want(16), (n16, nbytes)
+    assert n1 == want(1), (n1, nbytes)
+    assert n1 <= n16
+    # non-file-backed plan (inputFiles() == [] without raising): the
+    # byte clamp must NOT fire -> spread to defaultParallelism
+    mem = spark.createDataFrame(pdf).coalesce(1)
+    assert mem.inputFiles() == []
+    nm = D._spread(mem, "doc_id").rdd.getNumPartitions()
+    assert nm == dp, nm
+    # values are partitioning-invariant: same fingerprint rows either way
+    a = sorted(r.fp for r in D.winnow_fingerprints(
+        df.limit(30)).collect())
+    b = sorted(r.fp for r in D.winnow_fingerprints(
+        mem.limit(30)).collect())
+    assert a == b
