@@ -3281,8 +3281,7 @@ def _q_ann_store_snapshots(spark, sf_dir):
         # three snapshots to count them. Parity with a full
         # read_store_rows().count() is pinned in tests/test_ann_store.
         n1 = ann_store.snapshot_row_count(path)
-        (idx.transform(delta).write.mode("append")
-         .partitionBy("cell").parquet(path))
+        idx.append(delta, path)
         ann_store.publish_snapshot(path, note="append")         # v2
         n2 = ann_store.snapshot_row_count(path)
         ann_store.compact_index(spark, path)                    # v3

@@ -686,6 +686,83 @@ def gc_snapshots(path: str, keep_last: int = 2) -> dict:
                 "deleted_files": deleted}
 
 
+def _compact_cells(spark: SparkSession, path: str, tmp: str, ver: int,
+                   multi: dict[str, list[str]],
+                   new_files: list[str]) -> int:
+    """Rewrite each multi-file cell of a manifest snapshot into ONE
+    ``compact-v{ver+1}`` file, appending the new relative names to
+    ``new_files``. Two paths, same output contract:
+
+    - **driver merge** when every file is local and their total size
+      is under the bounded-driver budget (`ann._DRIVER_RW_BYTES`): a
+      pyarrow footer+page concat per cell — zero Spark jobs, the
+      read-side mirror of the bounded write path;
+    - **distributed rewrite** otherwise: read ONLY the multi-file
+      cells of the snapshot, repartition by cell, write through the
+      shared tmp dir exactly as before.
+
+    Returns the number of cells rewritten."""
+    import shutil
+    from pathlib import Path as _P
+
+    if not multi:
+        return 0
+    n = 0
+    from .ann import _DRIVER_RW_BYTES, _local_fs_path
+    dst = _local_fs_path(path)
+    total = None
+    if dst is not None:
+        try:
+            total = sum(os.path.getsize(os.path.join(dst, rel))
+                        for rels in multi.values() for rel in rels)
+        except OSError:
+            total = None
+    if total is not None and total <= _DRIVER_RW_BYTES:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        try:
+            # read+concat EVERYTHING first, write only if all cells
+            # merged cleanly — a concat surprise (e.g. files with
+            # heterogeneous schemas pyarrow cannot unify the way
+            # Spark's reader does) falls back to the distributed
+            # rewrite with nothing half-written
+            merged_cells = {}
+            for cell_dir, rels in sorted(multi.items()):
+                tables = [pq.read_table(os.path.join(dst, rel))
+                          for rel in rels]
+                # unify by field NAME with null-fill for columns some
+                # files lack — the same union Spark's parquet reader
+                # performs across append generations
+                merged_cells[cell_dir] = pa.concat_tables(
+                    tables, promote_options="default")
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+            merged_cells = None
+        if merged_cells is not None:
+            for cell_dir, merged in merged_cells.items():
+                name = f"compact-v{ver + 1:06d}-0000.parquet"
+                pq.write_table(merged,
+                               os.path.join(dst, cell_dir, name),
+                               compression="snappy")
+                new_files.append(f"{cell_dir}/{name}")
+                n += 1
+            return n
+    from pyspark.sql import functions as F
+    vals = [c.split("=", 1)[1] for c in multi]
+    (read_store_rows(spark, path)
+     .filter(F.col("cell").cast("string").isin(vals))
+     .repartition("cell")
+     .write.partitionBy("cell").mode("overwrite").parquet(tmp))
+    for d in sorted(_P(tmp).glob("cell=*")):
+        dst_dir = _P(path) / d.name
+        dst_dir.mkdir(exist_ok=True)
+        for i, f in enumerate(sorted(d.glob("*.parquet"))):
+            name = f"compact-v{ver + 1:06d}-{i:04d}.parquet"
+            shutil.move(str(f), str(dst_dir / name))
+            new_files.append(f"{d.name}/{name}")
+        n += 1
+    return n
+
+
 def compact_index(spark: SparkSession, path: str) -> int:
     """Rewrite a cell-partitioned index directory so each cell holds
     ONE file — the companion maintenance pass for streamed appends
@@ -696,14 +773,19 @@ def compact_index(spark: SparkSession, path: str) -> int:
     Two modes, chosen by whether the store carries snapshot manifests:
 
     **Manifest mode** (store has a CURRENT snapshot — the managed
-    path): compact the CURRENT snapshot's rows into new uniquely-named
-    files alongside the old ones, then publish a new manifest naming
-    only the compacted files. Nothing is deleted — readers resolved at
-    ANY retained version keep a complete, consistent file set, so the
-    pass is cross-cell snapshot-consistent, not just file-atomic; the
-    retired files go away later via :func:`gc_snapshots` once no
-    reader can be pinned to them (the Delta/Iceberg OPTIMIZE+VACUUM
-    split).
+    path): compact ONLY the cells whose CURRENT snapshot holds more
+    than one file (the Iceberg binpack rule — a maintenance pass after
+    a streamed delta rewrites the touched cells, not the store);
+    already-compact cells are referenced unchanged. Rewrites land as
+    new uniquely-named files alongside the old ones, then a new
+    manifest names the full compacted file set. Nothing is deleted —
+    readers resolved at ANY retained version keep a complete,
+    consistent file set, so the pass is cross-cell snapshot-consistent,
+    not just file-atomic; the retired files go away later via
+    :func:`gc_snapshots` once no reader can be pinned to them (the
+    Delta/Iceberg OPTIMIZE+VACUUM split). Small local stores merge the
+    cells driver-side with pyarrow (zero Spark jobs, see
+    :func:`_compact_cells`); bigger ones rewrite distributed.
 
     **Legacy mode** (no manifests): the r12 dir-swap — rewrite through
     a sibling temp dir and swap the ``cell=*`` partition dirs ONE CELL
@@ -732,20 +814,21 @@ def compact_index(spark: SparkSession, path: str) -> int:
         # version allocation or collide on the shared tmp dir
         with _writer_lock(path):
             _rollback_ghost_manifests(path)
-            # compact the SNAPSHOT (the directory may hold retired
-            # files a bare listing would double-count)
-            (read_store_rows(spark, path).repartition("cell")
-             .write.partitionBy("cell").mode("overwrite").parquet(tmp))
             ver = current_snapshot_version(path)
-            new_files: list[str] = []
-            for d in sorted(_P(tmp).glob("cell=*")):
-                dst_dir = _P(path) / d.name
-                dst_dir.mkdir(exist_ok=True)
-                for i, f in enumerate(sorted(d.glob("*.parquet"))):
-                    name = f"compact-v{ver + 1:06d}-{i:04d}.parquet"
-                    shutil.move(str(f), str(dst_dir / name))
-                    new_files.append(f"{d.name}/{name}")
-                n += 1
+            m = read_manifest(path, ver)
+            # Compact only the cells that NEED it (more than one live
+            # file in the CURRENT snapshot) — the Iceberg binpack rule.
+            # Already-compact cells are referenced unchanged in the new
+            # manifest: at scale a maintenance pass after a streamed
+            # delta must rewrite the touched cells, not the store.
+            by_cell: dict[str, list[str]] = {}
+            for rel in m["files"]:
+                by_cell.setdefault(rel.split("/", 1)[0], []).append(rel)
+            new_files: list[str] = [rels[0] for rels in by_cell.values()
+                                    if len(rels) == 1]
+            multi = {c: sorted(rels) for c, rels in by_cell.items()
+                     if len(rels) > 1}
+            n += _compact_cells(spark, path, tmp, ver, multi, new_files)
             _write_manifest(path, new_files,
                             note=f"compaction of v{ver}")
     else:

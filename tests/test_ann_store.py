@@ -613,9 +613,20 @@ def test_gc_keeps_manifest_when_file_unlink_fails(spark, sf_dir,
     root = str(tmp_path / "store")
     ann_store.ensure_index(spark, sf_dir, "ivf", root=root)
     path = ann_store.index_path(sf_dir, "ivf", root)
-    ann_store.compact_index(spark, path)          # v2; v1 retired
+    # make at least one cell multi-file so compaction actually retires
+    # v1 files (r14: single-file cells are referenced unchanged, so a
+    # fresh store's compaction retires nothing)
+    idx, _ = IVFIndex.read(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    idx.append(emb.filter("vec_id % 3 = 1"), path)
+    ann_store.publish_snapshot(path, note="sliver")   # v2
+    ann_store.compact_index(spark, path)          # v3; v1/v2 retired
+    cur_files = set(ann_store.read_manifest(path)["files"])
     v1_files = ann_store.read_manifest(path, 1)["files"]
-    target = Path(v1_files[0]).name
+    retired = [f for f in v1_files if f not in cur_files]
+    assert retired, "compaction must retire at least one v1 file"
+    target = Path(retired[0]).name
     real_unlink = Path.unlink
 
     def flaky_unlink(self, *a, **k):
@@ -625,16 +636,16 @@ def test_gc_keeps_manifest_when_file_unlink_fails(spark, sf_dir,
 
     monkeypatch.setattr(Path, "unlink", flaky_unlink)
     gc = ann_store.gc_snapshots(path, keep_last=1)
-    assert gc["dropped_versions"] == []           # v1 survived
-    assert (Path(path) / v1_files[0]).exists()
+    assert 1 not in gc["dropped_versions"]        # v1 survived
+    assert (Path(path) / retired[0]).exists()
     assert ann_store.read_manifest(path, 1)["files"] == v1_files
     monkeypatch.setattr(Path, "unlink", real_unlink)
     gc2 = ann_store.gc_snapshots(path, keep_last=1)   # retry succeeds
-    assert gc2["dropped_versions"] == [1]
-    assert not (Path(path) / v1_files[0]).exists()
+    assert 1 in gc2["dropped_versions"]
+    assert not (Path(path) / retired[0]).exists()
     # the current snapshot is intact after the retried GC
     assert (ann_store.read_store_rows(spark, path).count()
-            == load_table(spark, sf_dir, "embeddings").count())
+            == emb.count() + emb.filter("vec_id % 3 = 1").count())
 
 
 def test_manifests_carry_referenced_union(spark, sf_dir, tmp_path):
@@ -778,3 +789,82 @@ def test_stream_append_auto_publishes_on_managed_store(spark, sf_dir,
     assert (ann_store.read_store_rows(spark, path).count()
             == n0 + n_add)
     assert ann_store.current_snapshot_version(path) == 2
+
+
+def test_driver_write_append_compact_parity(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """r14 bounded driver fast paths (write / append / cell merge) are
+    row- and search-identical to the distributed formulations, and
+    manifest compaction rewrites ONLY multi-file cells, referencing
+    single-file cells unchanged."""
+    from dotnetvectorsearch_spark.operators import ann as ann_mod
+
+    # module fixtures persist the embeddings scan; the CacheManager
+    # then substitutes an InMemoryRelation into any later plan built
+    # over it, which (correctly) removes the file evidence the bounded
+    # driver path gates on — clear it so this test exercises the
+    # fast path the bench session sees
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    seed = emb.filter("vec_id % 10 = 0")
+    delta = emb.filter("vec_id % 10 = 5")
+    idx = IVFIndex(n_cells=8, nprobe=8).fit(seed, max_sample=4000)
+
+    def cycle(path, force_distributed):
+        if force_distributed:
+            monkeypatch.setattr(ann_mod, "_file_plan_bytes",
+                                lambda df: None)
+            monkeypatch.setattr(ann_mod, "_DRIVER_RW_BYTES", -1)
+        idx.write(seed, path)
+        ann_store.publish_snapshot(path, note="build")
+        n1 = ann_store.snapshot_row_count(path)
+        idx.append(delta, path)
+        ann_store.publish_snapshot(path, note="append")
+        n2 = ann_store.snapshot_row_count(path)
+        ncells = ann_store.compact_index(spark, path)
+        n3 = ann_store.snapshot_row_count(path)
+        rows = sorted(
+            (r.vec_id, r.cell, tuple(r.embedding))
+            for r in ann_store.read_store_rows(spark, path).collect())
+        i2, frame = IVFIndex.read(spark, path)
+        qv = emb.filter("vec_id = 3").collect()[0].embedding
+        top = [(r.vec_id, r.similarity)
+               for r in i2.search(frame, qv, k=10).collect()]
+        monkeypatch.undo()
+        return n1, n2, n3, ncells, rows, top
+
+    # the driver fast path must actually ENGAGE for this input (local
+    # file-backed plan, supported schema) — guards against the gate
+    # silently falling back to the distributed write for everything
+    assert idx._write_cells_local(seed, str(tmp_path / "probe"),
+                                  "embedding", "overwrite") is True
+
+    fast = cycle(str(tmp_path / "fast"), force_distributed=False)
+    slow = cycle(str(tmp_path / "slow"), force_distributed=True)
+    assert fast == slow
+    # row conservation through the cycle
+    assert fast[0] == seed.count()
+    assert fast[1] == fast[2] == seed.count() + delta.count()
+    # every cell had a seed + a delta file -> all rewritten
+    assert fast[3] > 0
+
+    # single-file cells are referenced unchanged by compaction
+    path3 = str(tmp_path / "mixed")
+    idx.write(seed, path3)
+    ann_store.publish_snapshot(path3, note="build")
+    one_cell = idx.transform(delta).filter("cell = 0").drop("cell")
+    idx.append(one_cell, f"{path3}")  # lands only in its cells
+    ann_store.publish_snapshot(path3, note="delta")
+    before = ann_store.read_manifest(path3)["files"]
+    single_cells = {f.split("/", 1)[0] for f in before}
+    multi = {c for c in single_cells
+             if sum(x.startswith(c + "/") for x in before) > 1}
+    n = ann_store.compact_index(spark, path3)
+    after = ann_store.read_manifest(path3)["files"]
+    assert n == len(multi)
+    kept = [f for f in before
+            if f.split("/", 1)[0] not in multi]
+    assert set(kept) <= set(after)
+    assert (ann_store.snapshot_row_count(path3)
+            == ann_store.read_store_rows(spark, path3).count())
