@@ -1,21 +1,31 @@
 """Fast DataFrame construction for small DRIVER-LOCAL row lists.
 
 ``spark.createDataFrame(rows, schema)`` parallelizes the rows into
-``defaultParallelism`` slices (32 on the bench host). For the tiny
-frames the engine builds constantly — a 1-row query vector, an 8-row
-centroid table, a recall scalar — that means a 32-task job where one
-task would do, and every slice evaluation pays a Python-runner
-handshake. Worse, the common ``.coalesce(1)`` before a write makes ONE
-task replay all 32 pickled slices SEQUENTIALLY through the Python
-runner: measured ~7s per 8-row centroid write on the bench host vs
-~0.4s for the same rows parallelized into one slice (guide §4 — the
-JVM<->Python boundary is the cost; cross it once, not 32 times).
+``defaultParallelism`` pickled slices (32 on the bench host) and every
+action on the frame replays them through a Python-runner job. For the
+tiny frames the engine builds constantly — a 1-row query vector, an
+8-row centroid table, a recall scalar — that is pure boundary overhead
+(guide §4: cross the JVM<->Python boundary once; §6: Arrow for driver
+transfers).
 
-:func:`local_df` is a drop-in replacement that parallelizes driver-local
-rows into as few slices as their size warrants (one, for everything the
-engine builds today). Row values, schema handling and the resulting
-DataFrame are identical to ``createDataFrame`` — only the slice count
-changes, which no correct query can observe.
+:func:`local_df` therefore builds the frame as a pyarrow Table and
+hands it to ``createDataFrame`` whenever every field is in the
+supported scalar/array set: the rows land in the JVM as a
+**LocalTableScan** (no RDD, no Python runner at action time — measured
+count 0.39→0.16 s, collect 0.23→0.03 s, write 0.31→0.16 s for an 8-row
+frame). Values are identical to the classic path: ints/floats/strings/
+booleans/None map to the same JVM values, ``array<float>`` pays the
+same IEEE float64→float32 narrowing the pickle path performs, NaN stays
+NaN (never null). Type verification happens EAGERLY at construction
+(pyarrow raises on a value that does not fit the declared type), which
+is stricter-at-the-driver than the classic path's lazy executor-side
+check — the failure just surfaces earlier, at the call site.
+
+Fields outside the supported set (timestamps, decimals, nested
+structs), or rows pyarrow rejects, fall back to the r13 behavior:
+``parallelize(rows, 1 + n//100_000)`` single-slice construction — and
+on runtimes without a driver ``sparkContext`` (Spark Connect), plain
+``createDataFrame(rows, schema)``.
 """
 
 from __future__ import annotations
@@ -28,18 +38,112 @@ from pyspark.sql import DataFrame, SparkSession
 _ROWS_PER_SLICE = 100_000
 
 
-def local_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """``spark.createDataFrame(rows, schema)`` minus the 32-slice tax.
+def _pa_schema(schema):
+    """pyarrow schema for a StructType whose fields are all in the
+    supported scalar/array set, else None (caller falls back)."""
+    import pyarrow as pa
 
-    ``rows`` is a driver-local list (possibly empty) of tuples/Rows;
-    ``schema`` a DDL string or StructType. The rows land in
-    ``1 + len(rows) // _ROWS_PER_SLICE`` slices instead of
-    ``defaultParallelism`` — same values, same schema, same nullability,
-    one Python-runner round instead of 32.
-    """
+    scalar = {"bigint": pa.int64(), "int": pa.int32(),
+              "smallint": pa.int16(), "tinyint": pa.int8(),
+              "float": pa.float32(), "double": pa.float64(),
+              "string": pa.string(), "boolean": pa.bool_()}
+    fields = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s in scalar:
+            fields.append(pa.field(f.name, scalar[s]))
+        elif s.startswith("array<") and s[6:-1] in scalar:
+            fields.append(pa.field(f.name, pa.list_(
+                pa.field("element", scalar[s[6:-1]]))))
+        else:
+            return None
+    return pa.schema(fields)
+
+
+def _arrow_local_df(spark: SparkSession, rows: list,
+                    schema) -> DataFrame | None:
+    """LocalTableScan-backed frame via a pyarrow Table, or None when
+    the schema/values are outside the supported set."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = (_parse_datatype_string(schema) if isinstance(schema, str)
+          else schema)
+    if not isinstance(st, StructType):
+        return None
+    pa_schema = _pa_schema(st)
+    if pa_schema is None:
+        return None
+    try:
+        import pyarrow as pa
+        cols = []
+        for i, f in enumerate(pa_schema):
+            vals = [r[i] for r in rows]
+            if not _values_ok(vals, f.type, pa):
+                # stock createDataFrame would REJECT (or coerce) these
+                # — let the classic path reproduce its exact behavior,
+                # including its error message
+                return None
+            cols.append(pa.array(vals, type=f.type))
+        table = pa.Table.from_arrays(cols, schema=pa_schema)
+        return spark.createDataFrame(table, schema=st)
+    except Exception:  # noqa: BLE001 - value/type outside Arrow's reach
+        return None
+
+
+def _values_ok(vals, pa_type, pa) -> bool:
+    """Enforce the same per-value strictness as PySpark's schema
+    verifier, so the Arrow path never ACCEPTS a row the classic path
+    rejects (e.g. a Python int in a double column): floats must be
+    float, ints int (not bool), strings str, booleans bool; arrays are
+    checked elementwise."""
+    import numpy as np
+
+    if pa.types.is_list(pa_type):
+        for v in vals:
+            if v is None:
+                continue
+            if not isinstance(v, (list, tuple, np.ndarray)):
+                return False
+            if isinstance(v, np.ndarray):
+                continue     # dtype-checked by pa.array
+            if not _values_ok(list(v), pa_type.value_type, pa):
+                return False
+        return True
+    if pa.types.is_floating(pa_type):
+        ok = (float, np.floating)
+    elif pa.types.is_integer(pa_type):
+        ok = (int, np.integer)
+    elif pa.types.is_boolean(pa_type):
+        ok = (bool, np.bool_)
+    else:                    # string
+        ok = (str,)
+    for v in vals:
+        if v is None:
+            continue
+        if not isinstance(v, ok):
+            return False
+        if not pa.types.is_boolean(pa_type) and isinstance(v, bool):
+            return False
+    return True
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` minus the boundary tax.
+
+    ``rows`` is a driver-local list (possibly empty) of tuples/Rows
+    (positional — matching what ``createDataFrame`` verifies against a
+    supplied schema); ``schema`` a DDL string or StructType. Supported
+    schemas become a JVM LocalTableScan via Arrow; everything else
+    takes the single-slice parallelize path (same values, same schema,
+    same nullability as stock ``createDataFrame``)."""
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
+    df = _arrow_local_df(spark, rows, schema)
+    if df is not None:
+        return df
+    if not hasattr(spark, "sparkContext"):   # Spark Connect
+        return spark.createDataFrame(rows, schema)
     n_slices = 1 + len(rows) // _ROWS_PER_SLICE
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n_slices), schema)
