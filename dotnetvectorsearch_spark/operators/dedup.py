@@ -1725,7 +1725,11 @@ def simhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
     assert bits % chunks == 0 and bits % 4 == 0
     chunk_bits = bits // chunks
     hexd = "0123456789abcdef"
-    toks = (_spread(docs, id_col)
+    # amp=16: md5 is ~10x the per-byte cost of xxhash64 and every token
+    # pays one — the portable twins are hash-CPU-bound where the
+    # xxhash64 production paths are scheduling-bound (A/B: 1.07x here,
+    # 1.15-1.27x for the minhash md5 family)
+    toks = (_spread(docs, id_col, amp=16)
             .select(F.col(id_col),
                     F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                     .alias("__t"))
@@ -1788,7 +1792,11 @@ def minhash_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes
-    exploded = (_spread(docs, id_col)
+    # amp=16: K md5 computations per shingle — hash-CPU-bound, unlike
+    # the xxhash64 production path (see simhash_pairs_portable note;
+    # A/B: doc_pagerank_lsh 1.19x, minhash_pairs_md5 1.15x,
+    # dedup_clusters_lsh 1.27x)
+    exploded = (_spread(docs, id_col, amp=16)
                 .select(F.col(id_col),
                         F.explode(word_shingles(text_col, shingle_n))
                         .alias("__s")))

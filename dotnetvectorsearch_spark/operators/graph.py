@@ -68,18 +68,28 @@ def pagerank_undirected(pairs: DataFrame, src: str = "id_a",
     # Small-graph fast path (same enforced-bound doctrine as
     # dedup.connected_components): each distributed iteration costs a
     # join + an aggregation of pure job scheduling on a frame that is
-    # tiny at similarity-graph densities. Under the bound — a COUNTED
-    # collect of the already-persisted symmetrized edge list — the
-    # whole recurrence runs on the driver with bit-identical arithmetic
-    # (see _pagerank_driver; parity with the distributed loop is pinned
-    # in tests/test_graph.py). Past the bound the iterative join plan
+    # tiny at similarity-graph densities. Under the bound the whole
+    # recurrence runs on the driver with bit-identical arithmetic (see
+    # _pagerank_driver; parity with the distributed loop is pinned in
+    # tests/test_graph.py). Past the bound the iterative join plan
     # runs — the only formulation that survives 100 TB. Integral ids
     # only: the driver path indexes ids through int64.
+    #
+    # The gate is a bound+1 LIMIT probe, not a count: CollectLimit
+    # short-circuits after bound+1 rows, so a 100 TB edge list pays a
+    # few partitions of the persisted frame instead of a full
+    # materializing count (ADVICE r13), and when the probe comes back
+    # complete it IS the driver path's input — one job gates AND
+    # collects.
     integral = {"tinyint", "smallint", "int", "bigint"}
     ids_integral = all(t in integral for _, t in edges.dtypes)
-    if (driver_fast_path_edges and ids_integral
-            and edges.count() <= 2 * driver_fast_path_edges):
-        return _pagerank_driver(edges, iters, damping, round_digits)
+    if driver_fast_path_edges and ids_integral:
+        bound = 2 * driver_fast_path_edges
+        probe = edges.limit(bound + 1).toPandas()
+        if len(probe) <= bound:
+            return _pagerank_driver_pdf(edges.sparkSession, probe,
+                                        dict(edges.dtypes)["src"],
+                                        iters, damping, round_digits)
     nodes = transient_persist(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n = nodes.count()
@@ -119,14 +129,23 @@ def _pagerank_driver(edges: DataFrame, iters: int, damping: float,
     - the final ``F.round(x, d)`` is HALF_UP on the shortest repr
       (pinned against Spark in tests/test_ann_store.py round6 test).
     """
+    return _pagerank_driver_pdf(edges.sparkSession, edges.toPandas(),
+                                dict(edges.dtypes)["src"], iters,
+                                damping, round_digits)
+
+
+def _pagerank_driver_pdf(spark, pdf, node_type: str, iters: int,
+                         damping: float, round_digits: int) -> DataFrame:
+    """Core of :func:`_pagerank_driver` over an already-collected
+    (src, dst) pandas frame — the gate's limit-probe hands its rows
+    straight here so the collect happens exactly once. Results are
+    row-order independent: nodes are sorted by ``np.unique`` and the
+    per-node decimal sum is an exact scaled-int64 sum."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
 
-    node_type = dict(edges.dtypes)["src"]
-    spark = edges.sparkSession
     schema = f"node {node_type}, pagerank double"
-    pdf = edges.toPandas()
     u = pdf["src"].to_numpy(dtype=np.int64)
     v = pdf["dst"].to_numpy(dtype=np.int64)
     if len(u) == 0:
