@@ -322,19 +322,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        include_empty: bool = True) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(salt_k || s).
 
-    Shape: explode(shingles) -> K hash columns -> groupBy(id).agg(K mins)
-    -> array. All codegen'd scalar expressions with map-side partial
-    aggregation, so each shingle is hashed exactly K times and the only
-    shuffle carries K longs per doc. (A column-expression formulation —
-    array_min(transform(...)) x K — re-evaluates the shingle array per
-    hash because Catalyst collapses projections; measured ~10x slower.)
+    Shape (r14): ONE row-local higher-order fold — aggregate over the
+    hashed-shingle array with a running elementwise-min accumulator —
+    so the signature stage is a pure projection: no explode, no
+    aggregate hash table, no shuffle of its own at any scale. (The
+    naive column-expression formulation — array_min(transform(...)) x K
+    — re-evaluates the shingle array per hash because Catalyst
+    collapses projections, measured ~10x slower; the fold references
+    the hashed array exactly once as the aggregate input, which is why
+    it dodges that trap.)
 
     Docs with fewer than shingle_n tokens get an all-MAX_LONG signature
-    (no shingles -> no LSH candidates), preserved via left join. Pass
-    ``include_empty=False`` to drop such docs instead — skips the ids
-    left-join stage entirely; correct whenever downstream verification
-    uses a positive similarity threshold (an empty doc can never reach
-    it).
+    (no shingles -> no LSH candidates) — the fold's init value, so no
+    re-attach join is needed. Pass ``include_empty=False`` to drop such
+    docs instead; correct whenever downstream verification uses a
+    positive similarity threshold (an empty doc can never reach it).
 
     ``shingles`` (a frame of (id_col, "sh" array<string>)) lets callers
     reuse an already-computed — typically persisted — shingle set.
@@ -343,32 +345,46 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         df = _spread(df, id_col)
         shingles = df.select(F.col(id_col),
                              word_shingles(text_col, shingle_n).alias("sh"))
-    ids = shingles.select(id_col)
     # Hash the shingle STRING once; derive the K hash functions by
     # re-hashing the resulting 8-byte value xor a per-k salt (O(1) each).
     # The naive form — xxhash64("mh{k}:" || s) — walks the string K times
     # and allocates K concat buffers per shingle; this is ~K x cheaper and
     # an equally valid independent-permutation family. Salts are xor-ed
     # (never multiplied/added) so ANSI overflow semantics can't bite.
-    exploded = shingles.select(
-        F.col(id_col),
-        F.explode(F.col("sh")).alias("__s"),
-    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
-    mins = [
-        F.min(F.xxhash64(F.col("__h").bitwiseXOR(F.lit(_salt(k)))))
-        .alias(f"__mh_{k}")
-        for k in range(num_hashes)
-    ]
-    sigs = (exploded.groupBy(id_col).agg(*mins)
-            .select(F.col(id_col),
-                    F.array(*[F.col(f"__mh_{k}")
-                              for k in range(num_hashes)]).alias(out)))
-    if not include_empty:
-        return sigs
+    #
+    # The whole signature is ONE higher-order fold per row (r14):
+    # aggregate over the hashed-shingle array with a running
+    # elementwise-min accumulator. vs the r13 explode -> groupBy(K
+    # mins) -> ids left-join shape this removes the aggregate hash
+    # table, the empty-doc re-attach join, and — at scale, where
+    # inputs have real splits and _spread is a no-op — the signature
+    # stage's only Exchange (guide §2.4: remove shuffles outright).
+    # Values are bit-identical (min over the same xxhash64 values;
+    # empty/null shingle arrays fold to the init = the all-MAX_LONG
+    # empty signature), pinned against the explode+groupBy reference
+    # in tests/test_dedup.py. Collapse-safe per the repo HOF gotcha:
+    # the hashed array is the aggregate's INPUT (evaluated once per
+    # row); the lambdas touch only lambda variables and a literal
+    # salt array. Measured 0.84 -> 0.39 s on the sf0.1 signature
+    # stage. (The md5-portable twins keep the explode+groupBy form:
+    # interpreted per-element md5+concat measured 0.43 -> 0.80 s —
+    # codegen wins there.)
+    salts = F.array(*[F.lit(_salt(k)) for k in range(num_hashes)])
     empty_sig = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"),
                                num_hashes)
-    return (ids.join(sigs, id_col, "left")
-            .withColumn(out, F.coalesce(F.col(out), empty_sig)))
+    hashed = F.transform(F.coalesce(F.col("sh"),
+                                    F.array().cast("array<string>")),
+                         lambda s: F.xxhash64(s))
+    sig = F.aggregate(
+        hashed, empty_sig,
+        lambda acc, h: F.zip_with(
+            acc, salts,
+            lambda a, s: F.least(a, F.xxhash64(h.bitwiseXOR(s)))))
+    sigs = shingles.select(F.col(id_col), sig.alias(out))
+    if include_empty:
+        return sigs
+    return (shingles.filter(F.size(F.col("sh")) > 0)
+            .select(F.col(id_col), sig.alias(out)))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",

@@ -1373,3 +1373,46 @@ def test_spread_amp_and_nonfile_plans(spark, tmp_path):
     b = sorted(r.fp for r in D.winnow_fingerprints(
         mem.limit(30)).collect())
     assert a == b
+
+
+def test_minhash_fold_matches_explode_groupby_reference(spark):
+    """r14: the one-pass fold signature must be bit-identical to the
+    r13 explode -> groupBy(K mins) -> left-join reference, including
+    empty and null texts, for both include_empty settings."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dotnetvectorsearch_spark.functions.text import word_shingles
+
+    rng = random.Random(99)
+    words = ["w%03d" % i for i in range(60)]
+    rows = [Row(doc_id=i,
+                text=" ".join(rng.choices(words,
+                                          k=rng.randrange(0, 30))))
+            for i in range(40)]
+    rows += [Row(doc_id=100, text=""), Row(doc_id=101, text=None),
+             Row(doc_id=102, text="one two")]          # < shingle_n
+    docs = spark.createDataFrame(rows)
+
+    for k, include_empty in ((16, True), (8, False), (64, True)):
+        got = {r.doc_id: list(r.minhash) for r in
+               D.minhash_signatures(docs, "text", "doc_id", k, 3,
+                                    include_empty=include_empty)
+               .collect()}
+        sh = docs.select("doc_id",
+                         word_shingles("text", 3).alias("sh"))
+        exploded = (sh.select("doc_id", F.explode("sh").alias("__s"))
+                    .select("doc_id", F.xxhash64("__s").alias("__h")))
+        mins = [F.min(F.xxhash64(F.col("__h")
+                                 .bitwiseXOR(F.lit(D._salt(j)))))
+                .alias(f"m{j}") for j in range(k)]
+        ref_rows = exploded.groupBy("doc_id").agg(*mins).collect()
+        ref = {r.doc_id: [r[f"m{j}"] for j in range(k)]
+               for r in ref_rows}
+        if include_empty:
+            empty = [2 ** 63 - 1] * k
+            for r in rows:
+                ref.setdefault(r.doc_id, empty)
+        assert got == ref, (k, include_empty)
